@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QUtil._
+
+/** Core relational surface (SURVEY.md §2 Part B: B7–B31).
+  *
+  * Each query is declared twice: as a DataFrame program (`defs`) and as the
+  * equivalent ANSI SQL for the DuckDB oracle (`oracle`). Column names, row
+  * order (explicit full-key ORDER BY), and double determinism (QUtil) are
+  * pinned so the driver's hash compare is exact.
+  *
+  * Scale posture: every query is a straight Catalyst plan — filters/projects
+  * push into the parquet scan, aggregates run partial+final, small dims are
+  * broadcast explicitly, large joins stay shuffled (AQE handles skew).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // B18 hash aggregate (TPC-H Q1 shape): partial+final agg, no join.
+    "q_agg_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          moneyAvg(col("l_quantity"), 0).as("avg_qty"),
+          moneyAvg(col("l_extendedprice"), 2).as("avg_price"),
+          moneyAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B7/B8 project + compound predicate (IN, LIKE, range) pushed to scan.
+    "q_filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_linestatus") === "F" &&
+          col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-03-01") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // B9 CASE WHEN buckets.
+    "q_case_when" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("price_band",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("high"))
+        .groupBy(col("o_orderstatus"), col("price_band"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus"), col("price_band"))
+    },
+
+    // B10 broadcast hash join: lineitem ⋈ part (small dim, explicit broadcast).
+    "q_join_broadcast" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // B11 shuffled sort-merge join: lineitem ⋈ orders (both sides large at
+    // 100 TB — keep it a shuffle join, let AQE split skew).
+    "q_join_sortmerge" -> { (s, d) =>
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // B12 left outer join with null-producing side aggregated.
+    "q_join_left" -> { (s, d) =>
+      val orderCnt = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice"), 2).as("spend"))
+      Tables.customer(s, d)
+        .join(orderCnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B12 full outer join across two aggregates keyed by nation.
+    "q_join_full" -> { (s, d) =>
+      val cust = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
+    // B13 left semi join (EXISTS): orders having a high-discount line.
+    "q_join_semi" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_discount") >= 0.09),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B14 left anti join (NOT EXISTS): customers with no very-large order.
+    "q_join_anti" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B15 non-equi (range) join: price-band dimension via inequality pair.
+    "q_join_range" -> { (s, d) =>
+      val bands = s.createDataFrame(Seq(
+        ("band0", 0.0, 100000.0), ("band1", 100000.0, 250000.0),
+        ("band2", 250000.0, 1e9))).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("band"))
+    },
+
+    // B16 cross join (small × small).
+    "q_join_cross" -> { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // B19 exact distinct count + B18 multi-agg.
+    "q_distinct_count" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B21 rollup with grouping_id for deterministic null-group labeling.
+    "q_rollup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // B21 cube.
+    "q_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // B22 collect_list/collect_set, order-stabilized with sort_array.
+    "q_collect" -> { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+          sort_array(collect_set(col("n_nationkey"))).as("keys"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // B23/B49 exact dedup by key, deterministic survivor via row_number.
+    "q_dedup_rows" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    },
+
+    // B24 ranking window: top-3 orders per priority (row_number, rank, dense_rank).
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("rk"), col("drk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
+    // B25 lag/lead analytics over per-customer order history.
+    "q_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("prev_price"), lit(-1.0)).as("prev_price"),
+          coalesce(col("next_key"), lit(-1L)).as("next_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // B26 running aggregate over a frame (rowsBetween unbounded→current).
+    "q_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("run_cnt", count(lit(1)).over(w))
+        .withColumn("run_spend", round(sum(round(col("o_totalprice") * 100)).over(w) / 100, 2))
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"), col("run_cnt"), col("run_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // B27 top-k per group (the similarity-search support primitive).
+    "q_topk_group" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // B28/B29 global multi-key sort + limit (TakeOrderedAndProject).
+    "q_sort_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    },
+
+    // B30 union all + union distinct.
+    "q_union" -> { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      a.unionByName(b).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    },
+
+    // B31 intersect / except (distinct set semantics).
+    "q_intersect" -> { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy(col("nationkey"))
+    },
+    "q_except" -> { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy(col("nationkey"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${moneySumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  ${moneyAvgSql("l_quantity", 0)} AS avg_qty,
+         |  ${moneyAvgSql("l_extendedprice", 2)} AS avg_price,
+         |  ${moneyAvgSql("l_discount", 2)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_case_when" ->
+      s"""SELECT o_orderstatus,
+         |  CASE WHEN o_totalprice < 50000 THEN 'low'
+         |       WHEN o_totalprice < 200000 THEN 'mid'
+         |       ELSE 'high' END AS price_band,
+         |  count(*) AS n, ${moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, price_band""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_sortmerge" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |  ${moneySumSql("l_extendedprice", 2)} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+         |FROM customer LEFT JOIN (
+         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |    ${moneySumSql("o_totalprice", 2)} AS spend
+         |  FROM orders GROUP BY o_custkey) agg ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES
+         |  ('band0', 0.0, 100000.0), ('band1', 100000.0, 250000.0), ('band2', 250000.0, 1e9))
+         |SELECT band, count(*) AS n, ${moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_part_supp,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_collect" ->
+      """SELECT n_regionkey,
+        |  list_sort(list(n_name)) AS nations,
+        |  list_sort(list(DISTINCT n_nationkey)) AS keys
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_dedup_rows" ->
+      """SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM (
+        |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_partkey, l_suppkey
+        |      ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn = 1
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rn, rk, drk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(rank() OVER w AS INT) AS rk,
+        |    CAST(dense_rank() OVER w AS INT) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  coalesce(prev_price, -1.0) AS prev_price,
+        |  coalesce(next_key, -1) AS next_key FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    lag(o_totalprice, 1) OVER w AS prev_price,
+        |    lead(o_orderkey, 1) OVER w AS next_key
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+        |WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, run_cnt, run_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    count(*) OVER w AS run_cnt,
+        |    round(sum(round(o_totalprice * 100)) OVER w / 100, 2) AS run_spend
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+
+    "q_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nationkey""".stripMargin)
+}
