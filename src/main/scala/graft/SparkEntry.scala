@@ -16,7 +16,10 @@ object SparkEntry {
 
   private def catalog: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (cat.Relational.defs, cat.Relational.oracle)
+      (cat.Relational.defs, cat.Relational.oracle),
+      (cat.Scalars.defs, cat.Scalars.oracle),
+      (cat.Events.defs, cat.Events.oracle),
+      (cat.LlmOps.defs, cat.LlmOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QUtil._
+
+/** Time-series / events surface: as-of join (B17), tumbling/sliding/session
+  * window aggregation in their deterministic batch forms (B39–B41; the same
+  * expressions run under `readStream` — see streaming specs), sessionization
+  * via lag (B25).
+  *
+  * `events.ts` arrives as TIMESTAMP(NANOS); Tables.events exposes micros.
+  * All outputs avoid raw timestamp columns (epoch micros BIGINT or DATE) so
+  * the DuckDB compare is precision-exact.
+  *
+  * Scale: every aggregation keys on (user_id|window) — at 100 TB these
+  * shuffle once on the group key; the as-of join is a single window pass,
+  * not a per-row range probe.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // B17 as-of join: for each purchase, the latest signup of the same user
+    // at-or-before ts. One shuffle on user_id + one ordered window pass —
+    // O(n log n) per key, no range-join explosion.
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(unix_micros(col("last_signup")), lit(-1L)).as("signup_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // B39 tumbling window (batch form of groupBy(window(ts, "1 day"))).
+    "q_events_tumbling" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"), 2).as("total_value"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // B40 sliding window: 2-day window sliding by 1 day — each event lands
+    // in 2 windows (window() explodes; oracle mirrors with a 2-way union).
+    "q_events_sliding" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"), 2).as("total_value"))
+        .select(to_date(col("w.start")).as("win_start"), col("n"), col("total_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // B41 session window: per-user sessions with a 4-hour inactivity gap
+    // (batch form of groupBy(session_window(ts, "4 hours"))).
+    "q_events_session" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 2).as("session_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // B25 sessionization via lag: inter-event gap seconds per user.
+    "q_events_gaps" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          coalesce((unix_micros(col("ts")) - col("prev_us")) / lit(1000000L), lit(-1.0))
+            .cast("double").as("gap_sec"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, epoch_us(tsu) AS ts_us,
+        |  coalesce(epoch_us(last_signup), -1) AS signup_us
+        |FROM (
+        |  SELECT event_id, user_id, event_type, tsu,
+        |    max(CASE WHEN event_type = 'signup' THEN tsu END)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM ev) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_events_tumbling" ->
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |  event_type, count(*) AS n, ${moneySumSql("value", 2)} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      s"""WITH exploded AS (
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS win_start, value FROM events
+         |  UNION ALL
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) - 1 AS win_start, value FROM events)
+         |SELECT win_start, count(*) AS n, ${moneySumSql("value", 2)} AS total_value
+         |FROM exploded GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "q_events_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS tsu,
+         |    CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+         |        OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 4 HOUR
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, value, tsu,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM marked)
+         |SELECT user_id, epoch_us(min(tsu)) AS session_start_us,
+         |  count(*) AS n_events, ${moneySumSql("value", 2)} AS session_value
+         |FROM sessions GROUP BY user_id, sess_id
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_events_gaps" ->
+      """SELECT user_id, event_id,
+        |  coalesce((epoch_us(CAST(ts AS TIMESTAMP)) - prev_us) / 1000000, -1.0) AS gap_sec
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events) t
+        |WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin)
+}

@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** LLM-data-pipeline operators (SURVEY.md §2 B49–B53): deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+  * cosine top-k + LSH-bucketed ANN), text analysis (language-ID heuristic,
+  * quality scoring, token stats, fingerprinting), multimodal binary columns.
+  *
+  * Every hash is derived from md5 (available in both engines) so each query
+  * has an exact DuckDB oracle — no engine-private hash functions in the
+  * oracle surface (xxhash64 variants live in [[graft.functions]]).
+  *
+  * Scale posture (100 TB):
+  *  - signatures (MinHash/SimHash/fingerprint) are computed per-row or via
+  *    one explode+groupBy — linear, shuffle only on doc_id;
+  *  - the LSH band self-join shuffles on the band key, turning the O(n²)
+  *    all-pairs problem into joins on tiny candidate buckets;
+  *  - the exact all-pairs queries (q_dedup_ngram_jaccard, q_embed_cosine_topk)
+  *    are the correctness baselines their LSH/ANN counterparts approximate —
+  *    at scale you run the LSH/ANN variants.
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared shingle / hash pieces (Spark side) ----
+
+  /** Distinct word-3-gram shingles of `text` (docs shorter than 3 tokens
+    * have none). */
+  private def shingleCol: Column = {
+    val toks = split(col("text"), " ")
+    array_distinct(transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+  }
+
+  /** 28-bit shingle hash: first 7 hex chars of md5, engine-portable. */
+  private def h28(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  private val P28 = 268435399L // largest prime < 2^28
+  private val MOD = 1000000007L
+  private def aCoef(i: Int): Long = 1234567L + 7654321L * i
+  private def bCoef(i: Int): Long = 987654L + 123457L * i
+
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to")
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingleCol.as("shingles"))
+
+  /** Exact Jaccard between two distinct-element array columns. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 3)
+  }
+
+  // DuckDB mirrors of the shared pieces.
+  private val sqlShingles =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+      |  WHERE len(toks) >= 3)""".stripMargin
+  private def sqlH28(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
+  private val sqlJaccard =
+    "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+      "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 3)"
+
+  val defs: Map[String, Q] = Map(
+    // B49 exact dedup by content hash: canonical row per hash + dup count.
+    "q_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_sha"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // B49 exact dedup with deterministic survivor selection on a weak key
+    // (first-2-token prefix): row_number picks one row per key.
+    "q_dedup_prefix_key" -> { (s, d) =>
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 2))
+      val w = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("k", key)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("group_sz", count(lit(1)).over(Window.partitionBy(col("k"))))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("doc_id"), col("group_sz"))
+        .orderBy(col("k"), col("doc_id"))
+    },
+
+    // B50 exact n-gram (3-shingle) Jaccard all-pairs ≥ 0.8 — the quadratic
+    // correctness baseline that q_dedup_minhash_lsh approximates at scale.
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      val sh = docShingles(s, d)
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac", jaccard(col("sa"), col("sb")))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B50 MinHash + LSH band join: 12 minhashes, 6 bands × 2 rows. Candidate
+    // pairs share ≥1 band; exact Jaccard then confirms ≥ 0.8. Linear in docs
+    // + a self-join on band keys (the 100 TB path).
+    "q_dedup_minhash_lsh" -> { (s, d) =>
+      val sh = docShingles(s, d)
+      val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .withColumn("h", h28(col("sh")))
+      val params = s.createDataFrame((0 until 12).map(i => (i, aCoef(i), bCoef(i))))
+        .toDF("i", "a", "b")
+      val mh = exploded.crossJoin(broadcast(params))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("a") * col("h") + col("b")) % P28).as("mh"))
+      val bands = mh.groupBy(col("doc_id"), expr("i div 2").as("band"))
+        .agg(max(when(col("i") % 2 === 0, col("mh"))).as("mh0"),
+          max(when(col("i") % 2 === 1, col("mh"))).as("mh1"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.mh0") === col("y.mh0") &&
+            col("x.mh1") === col("y.mh1") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+        .withColumn("jac", jaccard(col("sa"), col("sb")))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B50 SimHash: 28-bit signature from shingle hashes (explode + one
+    // groupBy), near-dups = pairs with Hamming distance ≤ 4.
+    "q_dedup_simhash" -> { (s, d) =>
+      val exploded = docShingles(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .withColumn("h", h28(col("sh")))
+      val bits = exploded.crossJoin(broadcast(
+          s.createDataFrame((0 until 28).map(Tuple1(_))).toDF("j")))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(expr("shiftright(h, j) % 2") === 1, 1).otherwise(-1)).as("w"))
+      val sig = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(0L)).as("simhash"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+        .filter(col("hamming") <= 4)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B51 brute-force cosine top-5: queries = vec_id < 10 vs all others.
+    // zip_with + aggregate keep the dot product inside codegen'd HOFs; the
+    // rank key is the ROUNDED similarity (engine-stable) with id tiebreak.
+    "q_embed_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = withNorm.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = withNorm.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      val scored = broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
+        .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B51 LSH-bucketed ANN (the scale path): 8 deterministic integer
+    // hyperplanes -> 8-bit bucket per vector; search only within the
+    // query's bucket. plane(j,i) = ((i*31 + j*17) % 7) - 3.
+    "q_embed_ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      def planeDot(j: Int): Column = {
+        val plane = sequence(lit(0), lit(63)).cast("array<int>")
+        aggregate(
+          zip_with(col("e"), transform(plane, i => (i * 31 + lit(j * 17)) % 7 - 3),
+            (x, p) => x * p),
+          lit(0.0), (acc, v) => acc + v)
+      }
+      val bucketCol = (0 until 8).map(j =>
+        when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      val withMeta = emb
+        .withColumn("bucket", bucketCol)
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = withMeta.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("bucket").as("qb"), col("nrm").as("qn"))
+      val c = withMeta.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("bucket").as("cb"), col("nrm").as("cn"))
+      broadcast(q).join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
+        .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B52 token statistics per language.
+    "q_text_stats" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_toks"),
+          round(sum(col("n_toks")) / count(lit(1)).cast("double"), 6).as("avg_toks"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_distinct")) / sum(col("n_toks")).cast("double"), 6).as("distinct_ratio"))
+        .orderBy(col("lang"))
+    },
+
+    // B52 language-ID heuristic: stopword-hit ratio ⇒ en/other, reported as
+    // a confusion matrix against the labeled lang column.
+    "q_text_langid" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stopHits = size(filter(toks, t => t.isin(STOPWORDS.map(lit(_)): _*)))
+      Tables.documents(s, d)
+        .withColumn("stop_ratio", stopHits / size(toks).cast("double"))
+        .withColumn("pred", when(col("stop_ratio") >= 0.05, "en").otherwise("other"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    },
+
+    // B52 quality score: weighted blend of length, lexical diversity and
+    // stopword presence (all int-ratio terms ⇒ engine-exact doubles).
+    "q_text_quality" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nToks = size(toks).cast("double")
+      val diversity = size(array_distinct(toks)) / nToks
+      val stopRatio = size(filter(toks, t => t.isin(STOPWORDS.map(lit(_)): _*))) / nToks
+      val lenScore = least(lit(1.0), nToks / 50.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopRatio, 9)
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B52 document fingerprint: order-sensitive polynomial rolling hash over
+    // md5-derived token hashes (left fold, mod 1e9+7).
+    "q_text_fingerprint" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val hashes = transform(toks, t => h28(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(hashes, lit(0L), (acc, h) => (acc * 131 + h) % MOD).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B53 multimodal binary column plumbing: text → binary payload column +
+    // typed metadata (byte length, content digest). The decode/feature stage
+    // for real image/audio bytes is graft.multimodal (mapPartitions, stubbed
+    // decoder); this query pins the schema/metadata path with an oracle.
+    "q_multimodal_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          expr("octet_length(payload)").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
+
+    "q_dedup_prefix_key" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, concat_ws(' ', string_split(text,' ')[1], string_split(text,' ')[2]) AS k
+        |  FROM documents)
+        |SELECT k, doc_id, group_sz FROM (
+        |  SELECT k, doc_id,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS group_sz
+        |  FROM keyed) t
+        |WHERE rn = 1 ORDER BY k, doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $sqlShingles
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $sqlJaccard AS jac
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE $sqlJaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+         |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+         |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+         |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+         |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, $sqlJaccard AS jac
+         |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+         |WHERE $sqlJaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+         |bits AS (SELECT doc_id, j,
+         |    sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM ex CROSS JOIN range(28) r(j) GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  GROUP BY q.vec_id, c.vec_id),
+        |scored AS (
+        |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |SELECT qid, rank, cid, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_embed_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |pdots AS (
+        |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
+        |  FROM e CROSS JOIN range(8) rj(j) CROSS JOIN range(64) ri(i)
+        |  GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e q JOIN buckets bq ON bq.vec_id = q.vec_id
+        |  JOIN buckets bc ON bc.bucket = bq.bucket
+        |  JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, c.vec_id),
+        |scored AS (
+        |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |SELECT qid, rank, cid, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_toks,
+        |  round(sum(len(string_split(text,' '))) / CAST(count(*) AS DOUBLE), 6) AS avg_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(sum(len(list_distinct(string_split(text,' ')))) /
+        |    CAST(sum(len(string_split(text,' '))) AS DOUBLE), 6) AS distinct_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio
+        |  FROM documents)
+        |SELECT lang, CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  round(0.4 * least(1.0, len(string_split(text,' ')) / 50.0)
+        |    + 0.3 * (len(list_distinct(string_split(text,' ')))
+        |        / CAST(len(string_split(text,' ')) AS DOUBLE))
+        |    + 0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))
+        |        / CAST(len(string_split(text,' ')) AS DOUBLE)), 9) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(text,' '), t -> ${sqlH28("t")})),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS digest, source
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function families (SURVEY.md §2 B32–B38) — every family exercised
+  * in ≥1 oracle-checked query. Functions are all `org.apache.spark.sql
+  * .functions` built-ins (codegen'd, whole-stage-friendly); no UDFs here.
+  *
+  * Oracle parity notes (DuckDB vs Spark):
+  *  - DuckDB date-part fns return BIGINT, Spark INT → CAST in the SQL;
+  *  - DuckDB `floor` returns DOUBLE, Spark LONG for integral input → pin;
+  *  - libm fns (ln/exp/pow) can differ by 1 ulp → round(…, 9) both sides;
+  *  - xxhash64/monotonically_increasing_id have no DuckDB/deterministic
+  *    counterpart → exercised in non-oracle ops (MinHash) instead.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // B32 string family: regexp_extract/replace, lower/upper, lpad, concat_ws,
+    // trim, length, split+element_at (split_part analog), substring.
+    "q_str_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 200)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("id_digits"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          upper(substring(col("c_name"), 1, 4)).as("prefix_up"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          concat_ws("|", col("c_mktsegment"), col("c_nationkey").cast("string")).as("joined"),
+          length(col("c_name")).as("name_len"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+          element_at(split(col("c_name"), "#"), 2).as("name_part"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B33 date/time family: year/month/day, weekday, date_trunc, to_date,
+    // datediff, date_add, last_day.
+    "q_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          weekday(col("o_orderdate")).as("wd"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_2002"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B34 math family: arithmetic, round/floor/ceil, abs, pow, sqrt, ln, exp.
+    "q_math_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 300)
+        .select(
+          col("c_custkey"),
+          round(col("c_acctbal") / 7, 3).as("div7"),
+          floor(col("c_acctbal")).as("flr"),
+          ceil(col("c_acctbal")).as("cl"),
+          abs(col("c_acctbal") - 5000).as("dist5k"),
+          round(pow(col("c_nationkey") + 1, 2), 9).as("nk_sq"),
+          round(sqrt(abs(col("c_acctbal"))), 9).as("sq"),
+          round(log(abs(col("c_acctbal")) + 1), 9).as("ln1p"),
+          round(exp(col("c_nationkey") / 25.0), 9).as("expk"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B35 array family incl. higher-order: split/size/contains/sort/slice,
+    // transform+aggregate (sum of token lengths), filter (long tokens).
+    "q_array_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          slice(sort_array(col("toks")), 1, 3).as("first3"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).as("char_sum"),
+          size(filter(col("toks"), t => length(t) > 5)).as("n_long"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B36 map family: map construction, element_at, map_keys, str_to_map.
+    // Oracle computes the same values directly (DuckDB MAP output types are
+    // not parquet-comparable; the Spark side still exercises the map ops).
+    "q_map_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("m", map(lit("len"), col("n_chars"), lit("id"), col("doc_id")))
+        .withColumn("sm", str_to_map(
+          concat(lit("lang:"), col("lang"), lit(",src:"), col("source")), lit(","), lit(":")))
+        .select(
+          col("doc_id"),
+          element_at(col("m"), "len").as("len_val"),
+          sort_array(map_keys(col("m"))).as("mkeys"),
+          element_at(col("sm"), "lang").as("lang_val"),
+          element_at(col("sm"), "src").as("src_val"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B37 JSON family: get_json_object + from_json(schema) on events.props.
+    "q_json_funcs" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val parsed = ev.withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("k2", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k"))
+      parsed.groupBy(col("event_type"))
+        .agg(
+          sum(col("k_str").cast("long")).as("sum_k_str"),
+          sum(col("k2")).as("sum_k_json"),
+          count(col("k2")).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // B38 hash/misc family: sha2-256, md5, coalesce, nullif.
+    "q_hash_funcs" -> { (s, d) =>
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          sha2(col("n_name"), 256).as("sha"),
+          md5(concat(col("n_name"), lit("|"), col("n_regionkey").cast("string"))).as("m5"),
+          coalesce(nullif(col("n_name"), lit("NATION_0")), lit("ZERO")).as("nn"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // B28 null ordering pinned: nulls sort first ascending in both engines.
+    "q_sort_nulls" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 300)
+        .withColumn("st", nullif(col("o_orderstatus"), lit("P")))
+        .select(col("o_orderkey"), col("st"))
+        .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+    },
+
+    // B20 approx distinct (HLL): no DuckDB oracle (sketches differ) —
+    // rows-only check; exactness asserted in ApproxSpec against countDistinct.
+    "q_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS id_digits,
+        |  regexp_replace(c_name, 'Customer', 'Cust') AS short_name,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  upper(substring(c_name, 1, 4)) AS prefix_up,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  trim('  ' || c_mktsegment || '  ') AS trimmed,
+        |  split_part(c_name, '#', 2) AS name_part
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT c_custkey,
+        |  round(c_acctbal / 7, 3) AS div7,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS flr,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+        |  abs(c_acctbal - 5000) AS dist5k,
+        |  round(pow(c_nationkey + 1, 2), 9) AS nk_sq,
+        |  round(sqrt(abs(c_acctbal)), 9) AS sq,
+        |  round(ln(abs(c_acctbal) + 1), 9) AS ln1p,
+        |  round(exp(c_nationkey / 25.0), 9) AS expk
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  list_sort(string_split(text, ' '))[1:3] AS first3,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS char_sum,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT doc_id,
+        |  n_chars AS len_val,
+        |  ['id', 'len'] AS mkeys,
+        |  lang AS lang_val,
+        |  source AS src_val
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_str,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_json,
+        |  count(props->>'$.k') AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT n_nationkey,
+        |  sha256(n_name) AS sha,
+        |  md5(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS m5,
+        |  coalesce(nullif(n_name, 'NATION_0'), 'ZERO') AS nn
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_sort_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY st ASC NULLS FIRST, o_orderkey""".stripMargin)
+}
