@@ -1,24 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the query catalog on SPARK_GRAFT_SF_DIR and prints
+  * one JSON line `{"metric":"total","value":N,"unit":"sec","queries":{...},
+  * "failed":[...],"sf":...}`.
+  *
+  * Harness notes:
+  *  - session comes from [[Sessions]] (AQE, UTC, nanosAsLong) — the same
+  *    configuration Verify and the tests run under;
+  *  - each query is driven by a `noop`-format write, which fully evaluates
+  *    every output column (a `.count()` would let Catalyst prune all
+  *    projections that don't affect row count and measure only the scan);
+  *  - failures are recorded per query (`"failed"` list + nonzero exit), never
+  *    silently folded into a timing;
+  *  - the deliberately-quadratic all-pairs correctness baseline
+  *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
+  *    variants at small sf and would be three-quarters of the wall time here.
+  */
 object Bench {
+  private val excluded = Set("q_dedup_ngram_jaccard")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val spark = Sessions.get()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => excluded(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Own line on BOTH streams so the driver's parser finds it regardless of
+    // which stream it captures (sbt prefixes stdout with [info]).
+    println(line)
+    System.err.println(line)
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
       (cat.Relational.defs, cat.Relational.oracle),
       (cat.Scalars.defs, cat.Scalars.oracle),
       (cat.Events.defs, cat.Events.oracle),
-      (cat.LlmOps.defs, cat.LlmOps.oracle)
+      (cat.LlmOps.defs, cat.LlmOps.oracle),
+      (cat.PipelineQ.defs, cat.PipelineQ.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

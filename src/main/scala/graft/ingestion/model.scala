@@ -30,6 +30,28 @@ object model {
     val ExtractZip = "METADATA_INGESTION_EXTRACT_ZIP"
   }
 
+  /** Gate labels for ZIPs skipped by the three idempotency checks
+    * (A9–A11 ≙ MetadataIngestionServiceImpl.java:181–210). Skips are not
+    * errors — the reference logs and returns false; we surface them as an
+    * observability output. */
+  object SkipGate {
+    val AlreadyUploaded = "ALREADY_UPLOADED"   // gate 1, ref :182–188
+    val WorkflowExists = "WORKFLOW_EXISTS"     // gate 2, ref :190–198
+    val IsbnFolderExists = "ISBN_FOLDER_EXISTS" // gate 3, ref :200–207
+  }
+
+  /** Keys looked up inside a book `.properties` record. The reference pulls
+    * these from the external BestPubMetadataFileModel (call sites at
+    * MetadataIngestionServiceImpl.java:231–236); the constant names are not
+    * in the repo, so the key spellings here are this engine's contract. */
+  object PropKey {
+    val Title = "Title"
+    val Genre = "Genre"
+    val Authors = "Authors"
+    val NrOfChapters = "NrOfChapters"
+    val NrOfPages = "NrOfPages"
+  }
+
   /** Pipeline configuration ≙ alfresco-global.properties:7–19 (cadence,
     * timers) + ingestion-context.xml wiring (paths, genre dimension). */
   case class IngestionConfig(
@@ -41,15 +63,22 @@ object model {
       wait2Check4ContentTimerDuration: String = "PT1M",
       pollInterval: String = "10 seconds")
 
-  /** Column sets of the three sinks. */
-  val RawZoneCols = Seq("zip_name", "content", "ingest_ts")
-  val DeadLetterCols = Seq("zip_name", "error_code", "message", "ts")
-  /** Workflow sink ≙ the 14 process variables assembled at
-    * MetadataIngestionServiceImpl.java:225–244. */
+  /** State/sink table names under `warehouseDir`. */
+  object Zone {
+    val Raw = "raw_zone"           // A12 ≙ the Incoming/Metadata folder
+    val Workflow = "workflow"      // A14 ≙ started workflow instances
+    val Published = "published"    // A11 input ≙ documentLibrary/{year}/{isbn}
+    val DeadLetter = "dead_letter" // A15 ≙ per-ZIP error routing
+  }
+
+  /** The 15 process variables assembled by the reference's
+    * startBestPubWorkflowInstance (MetadataIngestionServiceImpl.java:222–245):
+    * description, all_metadata, isbn, 5 book fields, publishing date,
+    * 4 false control flags, 2 timer durations. */
   val WorkflowCols = Seq(
-    "isbn", "book_title", "book_genre", "book_authors", "nr_of_chapters",
-    "nr_of_pages", "description", "publishing_date", "year",
-    "chapter_folder_created", "content_received", "content_linked",
-    "metadata_complete", "interrupt_t1_timer", "wait2check_timer",
-    "all_metadata")
+    "isbn", "workflow_description", "book_title", "book_genre",
+    "book_authors", "nr_of_chapters", "nr_of_pages", "publishing_date",
+    "content_found", "content_error_found", "metadata_chapter_matching_ok",
+    "chapter_folder_hierarchy_exists", "interrupt_t1_timer_duration",
+    "wait_2_check_content_timer_duration", "all_metadata")
 }

@@ -15,27 +15,43 @@ import graft.Tables
   * oracle surface (xxhash64 variants live in [[graft.functions]]).
   *
   * Scale posture (100 TB):
-  *  - signatures (MinHash/SimHash/fingerprint) are computed per-row or via
-  *    one explode+groupBy — linear, shuffle only on doc_id;
-  *  - the LSH band self-join shuffles on the band key, turning the O(n²)
-  *    all-pairs problem into joins on tiny candidate buckets;
+  *  - shingling is a typed flatMap generator pipelined inside the scan
+  *    stage (no shuffle); signatures (MinHash/SimHash/fingerprint) reduce in
+  *    ONE codegen'd partial+final HashAggregate keyed on doc_id, so the
+  *    shuffle carries |docs| rows regardless of shingle count;
+  *  - LSH candidates are generated inside (band, signature) buckets after a
+  *    single shuffle on the band key — the signature pipeline is evaluated
+  *    once, and no all-pairs step exists anywhere on the scale path;
   *  - the exact all-pairs queries (q_dedup_ngram_jaccard, q_embed_cosine_topk)
   *    are the correctness baselines their LSH/ANN counterparts approximate —
-  *    at scale you run the LSH/ANN variants.
+  *    at scale you run the LSH/ANN variants (the quadratic baseline is
+  *    excluded from the headline bench).
   */
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- shared shingle / hash pieces (Spark side) ----
 
-  /** Distinct word-3-gram shingles of `text` (docs shorter than 3 tokens
-    * have none). */
-  private def shingleCol: Column = {
-    val toks = split(col("text"), " ")
-    array_distinct(transform(sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+  /** One row per (doc_id, word-3-gram), NOT deduplicated: a typed `flatMap`
+    * generator, iterator-pipelined inside the scan stage — no shuffle and no
+    * interpreted higher-order function in the hot path (building the shingle
+    * array with `transform` and exploding it measured ~8x slower: HOFs are
+    * CodegenFallback and the fallback projection lands under the Generate).
+    * Docs shorter than 3 tokens produce no rows. Consumers needing set
+    * semantics dedup (doc_id, sh) or collect_set. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.split(' ')
+        (0 to tk.length - 3).iterator.map(i => (id, tk(i) + " " + tk(i + 1) + " " + tk(i + 2)))
+      }.toDF("doc_id", "sh")
   }
+
+  /** Distinct shingle set per doc (one partial+final aggregate). */
+  private def docShingleSets(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shingles"))
 
   /** 28-bit shingle hash: first 7 hex chars of md5, engine-portable. */
   private def h28(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
@@ -46,11 +62,6 @@ object LlmOps {
   private def bCoef(i: Int): Long = 987654L + 123457L * i
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to")
-
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingleCol.as("shingles"))
 
   /** Exact Jaccard between two distinct-element array columns. */
   private def jaccard(a: Column, b: Column): Column = {
@@ -96,7 +107,7 @@ object LlmOps {
     // B50 exact n-gram (3-shingle) Jaccard all-pairs ≥ 0.8 — the quadratic
     // correctness baseline that q_dedup_minhash_lsh approximates at scale.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
-      val sh = docShingles(s, d)
+      val sh = docShingleSets(s, d)
       val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -107,24 +118,35 @@ object LlmOps {
     },
 
     // B50 MinHash + LSH band join: 12 minhashes, 6 bands × 2 rows. Candidate
-    // pairs share ≥1 band; exact Jaccard then confirms ≥ 0.8. Linear in docs
-    // + a self-join on band keys (the 100 TB path).
+    // pairs share ≥1 band; exact Jaccard then confirms ≥ 0.8.
+    //
+    // Shape (the 100 TB path): all 12 hashes are computed per shingle row in
+    // ONE projection and reduced by 12 codegen'd `min` aggregates (a single
+    // partial+final HashAggregate keyed on doc_id — no per-hash row blowup,
+    // map-side combine shrinks the shuffle to |docs|×12 longs). Candidate
+    // pairs come from a groupBy on the band key (pairs generated inside each
+    // bucket) — the signature pipeline is evaluated once, not twice as a
+    // self-join would, and no all-pairs step exists anywhere.
     "q_dedup_minhash_lsh" -> { (s, d) =>
-      val sh = docShingles(s, d)
-      val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sh = docShingleSets(s, d)
+      // duplicate shingles don't affect a min — no dedup shuffle needed here
+      val mh = shingleRows(s, d)
         .withColumn("h", h28(col("sh")))
-      val params = s.createDataFrame((0 until 12).map(i => (i, aCoef(i), bCoef(i))))
-        .toDF("i", "a", "b")
-      val mh = exploded.crossJoin(broadcast(params))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("a") * col("h") + col("b")) % P28).as("mh"))
-      val bands = mh.groupBy(col("doc_id"), expr("i div 2").as("band"))
-        .agg(max(when(col("i") % 2 === 0, col("mh"))).as("mh0"),
-          max(when(col("i") % 2 === 1, col("mh"))).as("mh1"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.mh0") === col("y.mh0") &&
-            col("x.mh1") === col("y.mh1") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .groupBy(col("doc_id"))
+        .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
+          (1 until 12).map(i =>
+            min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+      val bands = mh.select(col("doc_id"), explode(array((0 until 6).map(b =>
+          struct(lit(b).as("band"),
+            col(s"mh${2 * b}").as("mh0"), col(s"mh${2 * b + 1}").as("mh1"))): _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band"), col("bd.mh0"), col("bd.mh1"))
+      val cand = bands.groupBy(col("band"), col("mh0"), col("mh1"))
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), b => b > a),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
@@ -135,26 +157,66 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // B50 SimHash: 28-bit signature from shingle hashes (explode + one
-    // groupBy), near-dups = pairs with Hamming distance ≤ 4.
+    // B50 SimHash: 28-bit signature from shingle hashes. Each shingle row
+    // votes ±1 on all 28 bits inside one codegen'd HashAggregate (28 `sum`
+    // columns, map-side combined). Pairing uses the pigeonhole band join:
+    // the signature splits into 5 blocks (6+6+6+5+5 bits), so Hamming ≤ 4 ⇒
+    // at least one block is identical — candidates are generated inside
+    // (block_idx, block_value) buckets, never an all-pairs crossJoin, and
+    // the signature pipeline is evaluated exactly once.
     "q_dedup_simhash" -> { (s, d) =>
-      val exploded = docShingles(s, d)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      def vote(j: Int): Column =
+        when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
+      // vote weights count each distinct shingle once → dedup on the string
+      // (mirrors the oracle's list_distinct exactly, incl. md5 collisions)
+      val sig = shingleRows(s, d).dropDuplicates("doc_id", "sh")
         .withColumn("h", h28(col("sh")))
-      val bits = exploded.crossJoin(broadcast(
-          s.createDataFrame((0 until 28).map(Tuple1(_))).toDF("j")))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(expr("shiftright(h, j) % 2") === 1, 1).otherwise(-1)).as("w"))
-      val sig = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-          .otherwise(0L)).as("simhash"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(vote(0)).as("w0"),
+          (1 until 28).map(j => sum(vote(j)).as(s"w$j")): _*)
+        .select(col("doc_id"),
+          (0 until 28).map(j =>
+            when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val blockDefs = Seq((0, 6), (6, 6), (12, 6), (18, 5), (23, 5))
+      val blocks = sig.select(col("doc_id"), col("simhash"),
+        explode(array(blockDefs.zipWithIndex.map { case ((off, len), bi) =>
+          struct(lit(bi).as("bi"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("bv"))
+        }: _*)).as("blk"))
+        .select(col("doc_id"), col("simhash"),
+          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      val cand = blocks.groupBy(col("bi"), col("bv"))
+        .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), b => b.getField("doc_id") > a.getField("doc_id")),
+            b => struct(a.getField("doc_id").as("doc_a"), a.getField("simhash").as("ha"),
+              b.getField("doc_id").as("doc_b"), b.getField("simhash").as("hb")))))).as("p"))
+        .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
+        .distinct()
+      cand
         .withColumn("hamming", expr("bit_count(ha ^ hb)"))
         .filter(col("hamming") <= 4)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B48 typed Aggregator exercised end-to-end: per-doc MinHash signatures
+    // via the element-wise-min udaf (graft.functions.VecAgg), serialized for
+    // the oracle. The headline LSH query uses the equivalent codegen'd
+    // column-min form; this query pins the Aggregator itself against DuckDB.
+    "q_udaf_minhash_sig" -> { (s, d) =>
+      val hashVec = array((0 until 12).map(i =>
+        (lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28): _*)
+      shingleRows(s, d).filter(col("doc_id") < 50)
+        .withColumn("h", h28(col("sh")))
+        .select(col("doc_id"), hashVec.as("hs"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.VecAgg.minVec(s, 12)(col("hs")).as("mh"))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("mh"), x => x.cast("string"))).as("sig"))
+        .orderBy(col("doc_id"))
     },
 
     // B51 brute-force cosine top-5: queries = vec_id < 10 vs all others.
@@ -336,6 +398,16 @@ object LlmOps {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_udaf_minhash_sig" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h
+         |       FROM sh, unnest(shingles) u(s) WHERE doc_id < 50),
+         |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+         |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+         |       FROM ex CROSS JOIN params GROUP BY doc_id, i)
+         |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

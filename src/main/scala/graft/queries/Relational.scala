@@ -180,12 +180,16 @@ object Relational {
         .orderBy(col("rf"), col("ls"))
     },
 
-    // B22 collect_list/collect_set, order-stabilized with sort_array.
+    // B22 collect_list/collect_set, order-stabilized with sort_array. The
+    // final projection serializes to strings: the driver's pandas compare
+    // cannot hash array cells, so nested outputs stay scalar on both sides.
     "q_collect" -> { (s, d) =>
       Tables.nation(s, d)
         .groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
-          sort_array(collect_set(col("n_nationkey"))).as("keys"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          concat_ws(",",
+            transform(sort_array(collect_set(col("n_nationkey"))), k => k.cast("string"))).as("keys"))
         .orderBy(col("n_regionkey"))
     },
 
@@ -389,8 +393,9 @@ object Relational {
 
     "q_collect" ->
       """SELECT n_regionkey,
-        |  list_sort(list(n_name)) AS nations,
-        |  list_sort(list(DISTINCT n_nationkey)) AS keys
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  array_to_string(list_transform(list_sort(list(DISTINCT n_nationkey)),
+        |    x -> CAST(x AS VARCHAR)), ',') AS keys
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_dedup_rows" ->

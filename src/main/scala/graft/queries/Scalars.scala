@@ -75,6 +75,8 @@ object Scalars {
 
     // B35 array family incl. higher-order: split/size/contains/sort/slice,
     // transform+aggregate (sum of token lengths), filter (long tokens).
+    // Array outputs are concat_ws-serialized: the driver's pandas compare
+    // cannot hash array cells, so the final projection stays scalar.
     "q_array_funcs" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -82,7 +84,7 @@ object Scalars {
           col("doc_id"),
           size(col("toks")).as("n_toks"),
           array_contains(col("toks"), "spark").as("has_spark"),
-          slice(sort_array(col("toks")), 1, 3).as("first3"),
+          concat_ws(",", slice(sort_array(col("toks")), 1, 3)).as("first3"),
           aggregate(transform(col("toks"), t => length(t)), lit(0),
             (acc, x) => acc + x).as("char_sum"),
           size(filter(col("toks"), t => length(t) > 5)).as("n_long"))
@@ -100,7 +102,7 @@ object Scalars {
         .select(
           col("doc_id"),
           element_at(col("m"), "len").as("len_val"),
-          sort_array(map_keys(col("m"))).as("mkeys"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("mkeys"),
           element_at(col("sm"), "lang").as("lang_val"),
           element_at(col("sm"), "src").as("src_val"))
         .orderBy(col("doc_id"))
@@ -192,7 +194,7 @@ object Scalars {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-        |  list_sort(string_split(text, ' '))[1:3] AS first3,
+        |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3,
         |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS char_sum,
         |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS INT) AS n_long
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -200,7 +202,7 @@ object Scalars {
     "q_map_funcs" ->
       """SELECT doc_id,
         |  n_chars AS len_val,
-        |  ['id', 'len'] AS mkeys,
+        |  'id,len' AS mkeys,
         |  lang AS lang_val,
         |  source AS src_val
         |FROM documents ORDER BY doc_id""".stripMargin,
