@@ -20,7 +20,8 @@ object SparkEntry {
       (cat.Scalars.defs, cat.Scalars.oracle),
       (cat.Events.defs, cat.Events.oracle),
       (cat.LlmOps.defs, cat.LlmOps.oracle),
-      (cat.PipelineQ.defs, cat.PipelineQ.oracle)
+      (cat.PipelineQ.defs, cat.PipelineQ.oracle),
+      (cat.Sources.defs, cat.Sources.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

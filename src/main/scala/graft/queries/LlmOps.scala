@@ -328,17 +328,28 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
-    // B53 multimodal binary column plumbing: text → binary payload column +
-    // typed metadata (byte length, content digest). The decode/feature stage
-    // for real image/audio bytes is graft.multimodal (mapPartitions, stubbed
-    // decoder); this query pins the schema/metadata path with an oracle.
+    // B53 multimodal binary columns: REAL file bytes from the binaryFile
+    // source (Sources.binaryDocs) + typed metadata joined from the catalog
+    // table — the payload is opaque binary, the metadata is columnar.
     "q_multimodal_meta" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
+      Sources.binaryDocs(s, d)
+        .join(broadcast(Tables.documents(s, d).select(col("doc_id"), col("source"))),
+          "doc_id")
         .select(col("doc_id"),
-          expr("octet_length(payload)").as("n_bytes"),
-          sha2(col("payload"), 256).as("digest"),
+          col("length").cast("int").as("n_bytes"),
+          sha2(col("content"), 256).as("digest"),
           col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B53 decode/feature-extract over binary payloads via the stubbed codec
+    // (graft.multimodal.Multimodal, typed mapPartitions — the real-codec
+    // seam). The oracle recomputes the byte statistics from the text in SQL.
+    "q_multimodal_features" -> { (s, d) =>
+      graft.multimodal.Multimodal.features(s, Sources.binaryDocs(s, d))
+        .select(col("doc_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("max_byte"), col("checksum"))
         .orderBy(col("doc_id"))
     })
 
@@ -497,5 +508,21 @@ object LlmOps {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS digest, source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)))) AS o
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bytes,
+        |  round(sum(o) / CAST(count(*) AS DOUBLE), 6) AS mean_byte,
+        |  CAST(max(o) AS INT) AS max_byte,
+        |  (SELECT list_reduce(
+        |     list_prepend(1::BIGINT,
+        |       list_transform(range(1, octet_length(encode(d.text)) + 1),
+        |         i -> ord(substr(d.text, CAST(i AS INT), 1))::BIGINT)),
+        |     (a, x) -> (a * 31 + x) % 1000000007)
+        |   FROM documents d WHERE d.doc_id = b.doc_id) AS checksum
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source formats beyond parquet (SURVEY.md §2 B2/B3/B4) plus the declared
+  * family members the round-1 catalog never exercised (B12 right join, B38
+  * xxhash64 / monotonically_increasing_id / input_file_name).
+  *
+  * The format queries round-trip real data through scratch files (written
+  * deterministically from the parquet tables at plan time) and read them
+  * back through the source under test; the DuckDB oracle computes the same
+  * values straight from parquet — so a schema/typing/quoting bug in either
+  * direction of the format path breaks the hash.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-sf scratch root (the same sf dir always maps to the same path). */
+  private def scratch(d: String, kind: String): String =
+    new File("target/qscratch/src_" + kind + "_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+
+  /** B4 fixture: one .txt file per document (doc_id < 100), bytes = text. */
+  private def binCorpus(s: SparkSession, d: String): String = {
+    val dir = scratch(d, "bin")
+    val f = new File(dir)
+    if (!new File(dir, "_done").exists()) {
+      f.mkdirs()
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(Paths.get(dir, s"${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      Files.write(Paths.get(dir, "_done"), Array.emptyByteArray)
+    }
+    dir
+  }
+
+  /** The binaryFile scan over the doc corpus: (doc_id, content). */
+  def binaryDocs(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(binCorpus(s, d))
+      .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("length"), col("content"))
+
+  val defs: Map[String, Q] = Map(
+    // B2 CSV: write nation as header-CSV, read back with an explicit schema.
+    "q_csv_roundtrip" -> { (s, d) =>
+      val dir = scratch(d, "csv")
+      Tables.nation(s, d).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // B3 JSON-lines: orders subset through json write/read with schema.
+    "q_json_roundtrip" -> { (s, d) =>
+      val dir = scratch(d, "json")
+      Tables.orders(s, d).filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date"))
+        .coalesce(1).write.mode("overwrite").json(dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_date", DateType)))
+      s.read.schema(schema).json(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          QUtil.moneySum(col("o_totalprice"), 2).as("total"),
+          max(col("o_date")).as("last_date"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // B4 binaryFile: real file bytes back out of the source, digest-checked.
+    "q_binaryfile_scan" -> { (s, d) =>
+      binaryDocs(s, d)
+        .select(col("doc_id"), col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B12 right outer join (the declared-but-never-exercised variant).
+    "q_join_right" -> { (s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
+    // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
+    // (injective on this data), the file name by its table token.
+    "q_misc_ids" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          xxhash64(col("c_name")).as("xxh"),
+          monotonically_increasing_id().as("mid"),
+          regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1).as("file_token"))
+        .groupBy(col("file_token"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("xxh")).as("n_distinct_xxh"),
+          (countDistinct(col("mid")) === count(lit(1))).as("ids_unique"))
+        .orderBy(col("file_token"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${QUtil.moneySumSql("o_totalprice", 2)} AS total,
+         |  max(CAST(o_orderdate AS DATE)) AS last_date
+         |FROM orders WHERE o_orderkey < 200
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_binaryfile_scan" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_big_orders,
+        |  count(*) AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_misc_ids" ->
+      """SELECT 'customer' AS file_token, count(*) AS n_rows,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_xxh,
+        |  TRUE AS ids_unique
+        |FROM customer""".stripMargin)
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** B20: approx_count_distinct (HLL) tracks the exact distinct count within
+  * the declared rsd (q_approx_distinct has no DuckDB oracle — sketches are
+  * engine-private — so THIS is its correctness evidence). */
+class ApproxSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5*rsd of countDistinct per group") {
+    val rsd = 0.01
+    val rows = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 5 * rsd,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
+  test("q_approx_distinct query shape returns one row per returnflag") {
+    val df = graft.SparkEntry.queries("q_approx_distinct")(spark, sf)
+    assert(df.columns.toSeq === Seq("l_returnflag", "approx_orders"))
+    assert(df.count() === 3)
+  }
+}
