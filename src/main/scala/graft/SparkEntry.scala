@@ -21,7 +21,8 @@ object SparkEntry {
       (cat.Events.defs, cat.Events.oracle),
       (cat.LlmOps.defs, cat.LlmOps.oracle),
       (cat.PipelineQ.defs, cat.PipelineQ.oracle),
-      (cat.Sources.defs, cat.Sources.oracle)
+      (cat.Sources.defs, cat.Sources.oracle),
+      (cat.StreamingQ.defs, cat.StreamingQ.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
