@@ -22,6 +22,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
+    // Warm up the JVM (codegen compiler, parquet readers, shuffle machinery)
+    // so the first measured query doesn't absorb ~10 s of one-time cost.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries("q_agg_pricing")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
       .map { case (name, fn) =>
