@@ -371,10 +371,12 @@ object LlmOps {
         |WHERE rn = 1 ORDER BY k, doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH $sqlShingles
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $sqlJaccard AS jac
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE $sqlJaccard >= 0.8
+      s"""WITH $sqlShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $sqlJaccard AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jac FROM pairs
+         |WHERE jac >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_minhash_lsh" ->

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Physical-plan assertions: the catalog must not silently lose the plan
+  * shapes the 100 TB posture depends on (scan-level filter pushdown, column
+  * pruning, explicit broadcasts, no accidental cartesian products, codegen
+  * in the hot paths). `.explain`-by-eyeball doesn't survive refactors;
+  * these do. */
+class PlanSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_filter_project pushes predicates into the parquet scan and prunes columns") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    // only the 6 needed columns reach the scan, not the full lineitem schema
+    assert(!p.contains("l_comment") && !p.contains("l_tax"), p)
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin, q_join_sortmerge keeps a shuffle join") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val smj = plan("q_join_sortmerge")
+    assert(smj.contains("SortMergeJoin") || smj.contains("ShuffledHashJoin"), smj)
+  }
+
+  test("anti/semi gates compile to the dedicated join types") {
+    assert(plan("q_join_anti").contains("LeftAnti"))
+    assert(plan("q_join_semi").contains("LeftSemi"))
+  }
+
+  test("scale-path dedup queries contain no cartesian product") {
+    Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_exact",
+      "q_embed_ann_lsh", "q_dedup_rows").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("aggregations run as partial+final hash aggregates") {
+    // (AQE prints the pre-execution plan without codegen markers; partial_
+    // prefixes prove the map-side combine that bounds the shuffle)
+    val p = plan("q_agg_pricing")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("top-k via sort+limit compiles to TakeOrderedAndProject") {
+    assert(plan("q_sort_topk").contains("TakeOrderedAndProject"))
+  }
+}
