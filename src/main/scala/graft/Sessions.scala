@@ -18,6 +18,7 @@ object Sessions {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(graft.functions.VectorExprs.register)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -220,13 +220,14 @@ object LlmOps {
     },
 
     // B51 brute-force cosine top-5: queries = vec_id < 10 vs all others.
-    // zip_with + aggregate keep the dot product inside codegen'd HOFs; the
-    // rank key is the ROUNDED similarity (engine-stable) with id tiebreak.
+    // The dot product is the native codegen expression vec_dot
+    // (graft.functions.VecDot) — same left-fold order as the HOF form, so
+    // values are bit-identical, but it stays inside whole-stage codegen.
+    // The rank key is the ROUNDED similarity (engine-stable) + id tiebreak.
     "q_embed_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
       val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       val q = withNorm.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
@@ -247,16 +248,14 @@ object LlmOps {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       def planeDot(j: Int): Column = {
-        val plane = sequence(lit(0), lit(63)).cast("array<int>")
-        aggregate(
-          zip_with(col("e"), transform(plane, i => (i * 31 + lit(j * 17)) % 7 - 3),
-            (x, p) => x * p),
-          lit(0.0), (acc, v) => acc + v)
+        // plane(j) is a constant array — constant-folded, then one codegen
+        // vec_dot against it per row
+        val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
+        call_function("vec_dot", col("e"), plane)
       }
       val bucketCol = (0 until 8).map(j =>
         when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
       val withMeta = emb
         .withColumn("bucket", bucketCol)
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
@@ -272,6 +271,33 @@ object LlmOps {
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // B50/B51 embedding-cosine near-dup dedup: candidates from the same
+    // 8-plane LSH bucket, confirmed by exact cosine >= 0.45, survivor = the
+    // smaller vec_id. Same bucketed shape as q_embed_ann_lsh — linear scan +
+    // per-bucket pairs, no all-pairs step.
+    "q_dedup_embed_cosine" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      def planeDot(j: Int): Column = {
+        val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
+        call_function("vec_dot", col("e"), plane)
+      }
+      val bucketCol = (0 until 8).map(j =>
+        when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
+      val withMeta = emb.withColumn("bucket", bucketCol)
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val a = withMeta.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+        col("bucket").as("ba"), col("nrm").as("na"))
+      val b = withMeta.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+        col("bucket").as("bb"), col("nrm").as("nb"))
+      a.join(b, col("ba") === col("bb") && col("keep_id") < col("dup_id"))
+        .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos_sim") >= 0.45)
+        .select(col("keep_id"), col("dup_id"), col("cos_sim"))
+        .orderBy(col("keep_id"), col("dup_id"))
     },
 
     // B52 token statistics per language.
@@ -300,6 +326,20 @@ object LlmOps {
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred"))
+    },
+
+    // B52 token counting, BPE-ish: whitespace tokens vs regex subword-style
+    // tokens (letter runs / digit runs / single symbols) per doc.
+    "q_text_tokens_bpe" -> { (s, d) =>
+      val bpe = regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(bpe).as("n_bpe_tokens"))
+        .withColumn("tokens_per_word",
+          round(col("n_bpe_tokens") / col("n_ws_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
     },
 
     // B52 quality score: weighted blend of length, lexical diversity and
@@ -471,6 +511,41 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |pdots AS (
+        |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
+        |  FROM e CROSS JOIN range(8) rj(j) CROSS JOIN range(64) ri(i)
+        |  GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e a JOIN buckets ba ON ba.vec_id = a.vec_id
+        |  JOIN buckets bb ON bb.bucket = ba.bucket
+        |  JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT keep_id, dup_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms na ON na.vec_id = keep_id
+        |  JOIN norms nb ON nb.vec_id = dup_id)
+        |SELECT keep_id, dup_id, cos_sim FROM scored
+        |WHERE cos_sim >= 0.45 ORDER BY keep_id, dup_id""".stripMargin,
+
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS tokens_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
