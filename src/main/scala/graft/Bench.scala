@@ -32,6 +32,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
       .map { case (name, fn) =>
+        // collect the previous query's garbage OUTSIDE the timed window so
+        // a stop-the-world pause doesn't land on a random victim query
+        System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
