@@ -22,7 +22,8 @@ object SparkEntry {
       (cat.LlmOps.defs, cat.LlmOps.oracle),
       (cat.PipelineQ.defs, cat.PipelineQ.oracle),
       (cat.Sources.defs, cat.Sources.oracle),
-      (cat.StreamingQ.defs, cat.StreamingQ.oracle)
+      (cat.StreamingQ.defs, cat.StreamingQ.oracle),
+      (cat.Sql.defs, cat.Sql.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-frontend parity (`spark.sql` passthrough over registered views):
+  * each query here is ONE ANSI SQL string executed verbatim by BOTH engines
+  * — Spark runs it through `spark.sql(...)`, the driver runs the identical
+  * text in DuckDB. Any divergence in parsing, name resolution, type
+  * coercion, or evaluation between the two SQL frontends breaks the hash.
+  *
+  * Doubles use the integer-scaling determinism recipe (QUtil) written
+  * directly in the shared SQL; timestamps are cast to DATE.
+  */
+object Sql {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q3 shape: segment filter, 3-way join, grouped revenue, top 10. */
+  private val tpch3 =
+    """SELECT l_orderkey,
+      |  round(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) / 1e4, 4) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: region-restricted supplier/customer revenue by nation. */
+  private val tpch5 =
+    """SELECT n_name,
+      |  round(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) / 1e4, 4) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Correlated scalar subquery + HAVING — frontend features the DataFrame
+    * catalog doesn't separately exercise. */
+  private val subq =
+    """SELECT c_mktsegment, count(*) AS n_above
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_nationkey = c.c_nationkey)
+      |GROUP BY c_mktsegment
+      |HAVING count(*) > 10
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def run(sql: String): Q = { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(sql)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_sql_tpch3" -> run(tpch3),
+    "q_sql_tpch5" -> run(tpch5),
+    "q_sql_subquery" -> run(subq))
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_tpch3" -> tpch3,
+    "q_sql_tpch5" -> tpch5,
+    "q_sql_subquery" -> subq)
+}
