@@ -300,6 +300,63 @@ object LlmOps {
         .orderBy(col("keep_id"), col("dup_id"))
     },
 
+    // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
+    // coarse centroids = the first 16 vectors (deterministic "training"),
+    // every vector assigned to its max-cosine centroid (min-id tiebreak),
+    // queries probe only their own cell (nprobe=1), exact top-3 in-cell.
+    "q_embed_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
+      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val cents = withNorm.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = withNorm.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
+        col("nrm").as("cn"), col("cell").as("ccell"))
+      broadcast(q).join(c, col("qcell") === col("ccell") && col("qid") =!= col("cid"))
+        .withColumn("cos_sim", round(dot(col("qe"), col("ce2")) / (col("qn") * col("cn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B49/B52 composed training-data prep: quality gate → language gate →
+    // exact dedup survivor → corpus totals. One declarative plan: the
+    // filters run in the scan stage, the dedup is one shuffle on the
+    // content hash, the totals one final aggregate.
+    "q_llm_prep" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nToks = size(toks).cast("double")
+      val diversity = size(array_distinct(toks)) / nToks
+      val stopRatio = size(filter(toks, t => t.isin(STOPWORDS.map(lit(_)): _*))) / nToks
+      val quality = round(lit(0.4) * least(lit(1.0), nToks / 50.0)
+        + lit(0.3) * diversity + lit(0.3) * stopRatio, 9)
+      val w = Window.partitionBy(col("sha")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("quality", quality)
+        .withColumn("stop_ratio", stopRatio)
+        .filter(col("quality") >= 0.5 && col("stop_ratio") >= 0.05)
+        .withColumn("sha", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+          round(sum(round(col("quality") * 1e9)) / 1e9 / count(lit(1)), 6).as("avg_quality"))
+    },
+
     // B52 token statistics per language.
     "q_text_stats" -> { (s, d) =>
       val toks = split(col("text"), " ")
@@ -546,6 +603,65 @@ object LlmOps {
         |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |cdots AS (
+        |  SELECT v.vec_id, c.vec_id AS cent_id,
+        |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e v JOIN e c ON c.vec_id < 16
+        |  CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT cd.vec_id, cd.cent_id,
+        |      row_number() OVER (PARTITION BY cd.vec_id
+        |        ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+        |    FROM cdots cd
+        |    JOIN norms nv ON nv.vec_id = cd.vec_id
+        |    JOIN norms nc ON nc.vec_id = cd.cent_id) t
+        |  WHERE arn = 1),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e q JOIN assigned aq ON aq.vec_id = q.vec_id
+        |  JOIN assigned ac ON ac.cell = aq.cell
+        |  JOIN e c ON c.vec_id = ac.vec_id AND c.vec_id != q.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |SELECT qid, rank, cid, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_llm_prep" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    round(0.4 * least(1.0, len(string_split(text,' ')) / 50.0)
+        |      + 0.3 * (len(list_distinct(string_split(text,' ')))
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE))
+        |      + 0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE)), 9) AS quality,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND stop_ratio >= 0.05),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM kept) t WHERE rn = 1)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  round(sum(round(quality * 1e9)) / 1e9 / count(*), 6) AS avg_quality
+        |FROM dedup""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -143,6 +143,34 @@ object Scalars {
         .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
     },
 
+    // B18 exact percentiles (linear interpolation — same definition as
+    // DuckDB's quantile_cont).
+    "q_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
+          round(expr("percentile(l_discount, array(0.25, 0.75))[0]"), 6).as("p25_disc"),
+          round(expr("percentile(l_discount, array(0.25, 0.75))[1]"), 6).as("p75_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B18 skewed-key aggregation via the two-phase salted rewrite
+    // (graft.operators.Skew): values must equal the direct groupBy — the
+    // oracle IS the direct aggregation.
+    "q_skew_salted_agg" -> { (s, d) =>
+      graft.operators.Skew.saltedAgg(
+        Tables.lineitem(s, d), Seq(col("l_returnflag")), buckets = 16,
+        partial = Seq(count(lit(1)).as("pc"),
+          sum(round(col("l_extendedprice") * 100)).as("ps"),
+          min(col("l_quantity")).as("pmn"), max(col("l_quantity")).as("pmx")),
+        finalAgg = Seq(sum(col("pc")).as("n"),
+          round(sum(col("ps")) / 100, 2).as("sum_price"),
+          min(col("pmn")).as("min_qty"), max(col("pmx")).as("max_qty")))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B20 approx distinct (HLL): no DuckDB oracle (sketches differ) —
     // rows-only check; exactness asserted in ApproxSpec against countDistinct.
     "q_approx_distinct" -> { (s, d) =>
@@ -220,6 +248,20 @@ object Scalars {
         |  md5(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS m5,
         |  coalesce(nullif(n_name, 'NATION_0'), 'ZERO') AS nn
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+        |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc,
+        |  round(quantile_cont(l_discount, 0.75), 6) AS p75_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(round(l_extendedprice * 100)) / 100, 2) AS sum_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sort_nulls" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
