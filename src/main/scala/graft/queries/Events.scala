@@ -41,6 +41,28 @@ object Events {
         .orderBy(col("event_id"))
     },
 
+    // B17 as-of join with tolerance: the signup only matches if it happened
+    // within 30 days before the purchase (staleness bound — the common
+    // trading/feature-store variant). Same single window pass.
+    "q_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tolUs = 30L * 86400L * 1000000L
+      ev.withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("signup_us",
+          when(unix_micros(col("ts")) - unix_micros(col("last_signup")) <= tolUs,
+            unix_micros(col("last_signup"))).otherwise(lit(-1L)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("signup_us"), lit(-1L)).as("signup_us"))
+        .orderBy(col("event_id"))
+    },
+
     // B39 tumbling window (batch form of groupBy(window(ts, "1 day"))).
     "q_events_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -90,6 +112,22 @@ object Events {
         |  FROM events WHERE event_type IN ('signup', 'purchase'))
         |SELECT event_id, user_id, epoch_us(tsu) AS ts_us,
         |  coalesce(epoch_us(last_signup), -1) AS signup_us
+        |FROM (
+        |  SELECT event_id, user_id, event_type, tsu,
+        |    max(CASE WHEN event_type = 'signup' THEN tsu END)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM ev) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, epoch_us(tsu) AS ts_us,
+        |  CASE WHEN last_signup IS NOT NULL
+        |         AND epoch_us(tsu) - epoch_us(last_signup) <= 2592000000000
+        |       THEN epoch_us(last_signup) ELSE -1 END AS signup_us
         |FROM (
         |  SELECT event_id, user_id, event_type, tsu,
         |    max(CASE WHEN event_type = 'signup' THEN tsu END)
