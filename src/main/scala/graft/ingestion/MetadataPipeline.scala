@@ -105,9 +105,11 @@ object MetadataPipeline {
       workflow = zone(spark, warehouseDir, Zone.Workflow, workflowSchema),
       published = zone(spark, warehouseDir, Zone.Published, publishedSchema))
 
-  /** A1/B4: batch scan of the polled directory. */
+  /** A1/B4: batch scan of the polled directory. A missing directory is an
+    * empty poll (the reference's executer finds no files), not an error. */
   def readZips(spark: SparkSession, inputDir: String): DataFrame =
-    spark.read.format("binaryFile")
+    if (!new java.io.File(inputDir).exists()) emptyDf(spark, binaryFileSchema)
+    else spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.zip")
       .load(inputDir)
 
