@@ -32,19 +32,28 @@ object LlmOps {
 
   // ---- shared shingle / hash pieces (Spark side) ----
 
-  /** One row per (doc_id, word-3-gram), NOT deduplicated: a typed `flatMap`
+  /** One row per (doc_id, DISTINCT word-3-gram): a typed `flatMap`
     * generator, iterator-pipelined inside the scan stage — no shuffle and no
     * interpreted higher-order function in the hot path (building the shingle
     * array with `transform` and exploding it measured ~8x slower: HOFs are
     * CodegenFallback and the fallback projection lands under the Generate).
-    * Docs shorter than 3 tokens produce no rows. Consumers needing set
-    * semantics dedup (doc_id, sh) or collect_set. */
+    * Dedup happens in the generator's JVM set (all of a doc's shingles are
+    * emitted by one input row, so per-doc distinctness needs no shuffle —
+    * this is what lets SimHash skip a whole dropDuplicates exchange).
+    * Docs shorter than 3 tokens produce no rows. */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val tk = text.split(' ')
-        (0 to tk.length - 3).iterator.map(i => (id, tk(i) + " " + tk(i + 1) + " " + tk(i + 2)))
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= tk.length - 3) {
+          seen.add(tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+          i += 1
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+          .map(sh => (id, sh))
       }.toDF("doc_id", "sh")
   }
 
@@ -167,9 +176,9 @@ object LlmOps {
     "q_dedup_simhash" -> { (s, d) =>
       def vote(j: Int): Column =
         when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
-      // vote weights count each distinct shingle once → dedup on the string
-      // (mirrors the oracle's list_distinct exactly, incl. md5 collisions)
-      val sig = shingleRows(s, d).dropDuplicates("doc_id", "sh")
+      // vote weights count each distinct shingle once — shingleRows is
+      // already per-doc distinct (generator-side set), no dedup shuffle
+      val sig = shingleRows(s, d)
         .withColumn("h", h28(col("sh")))
         .groupBy(col("doc_id"))
         .agg(sum(vote(0)).as("w0"),
