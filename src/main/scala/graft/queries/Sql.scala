@@ -56,18 +56,42 @@ object Sql {
       |HAVING count(*) > 10
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Candidate ISBN-13 strings derived deterministically from customer keys
+    * (~10% carry a valid check digit). Shared SQL text. */
+  private val isbnCands =
+    """SELECT c_custkey,
+      |  concat('978', lpad(CAST(c_custkey * 37 % 1000000000 AS STRING), 9, '0'),
+      |         CAST(c_custkey % 10 AS STRING)) AS cand
+      |FROM customer WHERE c_custkey < 500""".stripMargin
+
+  /** B46 through the SQL surface: the registered isbn13_valid UDF vs the
+    * checksum recomputed arithmetically by the oracle. */
+  private val isbnSparkSql =
+    s"""SELECT c_custkey, cand, isbn13_valid(cand) AS ok
+       |FROM ($isbnCands) t ORDER BY c_custkey""".stripMargin
+
+  private val isbnOracleSql =
+    s"""SELECT c_custkey, cand,
+       |  list_sum(list_transform(range(13),
+       |    i -> CAST(substr(cand, CAST(i + 1 AS INT), 1) AS INT)
+       |         * (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END))) % 10 = 0 AS ok
+       |FROM ($isbnCands) t ORDER BY c_custkey""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
+    graft.functions.udfs.registerAll(s)
     s.sql(sql)
   }
 
   val defs: Map[String, Q] = Map(
     "q_sql_tpch3" -> run(tpch3),
     "q_sql_tpch5" -> run(tpch5),
-    "q_sql_subquery" -> run(subq))
+    "q_sql_subquery" -> run(subq),
+    "q_sql_udf_isbn" -> run(isbnSparkSql))
 
   val oracle: Map[String, String] = Map(
     "q_sql_tpch3" -> tpch3,
     "q_sql_tpch5" -> tpch5,
-    "q_sql_subquery" -> subq)
+    "q_sql_subquery" -> subq,
+    "q_sql_udf_isbn" -> isbnOracleSql)
 }
