@@ -93,6 +93,22 @@ object Events {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Funnel: per-user signup → later purchase conversion (the standard
+    // product-analytics composition over the as-of machinery).
+    "q_events_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(firstSignup, "user_id")
+        .filter(col("ts") >= col("first_signup"))
+        .select(col("user_id")).distinct()
+      firstSignup.select(count(lit(1)).as("n_signed_up"))
+        .crossJoin(converted.select(count(lit(1)).as("n_converted")))
+        .withColumn("conversion",
+          round(col("n_converted") / col("n_signed_up").cast("double"), 6))
+    },
+
     // B25 sessionization via lag: inter-event gap seconds per user.
     "q_events_gaps" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -165,6 +181,19 @@ object Events {
          |  count(*) AS n_events, ${moneySumSql("value", 2)} AS session_value
          |FROM sessions GROUP BY user_id, sess_id
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN fs ON fs.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fs.first_signup)
+        |SELECT (SELECT count(*) FROM fs) AS n_signed_up,
+        |  (SELECT count(*) FROM conv) AS n_converted,
+        |  round((SELECT count(*) FROM conv)
+        |    / CAST((SELECT count(*) FROM fs) AS DOUBLE), 6) AS conversion""".stripMargin,
 
     "q_events_gaps" ->
       """SELECT user_id, event_id,

@@ -85,6 +85,18 @@ object Sources {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ORC write/read round-trip (the second columnar format Spark ships).
+    "q_orc_roundtrip" -> { (s, d) =>
+      val dir = scratch(d, "orc")
+      Tables.supplier(s, d)
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          QUtil.moneySum(col("s_acctbal"), 2).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // B4 binaryFile: real file bytes back out of the source, digest-checked.
     "q_binaryfile_scan" -> { (s, d) =>
       binaryDocs(s, d)
@@ -130,6 +142,11 @@ object Sources {
          |  max(CAST(o_orderdate AS DATE)) AS last_date
          |FROM orders WHERE o_orderkey < 200
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+         |  ${QUtil.moneySumSql("s_acctbal", 2)} AS total_bal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_binaryfile_scan" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
