@@ -72,6 +72,37 @@ object LlmOps {
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to")
 
+  /** Confirmed MinHash+LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥
+    * 0.8): the shared core of q_dedup_minhash_lsh and q_dedup_clusters. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingleSets(s, d)
+    // duplicate shingles don't affect a min — no dedup shuffle needed here
+    val mh = shingleRows(s, d)
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
+        (1 until 12).map(i =>
+          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+    val bands = mh.select(col("doc_id"), explode(array((0 until 6).map(b =>
+        struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("mh0"), col(s"mh${2 * b + 1}").as("mh1"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.mh0"), col("bd.mh1"))
+    val cand = bands.groupBy(col("band"), col("mh0"), col("mh1"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** Exact Jaccard between two distinct-element array columns. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -137,33 +168,40 @@ object LlmOps {
     // bucket) — the signature pipeline is evaluated once, not twice as a
     // self-join would, and no all-pairs step exists anywhere.
     "q_dedup_minhash_lsh" -> { (s, d) =>
-      val sh = docShingleSets(s, d)
-      // duplicate shingles don't affect a min — no dedup shuffle needed here
-      val mh = shingleRows(s, d)
-        .withColumn("h", h28(col("sh")))
-        .groupBy(col("doc_id"))
-        .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
-          (1 until 12).map(i =>
-            min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
-      val bands = mh.select(col("doc_id"), explode(array((0 until 6).map(b =>
-          struct(lit(b).as("band"),
-            col(s"mh${2 * b}").as("mh0"), col(s"mh${2 * b + 1}").as("mh1"))): _*)).as("bd"))
-        .select(col("doc_id"), col("bd.band"), col("bd.mh0"), col("bd.mh1"))
-      val cand = bands.groupBy(col("band"), col("mh0"), col("mh1"))
-        .agg(collect_set(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), a =>
-          transform(filter(col("ids"), b => b > a),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-        .withColumn("jac", jaccard(col("sa"), col("sb")))
-        .filter(col("jac") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B50 dedup cluster canonicalization: connected components over the
+    // confirmed near-dup pair graph via min-label propagation — the step
+    // that turns pairwise matches into "keep one representative per
+    // cluster". Iterative shuffle joins with localCheckpoint lineage cuts
+    // (the standard distributed CC shape); converges in O(log diameter)
+    // rounds, checked per round with an aggregate (no driver collect of
+    // data rows). The oracle recomputes components with a recursive CTE.
+    "q_dedup_clusters" -> { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nl"))
+        val next = labels.join(neighborMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("label").as("cluster_rep"), col("id").as("member"))
+        .orderBy(col("cluster_rep"), col("member"))
     },
 
     // B50 SimHash: 28-bit signature from shingle hashes. Each shingle row
@@ -502,6 +540,33 @@ object LlmOps {
          |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
          |WHERE $sqlJaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+         |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+         |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+         |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+         |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+         |  WHERE $sqlJaccard >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r)
+         |SELECT min(r) AS cluster_rep, id AS member
+         |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $sqlShingles,
