@@ -109,6 +109,22 @@ object Events {
           round(col("n_converted") / col("n_signed_up").cast("double"), 6))
     },
 
+    // Cohort retention: users who signed up on day X and were active again
+    // the next day — the other standard product-analytics composition.
+    "q_events_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("day0"))
+      val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      cohort.join(activity, Seq("user_id"), "left")
+        .withColumn("next_day", (datediff(col("day"), col("day0")) === 1).cast("int"))
+        .groupBy(col("day0"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"),
+          countDistinct(when(col("next_day") === 1, col("user_id"))).as("n_day1"))
+        .withColumn("retention", round(col("n_day1") / col("n_cohort").cast("double"), 6))
+        .orderBy(col("day0"))
+    },
+
     // B25 sessionization via lag: inter-event gap seconds per user.
     "q_events_gaps" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -194,6 +210,21 @@ object Events {
         |  (SELECT count(*) FROM conv) AS n_converted,
         |  round((SELECT count(*) FROM conv)
         |    / CAST((SELECT count(*) FROM fs) AS DOUBLE), 6) AS conversion""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS DATE) AS day0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events)
+        |SELECT day0,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_cohort,
+        |  CAST(count(DISTINCT CASE WHEN a.day = c.day0 + 1 THEN c.user_id END) AS BIGINT) AS n_day1,
+        |  round(count(DISTINCT CASE WHEN a.day = c.day0 + 1 THEN c.user_id END)
+        |    / CAST(count(DISTINCT c.user_id) AS DOUBLE), 6) AS retention
+        |FROM cohort c LEFT JOIN activity a ON a.user_id = c.user_id
+        |GROUP BY day0 ORDER BY day0""".stripMargin,
 
     "q_events_gaps" ->
       """SELECT user_id, event_id,
