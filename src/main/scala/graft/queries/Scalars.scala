@@ -123,6 +123,40 @@ object Scalars {
         .orderBy(col("event_type"))
     },
 
+    // B34/B38 bitwise family: and/or/xor, shifts, bit_count.
+    "q_bit_funcs" -> { (s, d) =>
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          col("n_nationkey").bitwiseAND(lit(12)).as("band"),
+          col("n_nationkey").bitwiseOR(lit(5)).as("bor"),
+          col("n_nationkey").bitwiseXOR(col("n_regionkey")).as("bxor"),
+          shiftleft(col("n_nationkey"), 3).as("shl"),
+          shiftright(col("n_nationkey"), 1).as("shr"),
+          expr("bit_count(n_nationkey)").as("bits"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // B32 string family, part 2: translate/repeat/reverse/position/left/
+    // right/contains-style predicates + regexp_count.
+    "q_str_funcs2" -> { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 150)
+        .select(
+          col("c_custkey"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(col("c_mktsegment"), 2).as("rep"),
+          instr(col("c_name"), "#").cast("int").as("hash_pos"),
+          substring(col("c_name"), 1, 8).as("left8"),
+          col("c_name").substr(length(col("c_name")) - 2, lit(3)).as("right3"),
+          col("c_name").contains("Customer").as("has_word"),
+          col("c_mktsegment").startsWith("B").as("starts_b"),
+          col("c_name").endsWith("1").as("ends_1"),
+          regexp_count(col("c_name"), lit("[0-9]")).cast("int").as("n_digits"))
+        .orderBy(col("c_custkey"))
+    },
+
     // B38 hash/misc family: sha2-256, md5, coalesce, nullif.
     "q_hash_funcs" -> { (s, d) =>
       Tables.nation(s, d)
@@ -241,6 +275,30 @@ object Scalars {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_json,
         |  count(props->>'$.k') AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bit_funcs" ->
+      """SELECT n_nationkey,
+        |  n_nationkey & 12 AS band,
+        |  n_nationkey | 5 AS bor,
+        |  xor(n_nationkey, n_regionkey) AS bxor,
+        |  n_nationkey << 3 AS shl,
+        |  n_nationkey >> 1 AS shr,
+        |  CAST(bit_count(n_nationkey) AS INT) AS bits
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_str_funcs2" ->
+      """SELECT c_custkey,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat(c_mktsegment, 2) AS rep,
+        |  CAST(instr(c_name, '#') AS INT) AS hash_pos,
+        |  substring(c_name, 1, 8) AS left8,
+        |  right(c_name, 3) AS right3,
+        |  contains(c_name, 'Customer') AS has_word,
+        |  starts_with(c_mktsegment, 'B') AS starts_b,
+        |  ends_with(c_name, '1') AS ends_1,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
+        |FROM customer WHERE c_custkey < 150 ORDER BY c_custkey""".stripMargin,
 
     "q_hash_funcs" ->
       """SELECT n_nationkey,
