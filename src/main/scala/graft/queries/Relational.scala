@@ -244,6 +244,52 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // B24 ranking windows, part 2: percent_rank, cume_dist, ntile, nth_value.
+    "q_window_funcs2" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 400)
+        .withColumn("pr", round(percent_rank().over(w), 9))
+        .withColumn("cd", round(cume_dist().over(w), 9))
+        .withColumn("nt", ntile(4).over(w))
+        .withColumn("nth", nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"),
+          col("nt"), coalesce(col("nth"), lit(-1L)).as("nth"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
+    // B18 min_by/max_by (argmin/argmax) — unique price-key data keeps the
+    // selection deterministic.
+    "q_agg_minmax_by" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("key_of_max_price"),
+          expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("key_of_min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // B18 statistical aggregates computed from EXACT integer sums (cents
+    // scaling): stddev/variance are order-dependent in floating point, so
+    // the engine recipe is n·Σx²−(Σx)² over exact sums, identical in SQL.
+    "q_stats_funcs" -> { (s, d) =>
+      val cents = round(col("o_totalprice") * 100)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents).as("s1"),
+          sum(cents * cents).as("s2"))
+        .select(col("o_orderstatus"), col("n"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1) / 1e4, 4).as("var_samp"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)) / 1e2, 4).as("stddev_samp"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // B27 top-k per group (the similarity-search support primitive).
     "q_topk_group" -> { (s, d) =>
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -434,6 +480,38 @@ object Relational {
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
         |WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_funcs2" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS nt,
+        |  coalesce(nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS nth
+        |FROM orders WHERE o_orderkey < 400
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT DISTINCT o_orderpriority,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS key_of_max_price,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS key_of_min_price,
+        |  max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS max_price
+        |FROM orders ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats_funcs" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    sum(round(o_totalprice * 100)) AS s1,
+        |    sum(round(o_totalprice * 100) * round(o_totalprice * 100)) AS s2
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  round((s2 - s1 * s1 / n) / (n - 1) / 1e4, 4) AS var_samp,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1e2, 4) AS stddev_samp
+        |FROM s ORDER BY o_orderstatus""".stripMargin,
 
     "q_topk_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
