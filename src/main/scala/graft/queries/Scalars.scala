@@ -91,6 +91,41 @@ object Scalars {
         .orderBy(col("doc_id"))
     },
 
+    // B9/B34 conditional + NaN family: greatest/least, isnan, nanvl, nvl2.
+    "q_cond_funcs" -> { (s, d) =>
+      val maybeNan = when(col("o_totalprice") < 150000, lit(Double.NaN))
+        .otherwise(col("o_totalprice"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(100000.0),
+            col("o_custkey").cast("double")).as("g"),
+          least(col("o_totalprice"), lit(100000.0),
+            col("o_custkey").cast("double")).as("l"),
+          isnan(maybeNan).as("is_nan"),
+          round(nanvl(maybeNan, lit(-1.0)), 2).as("nan_fixed"),
+          expr("nvl2(nullif(o_orderstatus, 'P'), 'notP', 'isP')").as("nv"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B35 array family, part 2: set algebra (union/intersect/except),
+    // position, flatten — serialized sorted for the compare.
+    "q_array_funcs2" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("a", slice(toks, 1, 6))
+        .withColumn("b", slice(toks, 4, 6))
+        .select(
+          col("doc_id"),
+          concat_ws(",", sort_array(array_union(col("a"), col("b")))).as("un"),
+          concat_ws(",", sort_array(array_intersect(col("a"), col("b")))).as("inter"),
+          concat_ws(",", sort_array(array_except(col("a"), col("b")))).as("exc"),
+          array_position(col("a"), element_at(col("a"), 2)).cast("int").as("pos2"),
+          size(flatten(array(col("a"), col("b")))).as("n_flat"))
+        .orderBy(col("doc_id"))
+    },
+
     // B36 map family: map construction, element_at, map_keys, str_to_map.
     // Oracle computes the same values directly (DuckDB MAP output types are
     // not parquet-comparable; the Spark side still exercises the map ops).
@@ -260,6 +295,29 @@ object Scalars {
         |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS char_sum,
         |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS INT) AS n_long
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+        |  greatest(o_totalprice, 100000.0, CAST(o_custkey AS DOUBLE)) AS g,
+        |  least(o_totalprice, 100000.0, CAST(o_custkey AS DOUBLE)) AS l,
+        |  isnan(CASE WHEN o_totalprice < 150000 THEN 'nan'::DOUBLE ELSE o_totalprice END) AS is_nan,
+        |  round(CASE WHEN o_totalprice < 150000 THEN -1.0 ELSE o_totalprice END, 2) AS nan_fixed,
+        |  CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'notP' ELSE 'isP' END AS nv
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs2" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ')[1:6] AS a,
+        |    string_split(text, ' ')[4:9] AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS un,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS exc,
+        |  CAST(list_position(a, a[2]) AS INT) AS pos2,
+        |  CAST(len(flatten([a, b])) AS INT) AS n_flat
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT doc_id,
