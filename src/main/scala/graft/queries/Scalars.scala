@@ -12,8 +12,9 @@ import graft.Tables
   *  - DuckDB date-part fns return BIGINT, Spark INT → CAST in the SQL;
   *  - DuckDB `floor` returns DOUBLE, Spark LONG for integral input → pin;
   *  - libm fns (ln/exp/pow) can differ by 1 ulp → round(…, 9) both sides;
-  *  - xxhash64/monotonically_increasing_id have no DuckDB/deterministic
-  *    counterpart → exercised in non-oracle ops (MinHash) instead.
+  *  - xxhash64/monotonically_increasing_id have no DuckDB counterpart →
+  *    exercised via deterministic cardinality outputs in
+  *    [[Sources]].q_misc_ids instead of raw values.
   */
 object Scalars {
   type Q = (SparkSession, String) => DataFrame
