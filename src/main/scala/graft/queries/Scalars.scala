@@ -193,6 +193,39 @@ object Scalars {
         .orderBy(col("c_custkey"))
     },
 
+    // B37 JSON family, part 2: to_json over named_struct (serialization
+    // direction; integer/string fields keep the text form engine-stable).
+    "q_json_funcs2" -> { (s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey").as("k"), col("n_name").as("name")))
+            .as("js"),
+          get_json_object(
+            to_json(struct(col("n_regionkey").as("r"))), "$.r").as("r_back"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // B30 unionByName with missing columns (schema-evolution union).
+    "q_union_byname" -> { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_custkey") < 50)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      val b = Tables.supplier(s, d).filter(col("s_suppkey") < 30)
+        .select(col("s_suppkey").as("id"), col("s_acctbal").as("bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("id"), coalesce(col("seg"), lit("(supplier)")).as("seg"), col("bal"))
+        .orderBy(col("seg"), col("id"))
+    },
+
+    // B35/B47 posexplode: generator with element position.
+    "q_posexplode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("pos") < 5)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // B38 hash/misc family: sha2-256, md5, coalesce, nullif.
     "q_hash_funcs" -> { (s, d) =>
       Tables.nation(s, d)
@@ -334,6 +367,27 @@ object Scalars {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_json,
         |  count(props->>'$.k') AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_funcs2" ->
+      """SELECT n_nationkey,
+        |  '{"k":' || n_nationkey || ',"name":"' || n_name || '"}' AS js,
+        |  CAST(n_regionkey AS VARCHAR) AS r_back
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT id, coalesce(seg, '(supplier)') AS seg, bal FROM (
+        |  SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT s_suppkey AS id, NULL AS seg, s_acctbal AS bal
+        |  FROM supplier WHERE s_suppkey < 30) t
+        |ORDER BY seg, id""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos, string_split(text, ' ')[CAST(i + 1 AS INT)] AS tok
+        |FROM documents, unnest(range(len(string_split(text, ' ')))) u(i)
+        |WHERE doc_id < 20 AND i < 5
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_bit_funcs" ->
       """SELECT n_nationkey,
