@@ -43,17 +43,24 @@ object Bench {
           }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 4-decimal timings keep the whole line ~3x shorter — the r2 driver log
+    // tail truncated the head of the full-precision line, losing the JSON.
+    def sec(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // Own line on BOTH streams so the driver's parser finds it regardless of
-    // which stream it captures (sbt prefixes stdout with [info]).
+    // which stream it captures (sbt prefixes stdout with [info]); also
+    // persisted to a file so a truncated log tail can never lose it.
     println(line)
     System.err.println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

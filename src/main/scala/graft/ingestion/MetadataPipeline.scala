@@ -3,6 +3,7 @@ package graft.ingestion
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -137,7 +138,19 @@ object MetadataPipeline {
     // reference, each a left_anti on the consulted state table (B14).
     val g1 = withIsbn.join(state.raw.select("zip_name"), Seq("zip_name"), "left_anti")
     val g2 = g1.join(state.workflow.select("isbn"), Seq("isbn"), "left_anti")
-    val g3 = g2.join(state.published.select("isbn"), Seq("isbn"), "left_anti")
+    val g3pre = g2.join(state.published.select("isbn"), Seq("isbn"), "left_anti")
+    // Intra-batch idempotency: the gates only consult PRIOR state, so two
+    // ZIPs carrying the same ISBN in one poll would both pass and emit two
+    // workflow rows — the reference's sequential per-ZIP processing gates
+    // the second via WORKFLOW_EXISTS (ref :190–198). Keep the first by
+    // zip_name; losers are skipped (not uploaded), so they are re-polled
+    // next run and gated against the then-real state — converging with the
+    // reference even when the winner fails validation this batch.
+    val intraW = Window.partitionBy(col("isbn")).orderBy(col("zip_name"))
+    val intraRanked = g3pre.withColumn("rn", row_number().over(intraW))
+    val g3 = intraRanked.filter(col("rn") === 1).drop("rn")
+    val intraDup = intraRanked.filter(col("rn") > 1)
+      .select(col("zip_name"), col("isbn"), lit(SkipGate.WorkflowExists).as("gate"))
     def skip(df: DataFrame, seen: DataFrame, key: String, gate: String) =
       df.join(seen, Seq(key), "left_semi")
         .select(col("zip_name"), col("isbn"), lit(gate).as("gate"))
@@ -145,6 +158,7 @@ object MetadataPipeline {
       skip(withIsbn, state.raw.select("zip_name"), "zip_name", SkipGate.AlreadyUploaded)
         .unionByName(skip(g1, state.workflow.select("isbn"), "isbn", SkipGate.WorkflowExists))
         .unionByName(skip(g2, state.published.select("isbn"), "isbn", SkipGate.IsbnFolderExists))
+        .unionByName(intraDup)
 
     // A3–A5: explode entries (flatMap generator, ref :137–152) and parse
     // each as exact java.util.Properties (B46).
@@ -167,8 +181,14 @@ object MetadataPipeline {
       concat(lit("no "), lit("book record for ISBN in "), col("zip_name")))
 
     // A8: genre semi-join vs the dimension (B13, ref :112–116, 170–173).
+    // try_element_at, not element_at: under Spark 4's default ANSI mode a
+    // missing map key THROWS and would abort the whole poll — the reference's
+    // Properties.getProperty returns null for a missing key, so a book with
+    // no Genre entry takes the null-genre → invalid-genre dead-letter path
+    // (one malformed ZIP must never kill the batch, ref A15/A19).
     val genreDim = spark.createDataFrame(cfg.genres.map(Tuple1(_))).toDF("book_genre")
-    val booksG = books.withColumn("book_genre", element_at(col("props"), PropKey.Genre))
+    val booksG = books.withColumn("book_genre",
+      try_element_at(col("props"), lit(PropKey.Genre)))
     val validBooks = booksG.join(broadcast(genreDim), Seq("book_genre"), "left_semi")
     val invalidGenre = errRow(
       booksG.join(broadcast(genreDim), Seq("book_genre"), "left_anti"),
@@ -188,11 +208,14 @@ object MetadataPipeline {
       .select(
         col("isbn"),
         concat(lit("Best Publishing workflow for "), col("isbn")).as("workflow_description"),
-        element_at(col("props"), PropKey.Title).as("book_title"),
+        // try_element_at ≙ Properties.getProperty null-on-missing (ref
+        // :231–236): absent keys project as null instead of throwing under
+        // ANSI mode.
+        try_element_at(col("props"), lit(PropKey.Title)).as("book_title"),
         col("book_genre"),
-        element_at(col("props"), PropKey.Authors).as("book_authors"),
-        element_at(col("props"), PropKey.NrOfChapters).as("nr_of_chapters"),
-        element_at(col("props"), PropKey.NrOfPages).as("nr_of_pages"),
+        try_element_at(col("props"), lit(PropKey.Authors)).as("book_authors"),
+        try_element_at(col("props"), lit(PropKey.NrOfChapters)).as("nr_of_chapters"),
+        try_element_at(col("props"), lit(PropKey.NrOfPages)).as("nr_of_pages"),
         lit(ingestTs).as("publishing_date"),
         lit(false).as("content_found"),
         lit(false).as("content_error_found"),

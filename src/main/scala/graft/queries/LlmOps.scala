@@ -172,35 +172,14 @@ object LlmOps {
     },
 
     // B50 dedup cluster canonicalization: connected components over the
-    // confirmed near-dup pair graph via min-label propagation — the step
-    // that turns pairwise matches into "keep one representative per
-    // cluster". Iterative shuffle joins with localCheckpoint lineage cuts
-    // (the standard distributed CC shape); converges in O(log diameter)
-    // rounds, checked per round with an aggregate (no driver collect of
-    // data rows). The oracle recomputes components with a recursive CTE.
+    // confirmed near-dup pair graph (graft.operators.ConnectedComponents —
+    // min-label propagation + pointer jumping, O(log n) rounds, fail-loud
+    // at the iteration cap, reliable-checkpoint flag for multi-day jobs).
+    // The oracle recomputes components with a recursive CTE.
     "q_dedup_clusters" -> { (s, d) =>
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val neighborMin = edges.join(labels, col("dst") === col("id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nl"))
-        val next = labels.join(neighborMin, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("label").as("cluster_rep"), col("id").as("member"))
+      graft.operators.ConnectedComponents.run(
+        minhashPairs(s, d).select(col("doc_a"), col("doc_b"))).labels
+        .select(col("label").as("cluster_rep"), col("id").as("member"))
         .orderBy(col("cluster_rep"), col("member"))
     },
 
@@ -349,8 +328,10 @@ object LlmOps {
 
     // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
     // coarse centroids = the first 16 vectors (deterministic "training"),
-    // every vector assigned to its max-cosine centroid (min-id tiebreak),
-    // queries probe only their own cell (nprobe=1), exact top-3 in-cell.
+    // every vector assigned to its max-cosine centroid (min-id tiebreak);
+    // queries probe their top-2 cells (nprobe=2 — multi-probe recovers the
+    // near-boundary misses single-probe loses; AnnRecallSpec documents the
+    // measured recall vs the exact top-k). Exact top-3 over the probed cells.
     "q_embed_ann_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -360,18 +341,20 @@ object LlmOps {
         .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
       val assignW = Window.partitionBy(col("vec_id"))
         .orderBy(col("cent_cos").desc, col("cent_id"))
-      val assigned = withNorm.crossJoin(broadcast(cents))
+      val ranked = withNorm.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
         .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") === 1)
+      val assigned = ranked.filter(col("arn") === 1)
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
-      val q = assigned.filter(col("vec_id") < 10)
+      val probes = ranked.filter(col("arn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qn"), col("cell").as("qcell"))
+          col("nrm").as("qn"), col("cent_id").as("qcell"))
       val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
         col("nrm").as("cn"), col("cell").as("ccell"))
-      broadcast(q).join(c, col("qcell") === col("ccell") && col("qid") =!= col("cid"))
+      // cells are disjoint per candidate (arn=1), so the probe join yields
+      // each (query, candidate) at most once — no dedup step needed
+      broadcast(probes).join(c, col("qcell") === col("ccell") && col("qid") =!= col("cid"))
         .withColumn("cos_sim", round(dot(col("qe"), col("ce2")) / (col("qn") * col("cn")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
@@ -475,9 +458,12 @@ object LlmOps {
     // B53 multimodal binary columns: REAL file bytes from the binaryFile
     // source (Sources.binaryDocs) + typed metadata joined from the catalog
     // table — the payload is opaque binary, the metadata is columnar.
+    // No broadcast hint on the catalog join: the document catalog grows with
+    // the corpus (unbounded at 100 TB) — AQE picks BHJ at runtime when the
+    // catalog side actually fits, without hard-wiring it.
     "q_multimodal_meta" -> { (s, d) =>
       Sources.binaryDocs(s, d)
-        .join(broadcast(Tables.documents(s, d).select(col("doc_id"), col("source"))),
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
           "doc_id")
         .select(col("doc_id"),
           col("length").cast("int").as("n_bytes"),
@@ -689,23 +675,23 @@ object LlmOps {
         |  FROM e v JOIN e c ON c.vec_id < 16
         |  CROSS JOIN range(64) r(i)
         |  GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT cd.vec_id, cd.cent_id,
-        |      row_number() OVER (PARTITION BY cd.vec_id
-        |        ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
-        |    FROM cdots cd
-        |    JOIN norms nv ON nv.vec_id = cd.vec_id
-        |    JOIN norms nc ON nc.vec_id = cd.cent_id) t
-        |  WHERE arn = 1),
+        |ranked AS (
+        |  SELECT cd.vec_id, cd.cent_id,
+        |    row_number() OVER (PARTITION BY cd.vec_id
+        |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+        |  FROM cdots cd
+        |  JOIN norms nv ON nv.vec_id = cd.vec_id
+        |  JOIN norms nc ON nc.vec_id = cd.cent_id),
+        |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
+        |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
+        |           WHERE arn <= 2 AND vec_id < 10),
         |dots AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
-        |  FROM e q JOIN assigned aq ON aq.vec_id = q.vec_id
-        |  JOIN assigned ac ON ac.cell = aq.cell
+        |  FROM e q JOIN probes pq ON pq.vec_id = q.vec_id
+        |  JOIN assigned ac ON ac.cell = pq.cell
         |  JOIN e c ON c.vec_id = ac.vec_id AND c.vec_id != q.vec_id
         |  CROSS JOIN range(64) r(i)
-        |  WHERE q.vec_id < 10
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim

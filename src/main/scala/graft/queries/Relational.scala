@@ -275,13 +275,17 @@ object Relational {
     // B18 statistical aggregates computed from EXACT integer sums (cents
     // scaling): stddev/variance are order-dependent in floating point, so
     // the engine recipe is n·Σx²−(Σx)² over exact sums, identical in SQL.
+    // Σx² runs in decimal(38,0) (DuckDB: HUGEINT) — as a double sum it
+    // reaches ~4e19 per group at sf0.1, far past 2^53, so partial-sum order
+    // would leak into the 4-decimal rounding. The single decimal→double cast
+    // afterwards is one deterministic round-to-nearest in both engines.
     "q_stats_funcs" -> { (s, d) =>
-      val cents = round(col("o_totalprice") * 100)
+      val cents = round(col("o_totalprice") * 100).cast("decimal(19,0)")
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(cents).as("s1"),
-          sum(cents * cents).as("s2"))
+          sum(cents).cast("double").as("s1"),
+          sum(cents * cents).cast("double").as("s2"))
         .select(col("o_orderstatus"), col("n"),
           round((col("s2") - col("s1") * col("s1") / col("n")) /
             (col("n") - 1) / 1e4, 4).as("var_samp"),
@@ -317,6 +321,14 @@ object Relational {
         .select(col("s_nationkey").as("nationkey"))
       a.unionByName(b).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
         .orderBy(col("nationkey"))
+    },
+
+    // B30 union DISTINCT (SQL UNION): set semantics, one dedup shuffle.
+    "q_union_distinct" -> { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      a.union(b).distinct().orderBy(col("nationkey"))
     },
 
     // B31 intersect / except (distinct set semantics).
@@ -505,8 +517,9 @@ object Relational {
     "q_stats_funcs" ->
       """WITH s AS (
         |  SELECT o_orderstatus, count(*) AS n,
-        |    sum(round(o_totalprice * 100)) AS s1,
-        |    sum(round(o_totalprice * 100) * round(o_totalprice * 100)) AS s2
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+        |           * CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) AS s2
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, n,
         |  round((s2 - s1 * s1 / n) / (n - 1) / 1e4, 4) AS var_samp,
@@ -531,6 +544,11 @@ object Relational {
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000) t
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nationkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

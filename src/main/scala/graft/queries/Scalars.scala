@@ -122,7 +122,10 @@ object Scalars {
           concat_ws(",", sort_array(array_union(col("a"), col("b")))).as("un"),
           concat_ws(",", sort_array(array_intersect(col("a"), col("b")))).as("inter"),
           concat_ws(",", sort_array(array_except(col("a"), col("b")))).as("exc"),
-          array_position(col("a"), element_at(col("a"), 2)).cast("int").as("pos2"),
+          // try_element_at: ANSI element_at(a, 2) throws INVALID_ARRAY_INDEX
+          // for <2-token docs; DuckDB a[2] yields NULL (and list_position of
+          // NULL is NULL in both engines), so null-propagation is the parity.
+          array_position(col("a"), try_element_at(col("a"), lit(2))).cast("int").as("pos2"),
           size(flatten(array(col("a"), col("b")))).as("n_flat"))
         .orderBy(col("doc_id"))
     },

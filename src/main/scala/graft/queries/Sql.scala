@@ -77,6 +77,20 @@ object Sql {
        |         * (CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END))) % 10 = 0 AS ok
        |FROM ($isbnCands) t ORDER BY c_custkey""".stripMargin
 
+  /** B21 GROUPING SETS + grouping_id() (the rollup/cube generalization —
+    * the declared half the rollup/cube queries never exercised). Identical
+    * text: both engines encode grouping_id as one bit per column, aggregated
+    * column = 1. */
+  private val groupingSets =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n,
+      |  round(sum(round(o_totalprice * 100)) / 100, 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -87,11 +101,13 @@ object Sql {
     "q_sql_tpch3" -> run(tpch3),
     "q_sql_tpch5" -> run(tpch5),
     "q_sql_subquery" -> run(subq),
+    "q_grouping_sets" -> run(groupingSets),
     "q_sql_udf_isbn" -> run(isbnSparkSql))
 
   val oracle: Map[String, String] = Map(
     "q_sql_tpch3" -> tpch3,
     "q_sql_tpch5" -> tpch5,
     "q_sql_subquery" -> subq,
+    "q_grouping_sets" -> groupingSets,
     "q_sql_udf_isbn" -> isbnOracleSql)
 }
