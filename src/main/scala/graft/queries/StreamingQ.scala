@@ -1,25 +1,125 @@
 package graft.queries
 
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
 
 import QUtil._
 
-/** Streaming forms of the window/dedup operators (SURVEY.md §2 B6/B39/B40/
-  * B43), oracle-checked: each query runs a REAL StreamingQuery (file-stream
-  * source over the events table, Trigger.AvailableNow, memory sink) and
-  * returns the sink contents; the DuckDB oracle is the same SQL the batch
-  * analog passes against — proving streaming-mode output ≡ batch output.
+/** Streaming forms of the window/dedup/stateful operators (SURVEY.md §2
+  * B6/B39–B45), oracle-checked: each query runs a REAL StreamingQuery
+  * (file-stream source, Trigger.AvailableNow, memory or foreachBatch sink)
+  * and returns the sink contents; the DuckDB oracle recomputes the same
+  * result in SQL — proving streaming-mode output ≡ batch output.
   *
-  * Complete output mode is used for the windowed aggregations (all windows
-  * materialize regardless of watermark — the batch-parity form); dedup runs
-  * in append mode, where emission is immediate. Watermark/late-data
-  * semantics are exercised deterministically in StreamingSpec (MemoryStream
-  * scripts batches) — a static re-read can't observe lateness.
+  * Two harness shapes:
+  *  - single-batch (q_stream_tumbling/sliding/dedup): the whole events table
+  *    arrives in one micro-batch; complete output mode for the windowed aggs
+  *    (batch-parity form), append for dedup.
+  *  - multi-batch (q_stream_late_drop/session/stateful/multisink): the
+  *    events table is split into THREE time-ordered files read one per
+  *    micro-batch (`maxFilesPerTrigger 1` + AvailableNow), so the watermark
+  *    advances across batches — late-data drop, session finalization,
+  *    per-key state evolution and per-batch multi-sink appends all become
+  *    observable, deterministic, and SQL-expressible for the oracle. The
+  *    split rule is pure SQL over the event time and key:
+  *      batch 0 = ts < T1 (Jan 15), minus the planted LATE subset
+  *               (ts < LATE_CUT (Jan 5) and user_id % 10 = 7);
+  *      batch 1 = T1 ≤ ts < T2 (Jan 25);
+  *      batch 2 = everything else: the ≥ T2 tail plus the LATE rows,
+  *               which arrive ~3 weeks late.
+  *    Why THREE batches: since SPARK-40925, a batch filters late records
+  *    with the PREVIOUS batch's watermark and evicts state with the current
+  *    one (verified empirically on this engine: with a 2-file split the
+  *    planted late rows were merged, with 3 files they are dropped). At
+  *    batch 2 the late-event watermark is max(ts in batch 0) − delay
+  *    ≈ Jan 14 23:00, ~9 days above every LATE row's window/session end
+  *    (≤ Jan 5 + gap) — dropped with a margin no tie-break can cross; the
+  *    ≥ T2 rows sit 10 days above it — kept with the same margin. After the
+  *    run the final eviction watermark is max(ts) − delay, so exactly the
+  *    windows/sessions ending ≤ max(ts) − 1 h are emitted (AvailableNow
+  *    runs the trailing state-cleanup batches; day windows are
+  *    midnight-aligned so no window straddles a split boundary).
   */
 object StreamingQ {
   type Q = (SparkSession, String) => DataFrame
+
+  // ---- multi-batch harness ----
+
+  /** Batch split constants (see object doc). Events span
+    * 2024-01-01..2024-01-30 at every sf. */
+  private val T1 = "2024-01-15 00:00:00"
+  private val T2 = "2024-01-25 00:00:00"
+  private val LATE_CUT = "2024-01-05 00:00:00"
+  private val DELAY = "1 hour"
+
+  /** Shared SQL fragments mirroring the split + watermark arithmetic. */
+  private val sqlLate =
+    s"(CAST(ts AS TIMESTAMP) < TIMESTAMP '$LATE_CUT' AND user_id % 10 = 7)"
+  private val sqlBatch0 =
+    s"(CAST(ts AS TIMESTAMP) < TIMESTAMP '$T1' AND NOT $sqlLate)"
+  private val sqlBatch1 =
+    s"(CAST(ts AS TIMESTAMP) >= TIMESTAMP '$T1' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$T2')"
+  private val sqlFinalWm =
+    "(SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)"
+
+  private def lateCond = col("ts") < lit(LATE_CUT).cast("timestamp") &&
+    col("user_id") % 10 === 7
+  private def batch0Cond = col("ts") < lit(T1).cast("timestamp") && !lateCond
+  private def batch1Cond = col("ts") >= lit(T1).cast("timestamp") &&
+    col("ts") < lit(T2).cast("timestamp")
+
+  private val mbSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Write one split as a SINGLE parquet file with a pinned modification
+    * time — the file-stream source orders files by modTime (oldest first),
+    * so batch order is deterministic. */
+  private def writeSplit(df: DataFrame, dir: File, name: String, modTime: Long): Unit = {
+    val tmp = new File(dir, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(dir, name).toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    new File(dir, name).setLastModified(modTime)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
+  /** Materialize the three-file split corpus (idempotent per sf dir). */
+  private def splitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_mb3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    if (!new File(dir, "_done").exists()) {
+      dir.mkdirs()
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      writeSplit(ev.filter(batch0Cond), dir, "batch0.parquet", 1000000L)
+      writeSplit(ev.filter(batch1Cond), dir, "batch1.parquet", 2000000L)
+      writeSplit(ev.filter(!batch0Cond && !batch1Cond), dir, "batch2.parquet", 3000000L)
+      Files.write(Paths.get(dir.getPath, "_done"), Array.emptyByteArray)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** The 3-batch file-stream source over the split corpus. */
+  private def mbStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(mbSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(splitDir(s, d))
+
+  /** Per-key running state for q_stream_stateful (B44). */
+  case class UserEv(user_id: Long, cents: Long)
+  case class UserState(updSeq: Int, n: Long, cents: Long)
+  case class UserOut(user_id: Long, upd_seq: Int, n_events: Long, total_cents: Long)
 
   /** events as a file-stream source, ts normalized exactly like
     * [[graft.Tables.events]] (TIMESTAMP(NANOS) arrives as long). */
@@ -73,6 +173,109 @@ object StreamingQ {
         .select(col("user_id"), col("event_type"))
       runToTable(s, dedup, "graft_stream_dedup", "append")
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // B42 watermark late-data drop, observable end to end: 3-batch stream,
+    // append mode. The LATE rows arrive in batch 2 with day-window ends
+    // ≤ Jan 6 while the late-event watermark is ≈ Jan 14 23:00 — dropped;
+    // windows ending after the FINAL watermark (the last day) are never
+    // finalized. Oracle = same day aggregation minus the LATE rows, keeping
+    // only windows with end ≤ max(ts) − 1 h.
+    "q_stream_late_drop" -> { (s, d) =>
+      val agg = mbStream(s, d)
+        .withWatermark("ts", DELAY)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"), 2).as("total_value"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("n"), col("total_value"))
+      runToTable(s, agg, "graft_stream_late_drop", "append")
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // B41 streaming session window (the declared form q_events_session only
+    // exercised in batch): per-user 4 h-gap sessions, append mode across the
+    // 3-batch stream — sessions straddling a split merge across batches
+    // (emitted sessions can never be extended: any extending row would have
+    // to sit below the eviction watermark that emitted them); only sessions
+    // whose end (last event + gap) ≤ final watermark emit; LATE rows drop.
+    "q_stream_session" -> { (s, d) =>
+      val agg = mbStream(s, d)
+        .withWatermark("ts", DELAY)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 2).as("session_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+      runToTable(s, agg, "graft_stream_session", "append")
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // B44 arbitrary stateful op: flatMapGroupsWithState in update mode —
+    // per-user state (update count, running event count, running cents sum)
+    // evolves across the three micro-batches; every state update is emitted,
+    // so the sink holds one row per (user, batch-with-data) and the oracle
+    // can recompute every update from the batch-membership predicates.
+    "q_stream_stateful" -> { (s, d) =>
+      import s.implicits._
+      val typed = mbStream(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")).as[UserEv]
+      val out = typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[UserEv], state: GroupState[UserState]) => {
+            val prev = state.getOption.getOrElse(UserState(0, 0L, 0L))
+            var n = 0L; var c = 0L
+            rows.foreach { r => n += 1; c += r.cents }
+            val next = UserState(prev.updSeq + 1, prev.n + n, prev.cents + c)
+            state.update(next)
+            Iterator(UserOut(uid, next.updSeq, next.n, next.cents))
+          })
+      runToTable(s, out.toDF(), "graft_stream_stateful", "update")
+        .orderBy(col("user_id"), col("upd_seq"))
+    },
+
+    // B45 foreachBatch multi-sink: each micro-batch appends a per-type
+    // aggregate to sink A and an error-split per-user-decile aggregate to
+    // sink B (the reference's workflow + dead-letter fan-out, ref
+    // MetadataIngestionServiceImpl.java:100,247 + executer :65–72). The
+    // result is both sinks read back, tagged — per (key, batch) rows, so the
+    // per-batch append semantics are what the oracle hashes.
+    "q_stream_multisink" -> { (s, d) =>
+      val root = new File("target/qscratch/stream_sink_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+      if (root.exists()) {
+        def del(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+        }
+        del(root)
+      }
+      val byType = new File(root, "by_type").getPath
+      val errors = new File(root, "errors").getPath
+      val q = mbStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("total_cents"))
+            .withColumn("batch_seq", lit(id).cast("int"))
+            .write.mode("append").parquet(byType)
+          batch.filter(col("event_type") === "error")
+            .groupBy((col("user_id") % 10).as("user_mod"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("total_cents"))
+            .withColumn("batch_seq", lit(id).cast("int"))
+            .write.mode("append").parquet(errors)
+          ()
+        }
+        .start()
+      q.awaitTermination(180000)
+      s.read.parquet(byType)
+        .select(lit("by_type").as("sink"), col("event_type").as("k"),
+          col("batch_seq"), col("n"), col("total_cents"))
+        .unionByName(s.read.parquet(errors)
+          .select(lit("errors").as("sink"), col("user_mod").cast("string").as("k"),
+            col("batch_seq"), col("n"), col("total_cents")))
+        .orderBy(col("sink"), col("k"), col("batch_seq"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +294,80 @@ object StreamingQ {
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_late_drop" ->
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |  event_type, count(*) AS n, ${moneySumSql("value", 2)} AS total_value
+         |FROM events WHERE NOT $sqlLate
+         |GROUP BY 1, 2
+         |HAVING CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) + 1
+         |       <= $sqlFinalWm
+         |ORDER BY day, event_type""".stripMargin,
+
+    "q_stream_session" ->
+      s"""WITH kept AS (
+         |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS tsu
+         |  FROM events WHERE NOT $sqlLate),
+         |marked AS (
+         |  SELECT user_id, value, tsu,
+         |    CASE WHEN tsu - lag(tsu)
+         |        OVER (PARTITION BY user_id ORDER BY tsu) >= INTERVAL 4 HOUR
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM kept),
+         |sessions AS (
+         |  SELECT user_id, value, tsu,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM marked)
+         |SELECT user_id, epoch_us(min(tsu)) AS session_start_us,
+         |  count(*) AS n_events, ${moneySumSql("value", 2)} AS session_value
+         |FROM sessions GROUP BY user_id, sess_id
+         |HAVING max(tsu) + INTERVAL 4 HOUR <= $sqlFinalWm
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_stateful" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1 ELSE 2 END AS b
+         |  FROM events),
+         |per AS (
+         |  SELECT user_id,
+         |    count(*) FILTER (WHERE b = 0) AS n0,
+         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 0), 0) AS BIGINT) AS c0,
+         |    count(*) FILTER (WHERE b = 1) AS n1,
+         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 1), 0) AS BIGINT) AS c1,
+         |    count(*) FILTER (WHERE b = 2) AS n2,
+         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 2), 0) AS BIGINT) AS c2
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, CAST(1 AS INT) AS upd_seq,
+         |  n0 AS n_events, c0 AS total_cents
+         |FROM per WHERE n0 > 0
+         |UNION ALL
+         |SELECT user_id, CAST(CASE WHEN n0 > 0 THEN 2 ELSE 1 END AS INT),
+         |  n0 + n1, c0 + c1
+         |FROM per WHERE n1 > 0
+         |UNION ALL
+         |SELECT user_id,
+         |  CAST((CASE WHEN n0 > 0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + 1 AS INT),
+         |  n0 + n1 + n2, c0 + c1 + c2
+         |FROM per WHERE n2 > 0
+         |ORDER BY user_id, upd_seq""".stripMargin,
+
+    "q_stream_multisink" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1 ELSE 2 END AS batch_seq
+         |  FROM events),
+         |bt AS (
+         |  SELECT 'by_type' AS sink, event_type AS k, batch_seq,
+         |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+         |  FROM e GROUP BY 1, 2, 3),
+         |er AS (
+         |  SELECT 'errors' AS sink, CAST(user_id % 10 AS VARCHAR) AS k, batch_seq,
+         |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+         |  FROM e WHERE event_type = 'error' GROUP BY 1, 2, 3)
+         |SELECT * FROM bt UNION ALL SELECT * FROM er
+         |ORDER BY sink, k, batch_seq""".stripMargin)
 }
