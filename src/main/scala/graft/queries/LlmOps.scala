@@ -32,6 +32,18 @@ object LlmOps {
 
   // ---- shared shingle / hash pieces (Spark side) ----
 
+  /** Max LSH bucket size considered for candidate-pair generation —
+    * mirrored verbatim in the oracle SQL (HAVING count(*) <= MaxBucket).
+    * A bucket of n members yields n(n-1)/2 candidate pairs AND one
+    * n-element collect_set row on one reducer; a degenerate duplicate
+    * family (millions of byte-identical docs) would otherwise become a
+    * single-reducer quadratic blowup. Families that large are exact-dup
+    * families — the linear sha-256 pass (q_dedup_exact) is the right tool
+    * for them, so near-dup candidate generation skips mega-buckets
+    * entirely. SkewSpec plants a 10 k-duplicate family and asserts the
+    * pipeline completes with the family skipped and normal output intact. */
+  private[graft] val MaxBucket = 1000
+
   /** One row per (doc_id, DISTINCT word-3-gram): a typed `flatMap`
     * generator, iterator-pipelined inside the scan stage — no shuffle and no
     * interpreted higher-order function in the hot path (building the shingle
@@ -41,9 +53,9 @@ object LlmOps {
     * emitted by one input row, so per-doc distinctness needs no shuffle —
     * this is what lets SimHash skip a whole dropDuplicates exchange).
     * Docs shorter than 3 tokens produce no rows. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleRowsFor(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val tk = text.split(' ')
         val seen = new java.util.LinkedHashSet[String]()
@@ -56,6 +68,9 @@ object LlmOps {
           .map(sh => (id, sh))
       }.toDF("doc_id", "sh")
   }
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRowsFor(s, Tables.documents(s, d))
 
   /** Distinct shingle set per doc (one partial+final aggregate). */
   private def docShingleSets(s: SparkSession, d: String): DataFrame =
@@ -73,11 +88,14 @@ object LlmOps {
   private val STOPWORDS = Seq("the", "a", "of", "and", "to")
 
   /** Confirmed MinHash+LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥
-    * 0.8): the shared core of q_dedup_minhash_lsh and q_dedup_clusters. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingleSets(s, d)
+    * 0.8): the shared core of q_dedup_minhash_lsh and q_dedup_clusters.
+    * Buckets above `maxBucket` are skipped (see [[MaxBucket]]). */
+  private[graft] def minhashPairsFor(s: SparkSession, docs: DataFrame,
+                                     maxBucket: Int = MaxBucket): DataFrame = {
+    val rows = shingleRowsFor(s, docs)
+    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     // duplicate shingles don't affect a min — no dedup shuffle needed here
-    val mh = shingleRows(s, d)
+    val mh = rows
       .withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))
       .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
@@ -89,7 +107,7 @@ object LlmOps {
       .select(col("doc_id"), col("bd.band"), col("bd.mh0"), col("bd.mh1"))
     val cand = bands.groupBy(col("band"), col("mh0"), col("mh1"))
       .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), a =>
         transform(filter(col("ids"), b => b > a),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
@@ -101,6 +119,76 @@ object LlmOps {
       .withColumn("jac", jaccard(col("sa"), col("sb")))
       .filter(col("jac") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFor(s, Tables.documents(s, d))
+
+  /** SimHash near-dup pairs (doc_a < doc_b, Hamming ≤ 4) — see the
+    * q_dedup_simhash entry for the plan shape. Buckets above `maxBucket`
+    * are skipped (see [[MaxBucket]]). */
+  private[graft] def simhashPairsFor(s: SparkSession, docs: DataFrame,
+                                     maxBucket: Int = MaxBucket): DataFrame = {
+    def vote(j: Int): Column =
+      when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
+    // vote weights count each distinct shingle once — shingleRowsFor is
+    // already per-doc distinct (generator-side set), no dedup shuffle
+    val sig = shingleRowsFor(s, docs)
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(sum(vote(0)).as("w0"),
+        (1 until 28).map(j => sum(vote(j)).as(s"w$j")): _*)
+      .select(col("doc_id"),
+        (0 until 28).map(j =>
+          when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val blockDefs = Seq((0, 6), (6, 6), (12, 6), (18, 5), (23, 5))
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      explode(array(blockDefs.zipWithIndex.map { case ((off, len), bi) =>
+        struct(lit(bi).as("bi"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("bv"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"),
+        col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    val cand = blocks.groupBy(col("bi"), col("bv"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"), a.getField("simhash").as("ha"),
+            b.getField("doc_id").as("doc_b"), b.getField("simhash").as("hb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 4)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding vectors as double arrays (vec_id, e). */
+  private def embedVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  /** Banded hyperplane LSH over an embedding column: 8 bands × 8 bits →
+    * one (vec_id, band, bucket) row per band. plane(j,i) =
+    * ((i*31 + j*17) % 7) - 3 (constant arrays — constant-folded, then one
+    * codegen'd vec_dot per plane per row); band = j/8, bit weight =
+    * 1 << (j%8). The per-band bit width is the knob that scales bucket
+    * cardinality with the corpus; the band count buys back recall. */
+  private def embedBands(emb: DataFrame): DataFrame = {
+    def planeDot(j: Int): Column = {
+      val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
+      call_function("vec_dot", col("e"), plane)
+    }
+    val bandStructs = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        (0 until 8).map(j =>
+          when(planeDot(8 * b + j) > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
+    }: _*)
+    emb.select(col("vec_id"), explode(bandStructs).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
   }
 
   /** Exact Jaccard between two distinct-element array columns. */
@@ -188,43 +276,10 @@ object LlmOps {
     // columns, map-side combined). Pairing uses the pigeonhole band join:
     // the signature splits into 5 blocks (6+6+6+5+5 bits), so Hamming ≤ 4 ⇒
     // at least one block is identical — candidates are generated inside
-    // (block_idx, block_value) buckets, never an all-pairs crossJoin, and
-    // the signature pipeline is evaluated exactly once.
+    // (block_idx, block_value) buckets (capped at MaxBucket), never an
+    // all-pairs crossJoin, and the signature pipeline is evaluated once.
     "q_dedup_simhash" -> { (s, d) =>
-      def vote(j: Int): Column =
-        when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
-      // vote weights count each distinct shingle once — shingleRows is
-      // already per-doc distinct (generator-side set), no dedup shuffle
-      val sig = shingleRows(s, d)
-        .withColumn("h", h28(col("sh")))
-        .groupBy(col("doc_id"))
-        .agg(sum(vote(0)).as("w0"),
-          (1 until 28).map(j => sum(vote(j)).as(s"w$j")): _*)
-        .select(col("doc_id"),
-          (0 until 28).map(j =>
-            when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-      val blockDefs = Seq((0, 6), (6, 6), (12, 6), (18, 5), (23, 5))
-      val blocks = sig.select(col("doc_id"), col("simhash"),
-        explode(array(blockDefs.zipWithIndex.map { case ((off, len), bi) =>
-          struct(lit(bi).as("bi"),
-            shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("bv"))
-        }: _*)).as("blk"))
-        .select(col("doc_id"), col("simhash"),
-          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-      val cand = blocks.groupBy(col("bi"), col("bv"))
-        .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), a =>
-          transform(filter(col("ids"), b => b.getField("doc_id") > a.getField("doc_id")),
-            b => struct(a.getField("doc_id").as("doc_a"), a.getField("simhash").as("ha"),
-              b.getField("doc_id").as("doc_b"), b.getField("simhash").as("hb")))))).as("p"))
-        .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
-        .distinct()
-      cand
-        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-        .filter(col("hamming") <= 4)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      simhashPairsFor(s, Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -267,30 +322,37 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // B51 LSH-bucketed ANN (the scale path): 8 deterministic integer
-    // hyperplanes -> 8-bit bucket per vector; search only within the
-    // query's bucket. plane(j,i) = ((i*31 + j*17) % 7) - 3.
+    // B51 LSH-bucketed ANN (the scale path): 8 bands × 8 deterministic
+    // integer hyperplanes (64 planes total), one 8-bit bucket per band per
+    // vector; candidates = vectors sharing ANY (band, bucket) with the
+    // query, hot buckets capped at MaxBucket. plane(j,i) =
+    // ((i*31 + j*17) % 7) - 3; band = j/8, bit = j%8.
+    //
+    // Multi-band is the scale design r2's single 8-bit bucket lacked: the
+    // bucket space per band is 2^r where r is a CONFIG of the corpus size
+    // (r=8 here ⇒ 256/band; at 100 TB raise r so E[bucket] stays bounded),
+    // and b independent bands recover the recall a finer bucket costs —
+    // P(candidate) = 1-(1-p^r)^b per the standard LSH amplification.
     "q_embed_ann_lsh" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      def planeDot(j: Int): Column = {
-        // plane(j) is a constant array — constant-folded, then one codegen
-        // vec_dot against it per row
-        val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
-        call_function("vec_dot", col("e"), plane)
-      }
-      val bucketCol = (0 until 8).map(j =>
-        when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val emb = embedVecs(s, d)
       def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val withMeta = emb
-        .withColumn("bucket", bucketCol)
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val q = withMeta.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("bucket").as("qb"), col("nrm").as("qn"))
-      val c = withMeta.select(col("vec_id").as("cid"), col("e").as("ce"),
-        col("bucket").as("cb"), col("nrm").as("cn"))
-      broadcast(q).join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
+      val bands = embedBands(emb)
+      val okBuckets = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= MaxBucket).select(col("band"), col("bucket"))
+      val qb = bands.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("band"), col("bucket"))
+      val cb = bands.select(col("vec_id").as("cid"), col("band"), col("bucket"))
+      val cand = qb.join(okBuckets, Seq("band", "bucket"))
+        .join(cb, Seq("band", "bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      cand
+        .join(withNorm.select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn")), "qid")
+        .join(withNorm.select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn")), "cid")
         .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
@@ -299,27 +361,29 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // B50/B51 embedding-cosine near-dup dedup: candidates from the same
-    // 8-plane LSH bucket, confirmed by exact cosine >= 0.45, survivor = the
-    // smaller vec_id. Same bucketed shape as q_embed_ann_lsh — linear scan +
-    // per-bucket pairs, no all-pairs step.
+    // B50/B51 embedding-cosine near-dup dedup: candidates from the banded
+    // hyperplane LSH (any shared (band, bucket), MaxBucket cap — same
+    // collect_set-pairs shape as MinHash), confirmed by exact cosine
+    // >= 0.45, survivor = the smaller vec_id. No all-pairs step: pair count
+    // is bounded per bucket, bucket count grows with the corpus via the
+    // per-band bit width.
     "q_dedup_embed_cosine" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      def planeDot(j: Int): Column = {
-        val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
-        call_function("vec_dot", col("e"), plane)
-      }
-      val bucketCol = (0 until 8).map(j =>
-        when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val emb = embedVecs(s, d)
       def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val withMeta = emb.withColumn("bucket", bucketCol)
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val a = withMeta.select(col("vec_id").as("keep_id"), col("e").as("ea"),
-        col("bucket").as("ba"), col("nrm").as("na"))
-      val b = withMeta.select(col("vec_id").as("dup_id"), col("e").as("eb"),
-        col("bucket").as("bb"), col("nrm").as("nb"))
-      a.join(b, col("ba") === col("bb") && col("keep_id") < col("dup_id"))
+      val cand = embedBands(emb).groupBy(col("band"), col("bucket"))
+        .agg(collect_set(col("vec_id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), b => b > a),
+            b => struct(a.as("keep_id"), b.as("dup_id")))))).as("p"))
+        .select(col("p.keep_id"), col("p.dup_id"))
+        .distinct()
+      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      cand
+        .join(withNorm.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+          col("nrm").as("na")), "keep_id")
+        .join(withNorm.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+          col("nrm").as("nb")), "dup_id")
         .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos_sim") >= 0.45)
         .select(col("keep_id"), col("dup_id"), col("cos_sim"))
@@ -537,8 +601,11 @@ object LlmOps {
          |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
          |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
          |  FROM mh GROUP BY doc_id, i // 2),
+         |ok AS (SELECT band, mh0, mh1 FROM bands
+         |       GROUP BY 1, 2, 3 HAVING count(*) <= ${MaxBucket}),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |  FROM bands x JOIN ok z ON z.band = x.band AND z.mh0 = x.mh0 AND z.mh1 = x.mh1
+         |  JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
          |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id),
          |pairs AS (
          |  SELECT doc_a, doc_b
@@ -562,11 +629,21 @@ object LlmOps {
          |  FROM ex CROSS JOIN range(28) r(j) GROUP BY doc_id, j),
          |sig AS (SELECT doc_id,
          |    CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |  FROM bits GROUP BY doc_id),
+         |blocks AS (
+         |  SELECT doc_id, simhash, bi,
+         |    (simhash >> off) & ((1::BIGINT << len) - 1) AS bv
+         |  FROM sig CROSS JOIN (VALUES (0, 0, 6), (1, 6, 6), (2, 12, 6),
+         |    (3, 18, 5), (4, 23, 5)) AS bd(bi, off, len)),
+         |ok AS (SELECT bi, bv FROM blocks GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS ha,
+         |    y.doc_id AS doc_b, y.simhash AS hb
+         |  FROM blocks x JOIN ok z ON z.bi = x.bi AND z.bv = x.bv
+         |  JOIN blocks y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_udaf_minhash_sig" ->
@@ -600,61 +677,73 @@ object LlmOps {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_embed_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |norms AS (
-        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
-        |pdots AS (
-        |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
-        |  FROM e CROSS JOIN range(8) rj(j) CROSS JOIN range(64) ri(i)
-        |  GROUP BY vec_id, j),
-        |buckets AS (
-        |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pdots GROUP BY vec_id),
-        |dots AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
-        |  FROM e q JOIN buckets bq ON bq.vec_id = q.vec_id
-        |  JOIN buckets bc ON bc.bucket = bq.bucket
-        |  JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id
-        |  CROSS JOIN range(64) r(i)
-        |  WHERE q.vec_id < 10
-        |  GROUP BY q.vec_id, c.vec_id),
-        |scored AS (
-        |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
-        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
-        |SELECT qid, rank, cid, cos_sim FROM (
-        |  SELECT qid, cid, cos_sim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |pdots AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN range(64) rj(j) CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id, j // 8 AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // 8),
+         |ok AS (SELECT band, bucket FROM buckets
+         |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
+         |  FROM buckets bq JOIN ok z ON z.band = bq.band AND z.bucket = bq.bucket
+         |  JOIN buckets bc ON bc.band = bq.band AND bc.bucket = bq.bucket
+         |    AND bc.vec_id != bq.vec_id
+         |  WHERE bq.vec_id < 10),
+         |dots AS (
+         |  SELECT cand.qid, cand.cid,
+         |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+         |  FROM cand JOIN e q ON q.vec_id = cand.qid
+         |  JOIN e c ON c.vec_id = cand.cid
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+         |SELECT qid, rank, cid, cos_sim FROM (
+         |  SELECT qid, cid, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q_dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |norms AS (
-        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
-        |pdots AS (
-        |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
-        |  FROM e CROSS JOIN range(8) rj(j) CROSS JOIN range(64) ri(i)
-        |  GROUP BY vec_id, j),
-        |buckets AS (
-        |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pdots GROUP BY vec_id),
-        |dots AS (
-        |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-        |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
-        |  FROM e a JOIN buckets ba ON ba.vec_id = a.vec_id
-        |  JOIN buckets bb ON bb.bucket = ba.bucket
-        |  JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
-        |  CROSS JOIN range(64) r(i)
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT keep_id, dup_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
-        |  FROM dots JOIN norms na ON na.vec_id = keep_id
-        |  JOIN norms nb ON nb.vec_id = dup_id)
-        |SELECT keep_id, dup_id, cos_sim FROM scored
-        |WHERE cos_sim >= 0.45 ORDER BY keep_id, dup_id""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |pdots AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
+         |  FROM e CROSS JOIN range(64) rj(j) CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id, j // 8 AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // 8),
+         |ok AS (SELECT band, bucket FROM buckets
+         |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |cand AS (SELECT DISTINCT ba.vec_id AS keep_id, bb.vec_id AS dup_id
+         |  FROM buckets ba JOIN ok z ON z.band = ba.band AND z.bucket = ba.bucket
+         |  JOIN buckets bb ON bb.band = ba.band AND bb.bucket = ba.bucket
+         |    AND ba.vec_id < bb.vec_id),
+         |dots AS (
+         |  SELECT cand.keep_id, cand.dup_id,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM cand JOIN e a ON a.vec_id = cand.keep_id
+         |  JOIN e b ON b.vec_id = cand.dup_id
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT keep_id, dup_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM dots JOIN norms na ON na.vec_id = keep_id
+         |  JOIN norms nb ON nb.vec_id = dup_id)
+         |SELECT keep_id, dup_id, cos_sim FROM scored
+         |WHERE cos_sim >= 0.45 ORDER BY keep_id, dup_id""".stripMargin,
 
     "q_text_tokens_bpe" ->
       """SELECT doc_id,

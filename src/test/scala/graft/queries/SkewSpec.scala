@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Hot-bucket guard for LSH candidate generation (SURVEY.md §2 B50).
+  *
+  * A planted family of 10 000 byte-identical documents lands every member in
+  * the SAME (band, signature) bucket of both MinHash and SimHash — without
+  * the MaxBucket cap that is one 10 000-element collect_set row on a single
+  * reducer and ~5·10⁷ candidate pairs per band (the single-reducer quadratic
+  * blowup). With the cap the mega-bucket is skipped (exact-dup families are
+  * the linear sha-256 path's job), the pipeline completes in seconds, and
+  * pairs among normal-sized families are unaffected.
+  */
+class SkewSpec extends SparkSpecBase {
+  private val s = spark
+  import s.implicits._
+
+  private val megaText =
+    "the quick brown fox jumps over the lazy dog again and again in the long meadow"
+  private val smallText =
+    "a completely different small family of documents that repeats itself verbatim here"
+
+  /** 10 000-doc identical mega family (ids 100000+), a 5-doc identical small
+    * family (ids 0-4), and 50 distinct filler docs (ids 10-59). */
+  private lazy val docs = {
+    val mega = (0 until 10000).map(i => (100000L + i, megaText))
+    val small = (0 until 5).map(i => (i.toLong, smallText))
+    val filler = (0 until 50).map(i =>
+      (10L + i, s"filler doc number $i with tokens alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    (mega ++ small ++ filler).toDF("doc_id", "text")
+  }
+
+  test("minhash pair generation skips the 10k mega-bucket, keeps small families") {
+    val pairs = LlmOps.minhashPairsFor(spark, docs).collect()
+    assert(pairs.forall(r => r.getLong(0) < 100000L && r.getLong(1) < 100000L),
+      "no candidate pair may come from the capped mega family")
+    val smallPairs = pairs.filter(r => r.getLong(0) < 5 && r.getLong(1) < 5)
+    assert(smallPairs.length == 10, s"expected C(5,2)=10 small-family pairs, got ${smallPairs.length}")
+    assert(smallPairs.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("simhash pair generation skips the 10k mega-bucket, keeps small families") {
+    val pairs = LlmOps.simhashPairsFor(spark, docs).collect()
+    assert(pairs.forall(r => r.getLong(0) < 100000L && r.getLong(1) < 100000L))
+    val smallPairs = pairs.filter(r => r.getLong(0) < 5 && r.getLong(1) < 5)
+    assert(smallPairs.length == 10)
+    assert(smallPairs.forall(_.getInt(2) == 0), "identical docs have Hamming distance 0")
+  }
+
+  test("raising the cap admits the mega family (the cap is the only gate)") {
+    // On a 30-doc slice of the mega family with a permissive cap the pairs
+    // ARE generated — proving the skip above is the cap, not a lost bucket.
+    val slice = docs.filter(col("doc_id") >= 100000L && col("doc_id") < 100030L)
+    val pairs = LlmOps.minhashPairsFor(spark, slice, maxBucket = 1000).collect()
+    assert(pairs.length == 30 * 29 / 2)
+  }
+}
