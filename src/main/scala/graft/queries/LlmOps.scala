@@ -170,21 +170,36 @@ object LlmOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
 
-  /** Banded hyperplane LSH over an embedding column: 8 bands × 8 bits →
-    * one (vec_id, band, bucket) row per band. plane(j,i) =
-    * ((i*31 + j*17) % 7) - 3 (constant arrays — constant-folded, then one
-    * codegen'd vec_dot per plane per row); band = j/8, bit weight =
-    * 1 << (j%8). The per-band bit width is the knob that scales bucket
-    * cardinality with the corpus; the band count buys back recall. */
+  /** Banded hyperplane LSH over an embedding column: EMBED_BANDS bands ×
+    * EMBED_BITS bits → one (vec_id, band, bucket) row per band.
+    * plane(j,i) = ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7) - 3
+    * (constant arrays — constant-folded, then one codegen'd vec_dot per
+    * plane per row); band = j/EMBED_BITS, bit weight = 1 << (j%EMBED_BITS).
+    *
+    * The intermediate modulus 101 (prime > plane count) is load-bearing:
+    * any polynomial in j taken directly mod 7 is 7-periodic in j — the r2
+    * formula ((i*31 + j*17) % 7) had only 7 distinct hyperplanes, so every
+    * band was the same test and banding bought zero recall. With 101 the
+    * 120 planes are pairwise distinct. Parameters are sized for this
+    * corpus's neighbor regime
+    * (top-3 cosines ≈ 0.26–0.49 ⇒ p(plane agrees) ≈ 0.6): 24 bands × 6
+    * bits gives per-pair recall 1−(1−p⁶)²⁴ ≈ 0.6–0.75 while probing ~30%
+    * of the corpus (AnnRecallSpec pins the measured number). The bit width
+    * is the knob that scales bucket cardinality with corpus size; the band
+    * count buys back the recall a finer bucket costs. */
+  private[graft] val EMBED_BANDS = 24
+  private[graft] val EMBED_BITS = 6
   private def embedBands(emb: DataFrame): DataFrame = {
     def planeDot(j: Int): Column = {
-      val plane = array((0 until 64).map(i => lit(((i * 31 + j * 17) % 7 - 3).toDouble)): _*)
+      val plane = array((0 until 64).map(i =>
+        lit(((i.toLong * 73856093L + j.toLong * 19349663L +
+          i.toLong * j * 83492791L) % 101 % 7 - 3).toDouble)): _*)
       call_function("vec_dot", col("e"), plane)
     }
-    val bandStructs = array((0 until 8).map { b =>
+    val bandStructs = array((0 until EMBED_BANDS).map { b =>
       struct(lit(b).as("band"),
-        (0 until 8).map(j =>
-          when(planeDot(8 * b + j) > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until EMBED_BITS).map(j =>
+          when(planeDot(EMBED_BITS * b + j) > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("bucket"))
     }: _*)
     emb.select(col("vec_id"), explode(bandStructs).as("bb"))
@@ -322,17 +337,18 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // B51 LSH-bucketed ANN (the scale path): 8 bands × 8 deterministic
-    // integer hyperplanes (64 planes total), one 8-bit bucket per band per
-    // vector; candidates = vectors sharing ANY (band, bucket) with the
-    // query, hot buckets capped at MaxBucket. plane(j,i) =
-    // ((i*31 + j*17) % 7) - 3; band = j/8, bit = j%8.
+    // B51 LSH-bucketed ANN (the scale path): 24 bands × 6 deterministic
+    // integer hyperplanes (144 planes, pairwise-distinct via the mod-101
+    // hash — see embedBands), one 6-bit bucket per band per vector;
+    // candidates = vectors sharing ANY (band, bucket) with the query, hot
+    // buckets capped at MaxBucket.
     //
     // Multi-band is the scale design r2's single 8-bit bucket lacked: the
     // bucket space per band is 2^r where r is a CONFIG of the corpus size
-    // (r=8 here ⇒ 256/band; at 100 TB raise r so E[bucket] stays bounded),
-    // and b independent bands recover the recall a finer bucket costs —
-    // P(candidate) = 1-(1-p^r)^b per the standard LSH amplification.
+    // (at 100 TB raise r so E[bucket] stays bounded), and b independent
+    // bands recover the recall a finer bucket costs — P(candidate) =
+    // 1-(1-p^r)^b per the standard LSH amplification. AnnRecallSpec pins
+    // the measured top-3 recall vs the exact baseline.
     "q_embed_ann_lsh" -> { (s, d) =>
       val emb = embedVecs(s, d)
       def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
@@ -682,13 +698,14 @@ object LlmOps {
          |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
          |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
          |pdots AS (
-         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
-         |  FROM e CROSS JOIN range(64) rj(j) CROSS JOIN range(64) ri(i)
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7 - 3)) AS pd
+         |  FROM e CROSS JOIN range(144) rj(j) CROSS JOIN range(64) ri(i)
          |  GROUP BY vec_id, j),
          |buckets AS (
-         |  SELECT vec_id, j // 8 AS band,
-         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots GROUP BY vec_id, j // 8),
+         |  SELECT vec_id, j // 6 AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 6)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // 6),
          |ok AS (SELECT band, bucket FROM buckets
          |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
          |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
@@ -718,13 +735,14 @@ object LlmOps {
          |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
          |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
          |pdots AS (
-         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE * (((i*31 + j*17) % 7) - 3)) AS pd
-         |  FROM e CROSS JOIN range(64) rj(j) CROSS JOIN range(64) ri(i)
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7 - 3)) AS pd
+         |  FROM e CROSS JOIN range(144) rj(j) CROSS JOIN range(64) ri(i)
          |  GROUP BY vec_id, j),
          |buckets AS (
-         |  SELECT vec_id, j // 8 AS band,
-         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots GROUP BY vec_id, j // 8),
+         |  SELECT vec_id, j // 6 AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 6)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // 6),
          |ok AS (SELECT band, bucket FROM buckets
          |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
          |cand AS (SELECT DISTINCT ba.vec_id AS keep_id, bb.vec_id AS dup_id

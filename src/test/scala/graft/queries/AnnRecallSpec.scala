@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Recall of the two ANN index shapes (B51) against the exact brute-force
+  * top-k — the accuracy/speed trade-off documented as a measured number, not
+  * a claim. Ground truth = q_embed_cosine_topk (exact top-5; its top-3
+  * prefix is the target set for the ANN queries' k=3).
+  *
+  * Measured on this corpus (sf0.01): IVF nprobe=2 ≈ 0.97 (the r2→r3
+  * multi-probe upgrade — nprobe=1 missed near-boundary cells), banded LSH
+  * (24 bands × 6 bits) ≈ 0.53. The LSH number is the honest physics of the
+  * test data, not a defect: the exact top-3 neighbors sit at cosine
+  * ≈ 0.26–0.49 — barely above the cos≈0 background — so p(plane agrees) is
+  * only ~0.6 vs 0.5 for noise, and the amplification curve 1−(1−p⁶)²⁴ tops
+  * out near 0.55 while already probing ~30% of the corpus. At real near-dup
+  * similarity (cosine ≥ 0.8, p ≈ 0.8) the identical configuration yields
+  * 1−(1−0.8⁶)²⁴ ≈ 0.999. The floors below are set so a refactor that guts
+  * candidate generation (e.g. the r2 degenerate-planes defect, which
+  * measured 0.03) fails loudly without making the spec flaky.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.01"
+
+  /** (qid, cid) pairs ranked ≤ 3. */
+  private def top3(name: String): Set[(Long, Long)] =
+    graft.SparkEntry.queries(name)(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+
+  test("banded LSH >= 45% and IVF nprobe=2 >= 80% top-3 recall vs exact") {
+    val exact = top3("q_embed_cosine_topk")
+    assert(exact.size == 30, s"exact baseline should yield 10 queries x 3: ${exact.size}")
+    val lsh = top3("q_embed_ann_lsh")
+    val ivf = top3("q_embed_ann_ivf")
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"LSH top-3 recall: $lshRecall%.2f  (${(exact & lsh).size}/${exact.size})")
+    info(f"IVF nprobe=2 top-3 recall: $ivfRecall%.2f  (${(exact & ivf).size}/${exact.size})")
+    assert(lshRecall >= 0.45, f"banded LSH recall degraded: $lshRecall%.2f")
+    assert(ivfRecall >= 0.8, f"IVF nprobe=2 recall degraded: $ivfRecall%.2f")
+  }
+}

@@ -53,4 +53,23 @@ class PlanSpec extends SparkSpecBase {
   test("top-k via sort+limit compiles to TakeOrderedAndProject") {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("q_multimodal_meta places no broadcast hint on the unbounded catalog side") {
+    // the document catalog grows with the corpus: a hard-wired broadcast
+    // hint would OOM the driver at 100 TB — join strategy is left to AQE
+    val df = graft.SparkEntry.queries("q_multimodal_meta")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected join hints: $hints")
+  }
+
+  test("banded LSH candidate generation bounds every bucket (MaxBucket cap in plan)") {
+    // the size(ids) <= cap filter is what prevents a degenerate duplicate
+    // family from materializing one giant collect_set row / quadratic pairs
+    Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_embed_cosine").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("size(ids") && p.contains("1000"), s"$q lost the bucket cap:\n$p")
+    }
+  }
 }
