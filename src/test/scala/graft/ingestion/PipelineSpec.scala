@@ -98,6 +98,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(skipped2.contains((Fixtures.IsbnFresh1, SkipGate.AlreadyUploaded)))
   }
 
+  test("two ZIPs with the same ISBN in one poll emit exactly one workflow row") {
+    // gates only consult PRIOR state — intra-batch dedup must gate the
+    // second ZIP (ref sequential processing would hit WORKFLOW_EXISTS)
+    val in = scratch("pipe-in-dup")
+    val wh = scratch("pipe-wh-dup")
+    val b = Fixtures.books.find(_.isbn == Fixtures.IsbnFresh1).get
+    val bytes = Fixtures.zipOf(b)
+    Files.write(Paths.get(in, s"book-${b.isbn}.zip"), bytes)
+    Files.write(Paths.get(in, s"book-${b.isbn}-copy.zip"), bytes)
+    val out = MetadataPipeline.runBatch(spark, IngestionConfig(in, wh), ts1)
+    assert(out.newWorkflow.count() === 1)
+    assert(out.newRaw.count() === 1)
+    // winner = first by zip_name; loser surfaces as a WORKFLOW_EXISTS skip
+    val raw = table(wh, Zone.Raw).select("zip_name").collect().map(_.getString(0))
+    assert(raw === Array(s"book-${b.isbn}-copy.zip"))
+    val sk = out.skipped.select("zip_name", "gate").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(sk === Array((s"book-${b.isbn}.zip", SkipGate.WorkflowExists)))
+    // re-poll: the loser is now gated by the REAL workflow state
+    val out2 = MetadataPipeline.runBatch(spark, IngestionConfig(in, wh), ts2)
+    assert(out2.newWorkflow.count() === 0)
+    assert(table(wh, Zone.Workflow).count() === 1)
+  }
+
   test("workflow sink is partitioned by publishing year") {
     val wh = scratch("pipe-wh2")
     val in = Fixtures.writeCorpus(scratch("pipe-in2"))
