@@ -535,6 +535,29 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // B52 TF-IDF: the canonical corpus-statistics weighting — tf per
+    // (doc, term), df per term, idf = ln(N/df), top-1 term per doc.
+    // Shape at 100 TB: one explode pipelined in the scan stage, two
+    // partial+final aggregates (tf keyed on (doc,term), df on term), a
+    // broadcast of the 1-row corpus count, and a per-doc window top-1 —
+    // no shuffle carries more than |distinct (doc,term)| rows.
+    "q_text_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("doc_id") < 100)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+        .orderBy(col("doc_id"))
+    },
+
     // B53 multimodal binary columns: REAL file bytes from the binaryFile
     // source (Sources.binaryDocs) + typed metadata joined from the catalog
     // table — the payload is opaque binary, the metadata is columnar.
@@ -864,6 +887,24 @@ object LlmOps {
          |    list_transform(string_split(text,' '), t -> ${sqlH28("t")})),
          |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM toks GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(tf * ln((SELECT n_docs FROM nd)::DOUBLE / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok)),
+        |top AS (
+        |  SELECT doc_id, tok AS top_term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT doc_id, top_term, tfidf FROM top
+        |WHERE rn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

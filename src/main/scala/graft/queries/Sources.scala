@@ -27,7 +27,11 @@ object Sources {
     new File("target/qscratch/src_" + kind + "_" +
       d.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
 
-  /** B4 fixture: one .txt file per document (doc_id < 100), bytes = text. */
+  /** B4 fixture: one .txt file per document (doc_id < 100), bytes = text.
+    * NOTE: the driver-side `.collect()` below is a test-fixture writer,
+    * hard-capped at 100 docs — deliberately NOT a production pattern; a
+    * real corpus export is a distributed `df.write` (see B5), never a
+    * driver loop. */
   private def binCorpus(s: SparkSession, d: String): String = {
     val dir = scratch(d, "bin")
     val f = new File(dir)
