@@ -537,19 +537,23 @@ object LlmOps {
 
     // B52 TF-IDF: the canonical corpus-statistics weighting — tf per
     // (doc, term), df per term, idf = ln(N/df), top-1 term per doc.
-    // Shape at 100 TB: one explode pipelined in the scan stage, two
-    // partial+final aggregates (tf keyed on (doc,term), df on term), a
-    // broadcast of the 1-row corpus count, and a per-doc window top-1 —
-    // no shuffle carries more than |distinct (doc,term)| rows.
+    // Shape at 100 TB: ONE scan (explode pipelined in the scan stage) →
+    // ONE (doc,term) partial+final aggregate; df = count over a
+    // term-partitioned window on tf's output (tf rows are already distinct
+    // per (doc,term)) — a join of two aggregates over the same explode
+    // would scan and explode the corpus TWICE (column pruning makes the
+    // two subtrees non-identical, defeating ReuseExchange; verified on the
+    // physical plan). Then a broadcast of the 1-row corpus count and a
+    // per-doc window top-1. No shuffle carries more than
+    // |distinct (doc,term)| rows.
     "q_text_tfidf" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
-      tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(nd))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
