@@ -294,6 +294,39 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B18/B21 pivot (wide conditional aggregation): status columns per
+    // priority. Explicit value list keeps the schema static (no extra
+    // distinct-values job — required at scale; .pivot(col) without values
+    // runs a blocking distinct first).
+    "q_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // B26 RANGE BETWEEN frame (the value-based frame the rowsBetween query
+    // doesn't exercise): trailing-7-day spend per clerk ordered by date.
+    "q_window_range" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("odate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400L, 0L)
+      Tables.orders(s, d)
+        .withColumn("odate", to_date(col("o_orderdate")))
+        .filter(col("o_custkey") < 40)
+        .withColumn("spend_7d",
+          round(sum(round(col("o_totalprice") * 100)).over(w) / 100, 2))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("odate"),
+          col("n_7d"), col("spend_7d"))
+        .orderBy(col("o_custkey"), col("odate"), col("o_orderkey"))
+    },
+
     // B27 top-k per group (the similarity-search support primitive).
     "q_topk_group" -> { (s, d) =>
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -525,6 +558,23 @@ object Relational {
         |  round((s2 - s1 * s1 / n) / (n - 1) / 1e4, 4) AS var_samp,
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1e2, 4) AS stddev_samp
         |FROM s ORDER BY o_orderstatus""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(round(o_totalprice * 100)) OVER w / 100, 2) AS spend_7d
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
 
     "q_topk_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (

@@ -196,6 +196,23 @@ object Scalars {
         .orderBy(col("c_custkey"))
     },
 
+    // B32/B49 fuzzy-matching primitives: levenshtein edit distance (the
+    // classic blocking-free fuzzy-dedup confirm step) between derived name
+    // variants — both engines implement the identical DP definition.
+    "q_str_fuzzy" -> { (s, d) =>
+      val mangled = regexp_replace(col("c_name"), "[0-9]", "")
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 100)
+        .select(
+          col("c_custkey"),
+          levenshtein(col("c_name"), mangled).as("lev_digits"),
+          levenshtein(col("c_mktsegment"), reverse(col("c_mktsegment"))).as("lev_rev"),
+          levenshtein(col("c_name"),
+            concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")))
+            .as("lev_cross"))
+        .orderBy(col("c_custkey"))
+    },
+
     // B37 JSON family, part 2: to_json over named_struct (serialization
     // direction; integer/string fields keep the text form engine-stable).
     "q_json_funcs2" -> { (s, d) =>
@@ -370,6 +387,13 @@ object Scalars {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_json,
         |  count(props->>'$.k') AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_str_fuzzy" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, regexp_replace(c_name, '[0-9]', '', 'g')) AS INT) AS lev_digits,
+        |  CAST(levenshtein(c_mktsegment, reverse(c_mktsegment)) AS INT) AS lev_rev,
+        |  CAST(levenshtein(c_name, c_mktsegment || '#' || CAST(c_custkey AS VARCHAR)) AS INT) AS lev_cross
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
 
     "q_json_funcs2" ->
       """SELECT n_nationkey,

@@ -26,6 +26,24 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("percentile_approx brackets the exact percentile within the accuracy rank bound") {
+    // t-digest-style sketches are engine-private like HLL — the correctness
+    // evidence is the rank-error bound vs the exact percentile, not an
+    // oracle hash. accuracy=10000 ⇒ rank error ≤ n/10000 ⇒ at these group
+    // sizes the approx p50 must land within the exact p40..p60 envelope.
+    val rows = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.4)").as("lo"),
+        expr("percentile(l_extendedprice, 0.6)").as("hi"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, ap) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ap >= lo && ap <= hi, s"${r.getString(0)}: approx p50 $ap outside [$lo, $hi]")
+    }
+  }
+
   test("q_approx_distinct query shape returns one row per returnflag") {
     val df = graft.SparkEntry.queries("q_approx_distinct")(spark, sf)
     assert(df.columns.toSeq === Seq("l_returnflag", "approx_orders"))
