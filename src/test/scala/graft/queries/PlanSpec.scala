@@ -36,7 +36,8 @@ class PlanSpec extends SparkSpecBase {
 
   test("scale-path dedup queries contain no cartesian product") {
     Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_exact",
-      "q_embed_ann_lsh", "q_dedup_rows").foreach { q =>
+      "q_embed_ann_lsh", "q_dedup_embed_cosine", "q_dedup_rows",
+      "q_text_tfidf").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
