@@ -3,12 +3,36 @@ package graft.queries
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 
 import QUtil._
+
+/** B44 processor for q_stream_tws: per-user running (update count, event
+  * count, cents sum) as typed ValueState on the Spark 4 transformWithState
+  * API — semantically identical to the flatMapGroupsWithState form in
+  * q_stream_stateful, so both share one DuckDB oracle. Top-level class:
+  * the processor is serialized to executors. */
+class UserRunningProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Int, Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Int, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Int, Long, Long)]("st",
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+    val (seq, n, c) = if (st.exists()) st.get() else (0, 0L, 0L)
+    var dn = 0L; var dc = 0L
+    rows.foreach { r => dn += 1; dc += r._2 }
+    val next = (seq + 1, n + dn, c + dc)
+    st.update(next)
+    Iterator((key, next._1, next._2, next._3))
+  }
+}
 
 /** Streaming forms of the window/dedup/stateful operators (SURVEY.md §2
   * B6/B39–B45), oracle-checked: each query runs a REAL StreamingQuery
@@ -233,6 +257,27 @@ object StreamingQ {
         .orderBy(col("user_id"), col("upd_seq"))
     },
 
+    // B44 on the Spark 4 transformWithState API (successor to
+    // flatMapGroupsWithState): same per-user state evolution, but as a
+    // typed ValueState StatefulProcessor on the RocksDB state store (the
+    // production state backend) — a fresh child session pins the provider
+    // without touching the caller's conf. Same oracle as q_stream_stateful:
+    // the two APIs must agree row-for-row.
+    "q_stream_tws" -> { (s0, d) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      val typed = mbStream(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")).as[(Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new UserRunningProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "upd_seq", "n_events", "total_cents")
+      runToTable(s, out, "graft_stream_tws", "update")
+        .orderBy(col("user_id"), col("upd_seq"))
+    },
+
     // B45 foreachBatch multi-sink: each micro-batch appends a per-type
     // aggregate to sink A and an error-split per-user-decile aggregate to
     // sink B (the reference's workflow + dead-letter fan-out, ref
@@ -277,6 +322,38 @@ object StreamingQ {
             col("batch_seq"), col("n"), col("total_cents")))
         .orderBy(col("sink"), col("k"), col("batch_seq"))
     })
+
+  /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
+    * (transformWithState on RocksDB): both APIs must produce identical
+    * per-batch update rows. */
+  private val statefulOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1 ELSE 2 END AS b
+       |  FROM events),
+       |per AS (
+       |  SELECT user_id,
+       |    count(*) FILTER (WHERE b = 0) AS n0,
+       |    CAST(coalesce(sum(cents) FILTER (WHERE b = 0), 0) AS BIGINT) AS c0,
+       |    count(*) FILTER (WHERE b = 1) AS n1,
+       |    CAST(coalesce(sum(cents) FILTER (WHERE b = 1), 0) AS BIGINT) AS c1,
+       |    count(*) FILTER (WHERE b = 2) AS n2,
+       |    CAST(coalesce(sum(cents) FILTER (WHERE b = 2), 0) AS BIGINT) AS c2
+       |  FROM e GROUP BY user_id)
+       |SELECT user_id, CAST(1 AS INT) AS upd_seq,
+       |  n0 AS n_events, c0 AS total_cents
+       |FROM per WHERE n0 > 0
+       |UNION ALL
+       |SELECT user_id, CAST(CASE WHEN n0 > 0 THEN 2 ELSE 1 END AS INT),
+       |  n0 + n1, c0 + c1
+       |FROM per WHERE n1 > 0
+       |UNION ALL
+       |SELECT user_id,
+       |  CAST((CASE WHEN n0 > 0 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + 1 AS INT),
+       |  n0 + n1 + n2, c0 + c1 + c2
+       |FROM per WHERE n2 > 0
+       |ORDER BY user_id, upd_seq""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -326,34 +403,8 @@ object StreamingQ {
          |HAVING max(tsu) + INTERVAL 4 HOUR <= $sqlFinalWm
          |ORDER BY user_id, session_start_us""".stripMargin,
 
-    "q_stream_stateful" ->
-      s"""WITH e AS (
-         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
-         |    CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1 ELSE 2 END AS b
-         |  FROM events),
-         |per AS (
-         |  SELECT user_id,
-         |    count(*) FILTER (WHERE b = 0) AS n0,
-         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 0), 0) AS BIGINT) AS c0,
-         |    count(*) FILTER (WHERE b = 1) AS n1,
-         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 1), 0) AS BIGINT) AS c1,
-         |    count(*) FILTER (WHERE b = 2) AS n2,
-         |    CAST(coalesce(sum(cents) FILTER (WHERE b = 2), 0) AS BIGINT) AS c2
-         |  FROM e GROUP BY user_id)
-         |SELECT user_id, CAST(1 AS INT) AS upd_seq,
-         |  n0 AS n_events, c0 AS total_cents
-         |FROM per WHERE n0 > 0
-         |UNION ALL
-         |SELECT user_id, CAST(CASE WHEN n0 > 0 THEN 2 ELSE 1 END AS INT),
-         |  n0 + n1, c0 + c1
-         |FROM per WHERE n1 > 0
-         |UNION ALL
-         |SELECT user_id,
-         |  CAST((CASE WHEN n0 > 0 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + 1 AS INT),
-         |  n0 + n1 + n2, c0 + c1 + c2
-         |FROM per WHERE n2 > 0
-         |ORDER BY user_id, upd_seq""".stripMargin,
+    "q_stream_stateful" -> statefulOracle,
+    "q_stream_tws" -> statefulOracle,
 
     "q_stream_multisink" ->
       s"""WITH e AS (
