@@ -132,6 +132,18 @@ object StreamingQ {
     dir.getAbsolutePath
   }
 
+  /** Child session for the multi-batch stateful queries: stateful streaming
+    * partitions = state-store instances per micro-batch, so they are sized
+    * to the STATE volume (150–1500 user keys here), not to the OLAP scan
+    * default — on a real cluster this is the same knob, set per-job to
+    * ~keys/executor. A child session scopes the override without mutating
+    * the caller's conf. */
+  private def mbSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** The 3-batch file-stream source over the split corpus. */
   private def mbStream(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(mbSchema)
@@ -205,7 +217,8 @@ object StreamingQ {
     // windows ending after the FINAL watermark (the last day) are never
     // finalized. Oracle = same day aggregation minus the LATE rows, keeping
     // only windows with end ≤ max(ts) − 1 h.
-    "q_stream_late_drop" -> { (s, d) =>
+    "q_stream_late_drop" -> { (s0, d) =>
+      val s = mbSession(s0)
       val agg = mbStream(s, d)
         .withWatermark("ts", DELAY)
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -222,7 +235,8 @@ object StreamingQ {
     // (emitted sessions can never be extended: any extending row would have
     // to sit below the eviction watermark that emitted them); only sessions
     // whose end (last event + gap) ≤ final watermark emit; LATE rows drop.
-    "q_stream_session" -> { (s, d) =>
+    "q_stream_session" -> { (s0, d) =>
+      val s = mbSession(s0)
       val agg = mbStream(s, d)
         .withWatermark("ts", DELAY)
         .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
@@ -238,7 +252,8 @@ object StreamingQ {
     // evolves across the three micro-batches; every state update is emitted,
     // so the sink holds one row per (user, batch-with-data) and the oracle
     // can recompute every update from the batch-membership predicates.
-    "q_stream_stateful" -> { (s, d) =>
+    "q_stream_stateful" -> { (s0, d) =>
+      val s = mbSession(s0)
       import s.implicits._
       val typed = mbStream(s, d)
         .select(col("user_id"),
@@ -264,7 +279,7 @@ object StreamingQ {
     // without touching the caller's conf. Same oracle as q_stream_stateful:
     // the two APIs must agree row-for-row.
     "q_stream_tws" -> { (s0, d) =>
-      val s = s0.newSession()
+      val s = mbSession(s0)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import s.implicits._
@@ -284,7 +299,8 @@ object StreamingQ {
     // MetadataIngestionServiceImpl.java:100,247 + executer :65–72). The
     // result is both sinks read back, tagged — per (key, batch) rows, so the
     // per-batch append semantics are what the oracle hashes.
-    "q_stream_multisink" -> { (s, d) =>
+    "q_stream_multisink" -> { (s0, d) =>
+      val s = mbSession(s0)
       val root = new File("target/qscratch/stream_sink_" +
         d.replaceAll("[^a-zA-Z0-9.]", "_"))
       if (root.exists()) {
