@@ -23,7 +23,8 @@ object SparkEntry {
       (cat.PipelineQ.defs, cat.PipelineQ.oracle),
       (cat.Sources.defs, cat.Sources.oracle),
       (cat.StreamingQ.defs, cat.StreamingQ.oracle),
-      (cat.Sql.defs, cat.Sql.oracle)
+      (cat.Sql.defs, cat.Sql.oracle),
+      (cat.TypedQ.defs, cat.TypedQ.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

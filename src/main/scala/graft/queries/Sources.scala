@@ -119,6 +119,47 @@ object Sources {
         .orderBy(col("c_mktsegment"))
     },
 
+    // B5 partitioned write → partition-pruned read, end to end: orders land
+    // year-partitioned ({year} layout ≙ reference documentLibrary/{year}/
+    // {isbn}, MetadataIngestionServiceImpl.java:200–202); the year filter
+    // then prunes at the DIRECTORY level — the scan never opens the other
+    // years' files (PartitionPruneSpec asserts the PartitionFilters plan
+    // shape; this row hash-checks the pruned read's values).
+    "q_partition_prune" -> { (s, d) =>
+      val dir = scratch(d, "part")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), QUtil.moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("mo"))
+    },
+
+    // B11 co-located bucketed join, end to end: both sides pre-bucketed on
+    // the join key (pay the shuffle ONCE at write time), then joined with
+    // broadcast disabled — zero Exchange in the plan (BucketJoinSpec
+    // asserts that); this row hash-checks the join's values. The 100 TB
+    // recipe for repeated large×large joins on a stable key.
+    "q_bucket_join" -> { (s, d) =>
+      val wh = scratch(d, "bkt")
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite").saveAsTable("graft_li_b")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite").saveAsTable("graft_ord_b")
+      s.table("graft_li_b")
+        .hint("merge")
+        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -163,6 +204,17 @@ object Sources {
         |FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
         |RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_partition_prune" ->
+      s"""SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n,
+         |  ${QUtil.moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE year(o_orderdate) = 1997
+         |GROUP BY 1 ORDER BY mo""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_misc_ids" ->
       """SELECT 'customer' AS file_token, count(*) AS n_rows,
