@@ -139,19 +139,33 @@ object Sources {
 
     // B11 co-located bucketed join, end to end: both sides pre-bucketed on
     // the join key (pay the shuffle ONCE at write time), then joined with
-    // broadcast disabled — zero Exchange in the plan (BucketJoinSpec
-    // asserts that); this row hash-checks the join's values. The 100 TB
-    // recipe for repeated large×large joins on a stable key.
+    // zero Exchange in the plan (BucketJoinSpec asserts that); this row
+    // hash-checks the join's values. The 100 TB recipe for repeated
+    // large×large joins on a stable key. The bucketed files are built once
+    // per sf and re-registered via DDL on later runs (bucket metadata
+    // lives in the catalog, not the parquet footer) — exactly the
+    // write-once-read-many economics the operator exists for.
     "q_bucket_join" -> { (s, d) =>
       val wh = scratch(d, "bkt")
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_ord_b")
-      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li").mode("overwrite").saveAsTable("graft_li_b")
-      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/ord").mode("overwrite").saveAsTable("graft_ord_b")
+      def ensure(tbl: String, path: String, key: String, ddlCols: String,
+                 src: => DataFrame): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        if (new File(path, "_built").exists())
+          s.sql(s"""CREATE TABLE $tbl ($ddlCols) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        else {
+          src.write.bucketBy(8, key).sortBy(key)
+            .option("path", path).mode("overwrite").saveAsTable(tbl)
+          Files.write(Paths.get(path, "_built"), Array.emptyByteArray)
+        }
+      }
+      ensure("graft_li_b", s"$wh/li", "l_orderkey",
+        "l_orderkey BIGINT, l_quantity DOUBLE",
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"))
+      ensure("graft_ord_b", s"$wh/ord", "o_orderkey",
+        "o_orderkey BIGINT, o_orderstatus STRING",
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"))
       s.table("graft_li_b")
         .hint("merge")
         .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
