@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression,
+  ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the embedding dot product (SURVEY.md B51).
   *
@@ -54,16 +55,123 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** All-bands hyperplane-LSH bucket computation in ONE codegen'd pass
+  * (SURVEY.md B50/B51): for a `bands × bits` family of deterministic integer
+  * hyperplanes, returns an `array<long>` of length `bands` where
+  * `bucket[b] = Σ_j (dot(vec, plane(b·bits+j)) > 0) << j`.
+  *
+  * The plane coefficients are the engine/oracle-shared formula
+  * `plane(j)(i) = ((i·73856093 + j·19349663 + i·j·83492791) % prime % 7) − 3`
+  * — `prime` MUST be ≥ the plane count `bands·bits`, because any polynomial
+  * in `j` taken directly mod 7 is 7-periodic in `j` (only 7 distinct planes;
+  * the r2 defect), and a prime BELOW the plane count makes plane(j) ==
+  * plane(j + prime) (the r3 defect: 101 < 144 left bands 17–23 re-using
+  * bands 0–7's planes). The constructor enforces this fail-loud.
+  *
+  * Why one expression instead of `bands·bits` separate `vec_dot` calls: the
+  * per-plane form evaluates `bands·bits` independent expression trees per
+  * row (each re-reading the vector and walking a boxed literal-array
+  * operand); this kernel reads the vector once per plane from a primitive
+  * `double[][]` baked in as a codegen reference object — same left-fold
+  * summation order element-by-element, so the SIGNS (all the bucket uses)
+  * are bit-identical to the `vec_dot(e, plane_j)` formulation and to the
+  * oracle's per-plane SQL sum.
+  */
+case class VecLshBuckets(child: Expression, bands: Int, bits: Int,
+                         prime: Int, dim: Int) extends UnaryExpression {
+  require(prime >= bands * bits,
+    s"prime ($prime) must be >= plane count (${bands * bits}): a smaller " +
+      "modulus duplicates hyperplanes and silently guts LSH amplification")
+  require(bits >= 1 && bits <= 63, s"bits ($bits) must fit a long bucket")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_lsh_buckets"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    VecLshBuckets.planeMatrix(bands * bits, dim, prime)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(b * bits + j)
+        val n = math.min(p.length, v.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+        if (s > 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long[] lshOut = new long[$bands];
+         |int lshLen = $c.numElements();
+         |for (int lshB = 0; lshB < $bands; lshB++) {
+         |  long lshBucket = 0L;
+         |  for (int lshJ = 0; lshJ < $bits; lshJ++) {
+         |    double[] lshP = $mat[lshB * $bits + lshJ];
+         |    int lshN = java.lang.Math.min(lshP.length, lshLen);
+         |    double lshS = 0.0;
+         |    for (int lshI = 0; lshI < lshN; lshI++) {
+         |      lshS += $c.getDouble(lshI) * lshP[lshI];
+         |    }
+         |    if (lshS > 0.0) lshBucket |= (1L << lshJ);
+         |  }
+         |  lshOut[lshB] = lshBucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(lshOut);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshBuckets =
+    copy(child = newChild)
+}
+
+object VecLshBuckets {
+  /** The shared plane formula — mirrored verbatim in the oracle SQL. */
+  def coef(j: Int, i: Int, prime: Int): Double =
+    ((i.toLong * 73856093L + j.toLong * 19349663L +
+      i.toLong * j * 83492791L) % prime % 7 - 3).toDouble
+
+  def planeMatrix(nPlanes: Int, dim: Int, prime: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((j, i) => coef(j, i, prime))
+}
+
 object VectorExprs {
   private val toVec: Expression => Expression = {
     case e if e.dataType == ArrayType(DoubleType, containsNull = false) => e
     case e => Cast(e, ArrayType(DoubleType))
   }
 
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"vec_lsh_buckets: $name must be an integer literal, got $other")
+  }
+
   /** Inject the vector functions into a session being built. */
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(toVec(children.head), toVec(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_lsh_buckets"),
+      new ExpressionInfo(classOf[VecLshBuckets].getName, "vec_lsh_buckets"),
+      (children: Seq[Expression]) => VecLshBuckets(toVec(children.head),
+        intLit(children(1), "bands"), intLit(children(2), "bits"),
+        intLit(children(3), "prime"), intLit(children(4), "dim"))))
+  }
 }

@@ -171,17 +171,23 @@ object LlmOps {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
 
   /** Banded hyperplane LSH over an embedding column: EMBED_BANDS bands ×
-    * EMBED_BITS bits → one (vec_id, band, bucket) row per band.
-    * plane(j,i) = ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7) - 3
-    * (constant arrays — constant-folded, then one codegen'd vec_dot per
-    * plane per row); band = j/EMBED_BITS, bit weight = 1 << (j%EMBED_BITS).
+    * EMBED_BITS bits → one (vec_id, band, bucket) row per band, all buckets
+    * computed by ONE codegen'd pass over the vector
+    * ([[graft.functions.VecLshBuckets]] — the r3 form evaluated 144 separate
+    * vec_dot trees per row; the batched kernel reads a primitive plane
+    * matrix and produces the same signs bit-for-bit).
+    * plane(j,i) = ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7) - 3;
+    * band = j/EMBED_BITS, bit weight = 1 << (j%EMBED_BITS).
     *
-    * The intermediate modulus 101 (prime > plane count) is load-bearing:
-    * any polynomial in j taken directly mod 7 is 7-periodic in j — the r2
-    * formula ((i*31 + j*17) % 7) had only 7 distinct hyperplanes, so every
-    * band was the same test and banding bought zero recall. With 101 the
-    * 120 planes are pairwise distinct. Parameters are sized for this
-    * corpus's neighbor regime
+    * The intermediate modulus 149 (prime ≥ plane count 144) is load-bearing
+    * twice over: any polynomial in j taken directly mod 7 is 7-periodic in
+    * j — the r2 formula ((i*31 + j*17) % 7) had only 7 distinct hyperplanes,
+    * so every band was the same test — and a prime BELOW the plane count
+    * makes plane(j) == plane(j + prime) (the r3 modulus 101 < 144 left bands
+    * 17–23 re-using bands 0–7's planes: 101 distinct planes of 144). With
+    * 149 all 144 planes are pairwise distinct (VectorExprsSpec asserts it;
+    * VecLshBuckets fails loudly on a too-small prime). Parameters are sized
+    * for this corpus's neighbor regime
     * (top-3 cosines ≈ 0.26–0.49 ⇒ p(plane agrees) ≈ 0.6): 24 bands × 6
     * bits gives per-pair recall 1−(1−p⁶)²⁴ ≈ 0.6–0.75 while probing ~30%
     * of the corpus (AnnRecallSpec pins the measured number). The bit width
@@ -189,22 +195,12 @@ object LlmOps {
     * count buys back the recall a finer bucket costs. */
   private[graft] val EMBED_BANDS = 24
   private[graft] val EMBED_BITS = 6
-  private def embedBands(emb: DataFrame): DataFrame = {
-    def planeDot(j: Int): Column = {
-      val plane = array((0 until 64).map(i =>
-        lit(((i.toLong * 73856093L + j.toLong * 19349663L +
-          i.toLong * j * 83492791L) % 101 % 7 - 3).toDouble)): _*)
-      call_function("vec_dot", col("e"), plane)
-    }
-    val bandStructs = array((0 until EMBED_BANDS).map { b =>
-      struct(lit(b).as("band"),
-        (0 until EMBED_BITS).map(j =>
-          when(planeDot(EMBED_BITS * b + j) > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("bucket"))
-    }: _*)
-    emb.select(col("vec_id"), explode(bandStructs).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-  }
+  private[graft] val PLANE_PRIME = 149
+  private def embedBands(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(call_function("vec_lsh_buckets", col("e"),
+        lit(EMBED_BANDS), lit(EMBED_BITS), lit(PLANE_PRIME), lit(64))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
   /** Exact Jaccard between two distinct-element array columns. */
   private def jaccard(a: Column, b: Column): Column = {
@@ -726,7 +722,7 @@ object LlmOps {
          |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
          |pdots AS (
          |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
-         |    ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7 - 3)) AS pd
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
          |  FROM e CROSS JOIN range(144) rj(j) CROSS JOIN range(64) ri(i)
          |  GROUP BY vec_id, j),
          |buckets AS (
@@ -763,7 +759,7 @@ object LlmOps {
          |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
          |pdots AS (
          |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
-         |    ((i*73856093 + j*19349663 + i*j*83492791) % 101 % 7 - 3)) AS pd
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
          |  FROM e CROSS JOIN range(144) rj(j) CROSS JOIN range(64) ri(i)
          |  GROUP BY vec_id, j),
          |buckets AS (

@@ -43,4 +43,52 @@ class VectorExprsSpec extends SparkSpecBase {
       .collect()(0).getDouble(0)
     assert(got === 20.0)
   }
+
+  test("vec_lsh_buckets == the per-plane vec_dot formulation, sign for sign") {
+    val s = spark
+    import s.implicits._
+    val (bands, bits, prime) = (24, 6, 149)
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 100).map(i => (i, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    def planeDot(j: Int) = call_function("vec_dot", col("e"),
+      array((0 until 64).map(i => lit(VecLshBuckets.coef(j, i, prime))): _*))
+    val perPlane = array((0 until bands).map { b =>
+      (0 until bits).map(j =>
+        when(planeDot(bits * b + j) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }: _*)
+    val df = data.toDF("id", "e")
+      .withColumn("batched", call_function("vec_lsh_buckets", col("e"),
+        lit(bands), lit(bits), lit(prime), lit(64)))
+      .withColumn("reference", perPlane)
+    assert(df.filter(col("batched") =!= col("reference")).count() === 0)
+  }
+
+  test("the 149-prime plane family is pairwise distinct (the r2/r3 defects)") {
+    def planeKey(j: Int, prime: Int): Seq[Double] =
+      (0 until 64).map(i => VecLshBuckets.coef(j, i, prime))
+    val with149 = (0 until 144).map(planeKey(_, 149)).distinct.size
+    assert(with149 === 144, s"expected 144 pairwise-distinct planes, got $with149")
+    // the r3 defect, kept as a regression witness: prime 101 < 144 planes
+    // collapses plane(j) onto plane(j+101)
+    val with101 = (0 until 144).map(planeKey(_, 101)).distinct.size
+    assert(with101 < 144, "prime 101 should NOT yield 144 distinct planes")
+    // and the expression refuses a too-small prime outright
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_lsh_buckets(array(1.0), 24, 6, 101, 64)").collect()
+    }
+    assert(err.getMessage.contains("prime"), err.getMessage)
+  }
+
+  test("vec_lsh_buckets null vector yields null, short vector uses its length") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Some(Seq(0.5, -0.5))), (2, None))
+      .toDF("id", "e")
+      .withColumn("b", call_function("vec_lsh_buckets", col("e"),
+        lit(4), lit(3), lit(13), lit(64)))
+      .orderBy("id").collect()
+    assert(df(0).getAs[Seq[Long]]("b").size === 4)
+    assert(df(1).isNullAt(2))
+  }
 }

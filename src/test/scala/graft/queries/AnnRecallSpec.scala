@@ -9,15 +9,17 @@ import graft.SparkSpecBase
   *
   * Measured on this corpus (sf0.01): IVF nprobe=2 ≈ 0.97 (the r2→r3
   * multi-probe upgrade — nprobe=1 missed near-boundary cells), banded LSH
-  * (24 bands × 6 bits) ≈ 0.53. The LSH number is the honest physics of the
-  * test data, not a defect: the exact top-3 neighbors sit at cosine
-  * ≈ 0.26–0.49 — barely above the cos≈0 background — so p(plane agrees) is
-  * only ~0.6 vs 0.5 for noise, and the amplification curve 1−(1−p⁶)²⁴ tops
-  * out near 0.55 while already probing ~30% of the corpus. At real near-dup
+  * (24 bands × 6 bits, prime 149) ≈ 0.90. The LSH history is instructive:
+  * r2's plane formula was 7-periodic (7 real planes — recall 0.03), r3's
+  * intermediate prime 101 < 144 planes collapsed plane(j) onto plane(j+101)
+  * (101 real planes — recall 0.53); with 149 all 144 planes are pairwise
+  * distinct (VectorExprsSpec asserts it) and the measured recall matches
+  * the amplification curve: neighbors at cosine 0.26–0.49 ⇒ p(plane agrees)
+  * = 1−θ/π ≈ 0.58–0.66 ⇒ 1−(1−p⁶)²⁴ ≈ 0.68–0.87. At real near-dup
   * similarity (cosine ≥ 0.8, p ≈ 0.8) the identical configuration yields
   * 1−(1−0.8⁶)²⁴ ≈ 0.999. The floors below are set so a refactor that guts
-  * candidate generation (e.g. the r2 degenerate-planes defect, which
-  * measured 0.03) fails loudly without making the spec flaky.
+  * candidate generation (either historical defect) fails loudly without
+  * making the spec flaky.
   */
 class AnnRecallSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.01"
@@ -28,7 +30,7 @@ class AnnRecallSpec extends SparkSpecBase {
       .filter(_.getAs[Int]("rank") <= 3)
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
 
-  test("banded LSH >= 45% and IVF nprobe=2 >= 80% top-3 recall vs exact") {
+  test("banded LSH >= 75% and IVF nprobe=2 >= 80% top-3 recall vs exact") {
     val exact = top3("q_embed_cosine_topk")
     assert(exact.size == 30, s"exact baseline should yield 10 queries x 3: ${exact.size}")
     val lsh = top3("q_embed_ann_lsh")
@@ -37,7 +39,7 @@ class AnnRecallSpec extends SparkSpecBase {
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     info(f"LSH top-3 recall: $lshRecall%.2f  (${(exact & lsh).size}/${exact.size})")
     info(f"IVF nprobe=2 top-3 recall: $ivfRecall%.2f  (${(exact & ivf).size}/${exact.size})")
-    assert(lshRecall >= 0.45, f"banded LSH recall degraded: $lshRecall%.2f")
+    assert(lshRecall >= 0.75, f"banded LSH recall degraded: $lshRecall%.2f")
     assert(ivfRecall >= 0.8, f"IVF nprobe=2 recall degraded: $ivfRecall%.2f")
   }
 }
