@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geometry of the banded hyperplane LSH over an embedding column
+  * (SURVEY.md §2 B50/B51).
+  *
+  * `bands` independent `bits`-bit buckets per vector: two vectors become
+  * candidates when they share ANY (band, bucket). Per-pair recall follows
+  * the standard amplification curve `1 − (1 − p^bits)^bands` where
+  * `p = 1 − θ/π` is the per-plane agreement probability at angle θ.
+  *
+  *  - `bits` is the corpus-size knob: expected bucket occupancy is
+  *    `n / 2^bits` per band, so raise `bits` as the corpus grows to keep
+  *    buckets bounded (and therefore candidate generation linear);
+  *  - `bands` buys back the recall a finer bucket costs;
+  *  - `prime` feeds the deterministic plane formula and MUST be ≥
+  *    `bands·bits` ([[graft.functions.VecLshBuckets]] enforces it);
+  *  - `maxBucket` skips degenerate hot buckets entirely (a bucket of n
+  *    members is n(n−1)/2 candidate pairs on one reducer — mega-families
+  *    belong to the exact-dup pass, not near-dup candidate generation);
+  *  - `cosineConfirm` is the exact-cosine confirmation threshold applied
+  *    to candidates in [[NearDup.embedCosinePairs]].
+  *
+  * Use [[EmbedLshConfig.derive]] (pure sizing math, unit-testable) or
+  * [[EmbedLshConfig.forCorpus]] (sniffs the corpus cardinality with
+  * `approx_count_distinct`) instead of hand-picking numbers.
+  */
+final case class EmbedLshConfig(
+    bands: Int = 24,
+    bits: Int = 6,
+    prime: Int = 149,
+    dim: Int = 64,
+    maxBucket: Int = 1000,
+    cosineConfirm: Double = 0.45) {
+  require(bands >= 1 && bits >= 1 && bits <= 63, s"bad geometry: $bands x $bits")
+  require(prime >= bands * bits,
+    s"prime ($prime) must be >= plane count (${bands * bits})")
+
+  /** Expected per-band bucket occupancy at corpus size n (uniform hash). */
+  def expectedOccupancy(corpusSize: Long): Double =
+    corpusSize.toDouble / (1L << math.min(bits, 62))
+}
+
+object EmbedLshConfig {
+  /** Smallest prime ≥ n (n ≤ a few thousand here — trial division is fine). */
+  private[operators] def primeAtLeast(n: Int): Int = {
+    def isPrime(k: Int): Boolean =
+      k >= 2 && (2 to math.sqrt(k).toInt).forall(k % _ != 0)
+    Iterator.from(math.max(n, 2)).find(isPrime).get
+  }
+
+  /** Pure sizing math — the formula the r3 hard-coded `24 × 6` comment
+    * described, now executable:
+    *
+    *  - `bits = max(4, ceil(log2(corpusSize / targetBucket)))` keeps the
+    *    expected per-band bucket at ~`targetBucket` members, so candidate
+    *    pair generation stays linear in the corpus;
+    *  - `bands = ceil(ln(1 − recallTarget) / ln(1 − p^bits))`, clamped to
+    *    [8, 64], restores per-pair recall ≥ `recallTarget` at per-plane
+    *    agreement `p` (`p = 1 − θ/π`; 0.6 ≈ the cosine-0.3..0.5 regime,
+    *    use ~0.8 for true near-dups at cosine ≥ 0.8);
+    *  - `prime` = smallest prime ≥ the plane count (pairwise-distinct
+    *    planes — see VecLshBuckets for the two historical defects).
+    */
+  def derive(corpusSize: Long, dim: Int,
+             targetBucket: Int = 64,
+             planeAgreement: Double = 0.6,
+             recallTarget: Double = 0.9,
+             maxBucket: Int = 1000,
+             cosineConfirm: Double = 0.45): EmbedLshConfig = {
+    require(corpusSize > 0 && targetBucket > 0)
+    require(planeAgreement > 0 && planeAgreement < 1)
+    require(recallTarget > 0 && recallTarget < 1)
+    val bits = math.max(4,
+      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt)
+    val pBand = math.pow(planeAgreement, bits)
+    val rawBands =
+      if (pBand <= 0) 64
+      else math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand))
+    val bands = math.min(64, math.max(8, rawBands.toInt))
+    EmbedLshConfig(bands, bits, primeAtLeast(bands * bits), dim,
+      maxBucket, cosineConfirm)
+  }
+
+  /** Derive from the corpus itself: cardinality via `approx_count_distinct`
+    * (one cheap aggregate job — HLL sketch, no exact distinct shuffle) and
+    * the vector width from the schema-declared first row. */
+  def forCorpus(emb: DataFrame,
+                targetBucket: Int = 64,
+                planeAgreement: Double = 0.6,
+                recallTarget: Double = 0.9): EmbedLshConfig = {
+    val row = emb.agg(
+      approx_count_distinct(col("vec_id")).as("n"),
+      max(size(col("e"))).as("dim")).head()
+    derive(row.getLong(0), row.getInt(1), targetBucket, planeAgreement,
+      recallTarget)
+  }
+}
+
+/** IVF index shape: `numCentroids` coarse cells (deterministic "training" =
+  * the first `numCentroids` vectors by id), each vector assigned to its
+  * max-cosine cell; queries probe their `nprobe` nearest cells. */
+final case class IvfConfig(numCentroids: Int = 16, nprobe: Int = 2) {
+  require(numCentroids >= 1 && nprobe >= 1 && nprobe <= numCentroids)
+}
+
+/** Similarity search over an embedding column (SURVEY.md §2 B51): exact
+  * brute-force cosine top-k plus two ANN index shapes (banded hyperplane
+  * LSH, IVF with multi-probe). Input contract for every operator here:
+  * `emb` has `vec_id: long` and `e: array<double>`; queries are selected by
+  * the `isQuery` predicate column. Output: (qid, rank, cid, cos_sim),
+  * cosine rounded to 6 places (engine-stable rank key), id tiebreak.
+  *
+  * Scale posture (100 TB): LSH candidates come from bounded (band, bucket)
+  * groups after one shuffle — no all-pairs step; IVF assignment is ONE
+  * partial+final `max_by` aggregate (map-side combined — r3 ranked all 16
+  * candidate cells through a full-data window, a 16× shuffle this shape
+  * avoids); the exact path broadcasts the query side and exists as the
+  * correctness baseline the ANN shapes are measured against (AnnRecallSpec).
+  */
+object Ann {
+
+  private[operators] def vdot(x: Column, y: Column): Column =
+    call_function("vec_dot", x, y)
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(vdot(col("e"), col("e"))))
+
+  /** One (vec_id, band, bucket) row per band per vector — all buckets from
+    * ONE codegen'd pass ([[graft.functions.VecLshBuckets]]). */
+  def lshBands(emb: DataFrame, cfg: EmbedLshConfig): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(call_function("vec_lsh_buckets", col("e"),
+        lit(cfg.bands), lit(cfg.bits), lit(cfg.prime), lit(cfg.dim))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+
+  /** Exact brute-force cosine top-k: the correctness baseline. Broadcasts
+    * the (small) query side; linear in the corpus. */
+  def exactTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val scored = broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(vdot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** Banded-LSH ANN top-k: candidates share ≥1 (band, bucket) with a query,
+    * hot buckets above `cfg.maxBucket` skipped. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
+              cfg: EmbedLshConfig): DataFrame = {
+    val bands = lshBands(emb, cfg)
+    val okBuckets = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= cfg.maxBucket).select(col("band"), col("bucket"))
+    val qb = bands.filter(isQuery).select(col("vec_id").as("qid"),
+      col("band"), col("bucket"))
+    val cb = bands.select(col("vec_id").as("cid"), col("band"), col("bucket"))
+    val cand = qb.join(okBuckets, Seq("band", "bucket"))
+      .join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val n = withNorm(emb)
+    val scored = cand
+      .join(n.select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(n.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn")), "cid")
+      .withColumn("cos_sim", round(vdot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** IVF ANN top-k with multi-probe.
+    *
+    * Cell assignment is a `max_by(cent_id, struct(cent_cos, −cent_id))`
+    * aggregate over the vector×centroid scores: every vector's 16 candidate
+    * rows are produced from ONE input row, so the partial aggregate reduces
+    * them map-side and the shuffle carries ~n rows — NOT the n×numCentroids
+    * a `row_number()` window over the full corpus would move (the r3
+    * shape). The window ranking survives only on the query side, AFTER the
+    * `isQuery` filter (`nprobe` cells per query need a real rank). */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val n = withNorm(emb)
+    val cents = n.filter(col("vec_id") < cfg.numCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
+    // max on (cos, -id) == rank-1 of (cos DESC, id ASC): min-id tiebreak
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"),
+          struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("cell"))
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = scored.filter(isQuery)
+      .withColumn("arn", row_number().over(probeW))
+      .filter(col("arn") <= cfg.nprobe)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("qcell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
+      col("nrm").as("cn"), col("cell").as("ccell"))
+    // cells are disjoint per candidate (one cell each), so the probe join
+    // yields each (query, candidate) at most once — no dedup step needed
+    val out = broadcast(probes)
+      .join(c, col("qcell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(vdot(col("qe"), col("ce2")) / (col("qn") * col("cn")), 6))
+    rankTopK(out, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+}

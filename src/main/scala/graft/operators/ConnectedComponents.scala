@@ -36,12 +36,23 @@ object ConnectedComponents {
   final case class Result(labels: DataFrame, rounds: Int)
 
   /** @param pairs two-column DataFrame of undirected edges (a, b).
+    * @param checkpointDir reliable-checkpoint location, only read when
+    *   `reliable = true`. On a real cluster this must be a distributed
+    *   filesystem path (a driver-local dir defeats the purpose — surviving
+    *   executor loss). When None, the SparkContext's already-configured
+    *   checkpoint dir is used; if neither is set the call fails loudly
+    *   rather than silently mutating process-wide state with a default.
     * @return labels (member, cluster_rep) for every vertex with ≥1 edge. */
   def run(pairs: DataFrame, maxIter: Int = 25,
-          reliable: Boolean = false): Result = {
+          reliable: Boolean = false,
+          checkpointDir: Option[String] = None): Result = {
     val spark = pairs.sparkSession
-    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir("target/cc_checkpoint")
+    if (reliable) {
+      checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+      require(spark.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable = true needs a checkpoint dir: pass checkpointDir = " +
+          "Some(<distributed-fs path>) or call sc.setCheckpointDir first")
+    }
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
 

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH geometry (SURVEY.md §2 B50). `numHashes` minhashes split
+  * into `bands` bands of `numHashes / bands` rows; two docs become
+  * candidates when any band's full signature slice matches. The LSH
+  * S-curve threshold sits at ≈ `(1/bands)^(bands/numHashes)` — size the
+  * split so it lands just under `jaccardConfirm` (candidates are always
+  * confirmed by exact Jaccard, so a lower threshold costs work, not
+  * correctness; a higher one costs recall, which nothing recovers). */
+final case class MinHashConfig(
+    numHashes: Int = 12,
+    bands: Int = 6,
+    maxBucket: Int = 1000,
+    jaccardConfirm: Double = 0.8) {
+  require(numHashes % bands == 0,
+    s"numHashes ($numHashes) must split evenly into bands ($bands)")
+  val rowsPerBand: Int = numHashes / bands
+
+  /** The similarity at which candidate probability crosses ~50% —
+    * the standard (1/b)^(1/r) LSH threshold approximation. */
+  def sCurveThreshold: Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+}
+
+object MinHashConfig {
+  /** Size the band split for a confirm threshold: pick rows-per-band so the
+    * S-curve lands below `jaccardConfirm` (recall at the threshold stays
+    * high), with `bandsCount` bands for amplification. Pure math — corpus
+    * size does not move MinHash geometry (bucket keys are 28-bit hash
+    * tuples, already sparse); `maxBucket` is the skew guard. */
+  def derive(jaccardConfirm: Double, bandsCount: Int = 6,
+             maxBucket: Int = 1000): MinHashConfig = {
+    require(jaccardConfirm > 0 && jaccardConfirm < 1)
+    val r = Iterator.from(1)
+      .find(r => math.pow(1.0 / bandsCount, 1.0 / r) <= jaccardConfirm)
+      .get
+    MinHashConfig(bandsCount * r, bandsCount, maxBucket, jaccardConfirm)
+  }
+}
+
+/** SimHash geometry (B50): a `bits`-bit signature (≤ 28 — the shingle hash
+  * is 28-bit) split into `blocks` pigeonhole blocks; Hamming ≤ `maxHamming`
+  * pairs are guaranteed to share ≥1 identical block when
+  * `maxHamming < blocks`. */
+final case class SimHashConfig(
+    bits: Int = 28,
+    blocks: Int = 5,
+    maxBucket: Int = 1000,
+    maxHamming: Int = 4) {
+  require(bits >= blocks && bits <= 28, s"bits ($bits) must be in [blocks, 28]")
+  require(maxHamming < blocks,
+    s"pigeonhole needs maxHamming ($maxHamming) < blocks ($blocks)")
+
+  /** Block layout (offset, length): bits distributed as evenly as possible,
+    * earlier blocks taking the remainder — e.g. 28/5 → 6,6,6,5,5. */
+  def blockDefs: Seq[(Int, Int)] = {
+    val base = bits / blocks
+    val extra = bits % blocks
+    val lens = (0 until blocks).map(i => if (i < extra) base + 1 else base)
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+}
+
+/** Near-duplicate detection over a document corpus (SURVEY.md §2 B49/B50):
+  * MinHash+LSH, SimHash and embedding-cosine candidate generation, each
+  * confirmed by its exact measure, plus cluster canonicalization via
+  * [[ConnectedComponents]].
+  *
+  * Input contract: `docs` has `doc_id: long` and `text: string`; `emb` has
+  * `vec_id: long` and `e: array<double>`. All outputs are confirmed pairs
+  * `(a, b, measure)` with `a < b`.
+  *
+  * Scale posture (100 TB), shared by all three shapes: signatures reduce in
+  * ONE codegen'd partial+final HashAggregate keyed on doc_id (the shuffle
+  * carries |docs| rows regardless of shingle count); candidates are
+  * generated inside (band, signature) buckets after a single shuffle on the
+  * band key; every bucket is bounded by `maxBucket` (mega-buckets are
+  * exact-dup families — the linear sha-256 pass's job — and are skipped,
+  * SkewSpec-verified); no all-pairs step exists anywhere.
+  */
+object NearDup {
+
+  // 28-bit md5-derived shingle hash + the minhash coefficient family —
+  // engine-portable (md5 exists in DuckDB), mirrored in the oracle SQL.
+  private[graft] val P28 = 268435399L // largest prime < 2^28
+  private[graft] def aCoef(i: Int): Long = 1234567L + 7654321L * i
+  private[graft] def bCoef(i: Int): Long = 987654L + 123457L * i
+  private[graft] def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** One row per (doc_id, DISTINCT word-3-gram): a typed `flatMap`
+    * generator, iterator-pipelined inside the scan stage — no shuffle and no
+    * interpreted higher-order function in the hot path (building the shingle
+    * array with `transform` and exploding it measured ~8x slower: HOFs are
+    * CodegenFallback and the fallback projection lands under the Generate).
+    * Dedup happens in the generator's JVM set (all of a doc's shingles are
+    * emitted by one input row, so per-doc distinctness needs no shuffle).
+    * Docs shorter than 3 tokens produce no rows. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.split(' ')
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= tk.length - 3) {
+          seen.add(tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+          i += 1
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+          .map(sh => (id, sh))
+      }.toDF("doc_id", "sh")
+  }
+
+  /** Exact Jaccard between two distinct-element array columns. */
+  private[graft] def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 3)
+  }
+
+  /** Explode a capped bucket's member set into ordered candidate pairs. */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int,
+                          aName: String, bName: String): DataFrame =
+    buckets
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as(aName), b.as(bName)))))).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+      .distinct()
+
+  /** Confirmed MinHash+LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥
+    * `cfg.jaccardConfirm`).
+    *
+    * Shape (the 100 TB path): all `numHashes` hashes are computed per
+    * shingle row in ONE projection and reduced by codegen'd `min`
+    * aggregates (a single partial+final HashAggregate keyed on doc_id —
+    * map-side combine shrinks the shuffle to |docs| signature rows).
+    * Candidate pairs come from a groupBy on (band, signature-slice) —
+    * the signature pipeline is evaluated once, not twice as a self-join
+    * would. */
+  def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val rows = shingles(docs)
+    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    // duplicate shingles don't affect a min — no dedup shuffle needed here
+    val mh = rows
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
+        (1 until cfg.numHashes).map(i =>
+          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+    val r = cfg.rowsPerBand
+    val bands = mh.select(col("doc_id"), posexplode(array((0 until cfg.bands).map(b =>
+        array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    val cand = bucketPairs(
+      bands.groupBy(col("band"), col("sig"))
+        .agg(collect_set(col("doc_id")).as("ids")),
+      cfg.maxBucket, "doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= cfg.jaccardConfirm)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs (doc_a < doc_b, Hamming ≤ `cfg.maxHamming`).
+    * Each shingle row votes ±1 on all `bits` bits inside one codegen'd
+    * HashAggregate (map-side combined); pairing uses the pigeonhole band
+    * join over `cfg.blockDefs` — Hamming ≤ maxHamming < blocks ⇒ at least
+    * one block is identical. */
+  def simhashPairs(docs: DataFrame, cfg: SimHashConfig = SimHashConfig()): DataFrame = {
+    def vote(j: Int): Column =
+      when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
+    // vote weights count each distinct shingle once — shingles() is
+    // already per-doc distinct (generator-side set), no dedup shuffle
+    val sig = shingles(docs)
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(sum(vote(0)).as("w0"),
+        (1 until cfg.bits).map(j => sum(vote(j)).as(s"w$j")): _*)
+      .select(col("doc_id"),
+        (0 until cfg.bits).map(j =>
+          when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      explode(array(cfg.blockDefs.zipWithIndex.map { case ((off, len), bi) =>
+        struct(lit(bi).as("bi"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("bv"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"),
+        col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    val cand = blocks.groupBy(col("bi"), col("bv"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"), a.getField("simhash").as("ha"),
+            b.getField("doc_id").as("doc_b"), b.getField("simhash").as("hb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= cfg.maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs (keep_id < dup_id, exact cosine ≥
+    * `cfg.cosineConfirm`): candidates from the banded hyperplane LSH
+    * ([[Ann.lshBands]] — any shared (band, bucket), `maxBucket` cap),
+    * confirmed by the exact codegen'd dot product. */
+  def embedCosinePairs(emb: DataFrame,
+                       cfg: EmbedLshConfig = EmbedLshConfig()): DataFrame = {
+    val cand = bucketPairs(
+      Ann.lshBands(emb, cfg).groupBy(col("band"), col("bucket"))
+        .agg(collect_set(col("vec_id")).as("ids")),
+      cfg.maxBucket, "keep_id", "dup_id")
+    val n = emb.withColumn("nrm", sqrt(Ann.vdot(col("e"), col("e"))))
+    cand
+      .join(n.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+        col("nrm").as("na")), "keep_id")
+      .join(n.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+        col("nrm").as("nb")), "dup_id")
+      .withColumn("cos_sim", round(Ann.vdot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= cfg.cosineConfirm)
+      .select(col("keep_id"), col("dup_id"), col("cos_sim"))
+  }
+
+  /** Cluster canonicalization: confirmed pairs → (cluster_rep, member) via
+    * min-label connected components (see [[ConnectedComponents]] for the
+    * pointer-jumping convergence and checkpointing contract). */
+  def clusters(pairs: DataFrame, reliable: Boolean = false,
+               checkpointDir: Option[String] = None): DataFrame =
+    ConnectedComponents.run(pairs, reliable = reliable,
+      checkpointDir = checkpointDir).labels
+      .select(col("label").as("cluster_rep"), col("id").as("member"))
+}

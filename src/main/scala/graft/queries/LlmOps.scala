@@ -30,7 +30,17 @@ import graft.Tables
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
-  // ---- shared shingle / hash pieces (Spark side) ----
+  import graft.operators.{Ann, EmbedLshConfig, IvfConfig, MinHashConfig,
+    NearDup, SimHashConfig}
+
+  // ---- catalog geometry: pinned configs for the public operators ----
+  //
+  // The dedup/ANN machinery lives in graft.operators.{NearDup, Ann} as a
+  // parameterized public API (with corpus-size-derived defaults — see
+  // EmbedLshConfig.derive/forCorpus). The CATALOG pins one explicit config
+  // per operator because every numeric below is mirrored verbatim in the
+  // DuckDB oracle SQL — derived geometry would desynchronize the two
+  // engines. NearDupConfigSpec covers the derivation path.
 
   /** Max LSH bucket size considered for candidate-pair generation —
     * mirrored verbatim in the oracle SQL (HAVING count(*) <= MaxBucket).
@@ -44,33 +54,31 @@ object LlmOps {
     * pipeline completes with the family skipped and normal output intact. */
   private[graft] val MaxBucket = 1000
 
-  /** One row per (doc_id, DISTINCT word-3-gram): a typed `flatMap`
-    * generator, iterator-pipelined inside the scan stage — no shuffle and no
-    * interpreted higher-order function in the hot path (building the shingle
-    * array with `transform` and exploding it measured ~8x slower: HOFs are
-    * CodegenFallback and the fallback projection lands under the Generate).
-    * Dedup happens in the generator's JVM set (all of a doc's shingles are
-    * emitted by one input row, so per-doc distinctness needs no shuffle —
-    * this is what lets SimHash skip a whole dropDuplicates exchange).
-    * Docs shorter than 3 tokens produce no rows. */
-  private[graft] def shingleRowsFor(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val tk = text.split(' ')
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i <= tk.length - 3) {
-          seen.add(tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
-          i += 1
-        }
-        scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
-          .map(sh => (id, sh))
-      }.toDF("doc_id", "sh")
-  }
+  /** 12 minhashes as 6 bands × 2 rows; S-curve threshold (1/6)^(1/2) ≈ 0.41,
+    * comfortably under the 0.8 exact-Jaccard confirmation. */
+  private[graft] val MinHashCfg =
+    MinHashConfig(numHashes = 12, bands = 6, maxBucket = MaxBucket,
+      jaccardConfirm = 0.8)
+
+  /** 28-bit SimHash in 5 pigeonhole blocks (6,6,6,5,5), Hamming ≤ 4. */
+  private[graft] val SimHashCfg =
+    SimHashConfig(bits = 28, blocks = 5, maxBucket = MaxBucket, maxHamming = 4)
+
+  /** 24 bands × 6 bits, prime 149 (≥ 144 planes — pairwise-distinct, see
+    * [[graft.functions.VecLshBuckets]]), sized for this corpus's neighbor
+    * regime (top-3 cosines ≈ 0.26–0.49 ⇒ p ≈ 0.6 ⇒ recall 1−(1−p⁶)²⁴;
+    * AnnRecallSpec pins the measured 0.90). EmbedLshConfig.derive gives the
+    * same shape from (corpusSize=~60k, targetBucket=64 ⇒ bits≈10) at real
+    * scale — the bit width is the corpus-size knob. */
+  private[graft] val EmbedCfg =
+    EmbedLshConfig(bands = 24, bits = 6, prime = 149, dim = 64,
+      maxBucket = MaxBucket, cosineConfirm = 0.45)
+
+  private val MOD = 1000000007L
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to")
 
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    shingleRowsFor(s, Tables.documents(s, d))
+    NearDup.shingles(Tables.documents(s, d))
 
   /** Distinct shingle set per doc (one partial+final aggregate). */
   private def docShingleSets(s: SparkSession, d: String): DataFrame =
@@ -78,135 +86,15 @@ object LlmOps {
       .agg(collect_set(col("sh")).as("shingles"))
 
   /** 28-bit shingle hash: first 7 hex chars of md5, engine-portable. */
-  private def h28(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
-
-  private val P28 = 268435399L // largest prime < 2^28
-  private val MOD = 1000000007L
-  private def aCoef(i: Int): Long = 1234567L + 7654321L * i
-  private def bCoef(i: Int): Long = 987654L + 123457L * i
-
-  private val STOPWORDS = Seq("the", "a", "of", "and", "to")
-
-  /** Confirmed MinHash+LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥
-    * 0.8): the shared core of q_dedup_minhash_lsh and q_dedup_clusters.
-    * Buckets above `maxBucket` are skipped (see [[MaxBucket]]). */
-  private[graft] def minhashPairsFor(s: SparkSession, docs: DataFrame,
-                                     maxBucket: Int = MaxBucket): DataFrame = {
-    val rows = shingleRowsFor(s, docs)
-    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
-    // duplicate shingles don't affect a min — no dedup shuffle needed here
-    val mh = rows
-      .withColumn("h", h28(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
-        (1 until 12).map(i =>
-          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
-    val bands = mh.select(col("doc_id"), explode(array((0 until 6).map(b =>
-        struct(lit(b).as("band"),
-          col(s"mh${2 * b}").as("mh0"), col(s"mh${2 * b + 1}").as("mh1"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band"), col("bd.mh0"), col("bd.mh1"))
-    val cand = bands.groupBy(col("band"), col("mh0"), col("mh1"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("jac", jaccard(col("sa"), col("sb")))
-      .filter(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-  }
+  private def h28(c: Column): Column = NearDup.h28(c)
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsFor(s, Tables.documents(s, d))
-
-  /** SimHash near-dup pairs (doc_a < doc_b, Hamming ≤ 4) — see the
-    * q_dedup_simhash entry for the plan shape. Buckets above `maxBucket`
-    * are skipped (see [[MaxBucket]]). */
-  private[graft] def simhashPairsFor(s: SparkSession, docs: DataFrame,
-                                     maxBucket: Int = MaxBucket): DataFrame = {
-    def vote(j: Int): Column =
-      when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
-    // vote weights count each distinct shingle once — shingleRowsFor is
-    // already per-doc distinct (generator-side set), no dedup shuffle
-    val sig = shingleRowsFor(s, docs)
-      .withColumn("h", h28(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(sum(vote(0)).as("w0"),
-        (1 until 28).map(j => sum(vote(j)).as(s"w$j")): _*)
-      .select(col("doc_id"),
-        (0 until 28).map(j =>
-          when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    val blockDefs = Seq((0, 6), (6, 6), (12, 6), (18, 5), (23, 5))
-    val blocks = sig.select(col("doc_id"), col("simhash"),
-      explode(array(blockDefs.zipWithIndex.map { case ((off, len), bi) =>
-        struct(lit(bi).as("bi"),
-          shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1)).as("bv"))
-      }: _*)).as("blk"))
-      .select(col("doc_id"), col("simhash"),
-        col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-    val cand = blocks.groupBy(col("bi"), col("bv"))
-      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b.getField("doc_id") > a.getField("doc_id")),
-          b => struct(a.getField("doc_id").as("doc_a"), a.getField("simhash").as("ha"),
-            b.getField("doc_id").as("doc_b"), b.getField("simhash").as("hb")))))).as("p"))
-      .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 4)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+    NearDup.minhashPairs(Tables.documents(s, d), MinHashCfg)
 
   /** Embedding vectors as double arrays (vec_id, e). */
   private def embedVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-
-  /** Banded hyperplane LSH over an embedding column: EMBED_BANDS bands ×
-    * EMBED_BITS bits → one (vec_id, band, bucket) row per band, all buckets
-    * computed by ONE codegen'd pass over the vector
-    * ([[graft.functions.VecLshBuckets]] — the r3 form evaluated 144 separate
-    * vec_dot trees per row; the batched kernel reads a primitive plane
-    * matrix and produces the same signs bit-for-bit).
-    * plane(j,i) = ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7) - 3;
-    * band = j/EMBED_BITS, bit weight = 1 << (j%EMBED_BITS).
-    *
-    * The intermediate modulus 149 (prime ≥ plane count 144) is load-bearing
-    * twice over: any polynomial in j taken directly mod 7 is 7-periodic in
-    * j — the r2 formula ((i*31 + j*17) % 7) had only 7 distinct hyperplanes,
-    * so every band was the same test — and a prime BELOW the plane count
-    * makes plane(j) == plane(j + prime) (the r3 modulus 101 < 144 left bands
-    * 17–23 re-using bands 0–7's planes: 101 distinct planes of 144). With
-    * 149 all 144 planes are pairwise distinct (VectorExprsSpec asserts it;
-    * VecLshBuckets fails loudly on a too-small prime). Parameters are sized
-    * for this corpus's neighbor regime
-    * (top-3 cosines ≈ 0.26–0.49 ⇒ p(plane agrees) ≈ 0.6): 24 bands × 6
-    * bits gives per-pair recall 1−(1−p⁶)²⁴ ≈ 0.6–0.75 while probing ~30%
-    * of the corpus (AnnRecallSpec pins the measured number). The bit width
-    * is the knob that scales bucket cardinality with corpus size; the band
-    * count buys back the recall a finer bucket costs. */
-  private[graft] val EMBED_BANDS = 24
-  private[graft] val EMBED_BITS = 6
-  private[graft] val PLANE_PRIME = 149
-  private def embedBands(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      posexplode(call_function("vec_lsh_buckets", col("e"),
-        lit(EMBED_BANDS), lit(EMBED_BITS), lit(PLANE_PRIME), lit(64))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-
-  /** Exact Jaccard between two distinct-element array columns. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - inter), 3)
-  }
 
   // DuckDB mirrors of the shared pieces.
   private val sqlShingles =
@@ -250,7 +138,7 @@ object LlmOps {
       val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-        .withColumn("jac", jaccard(col("sa"), col("sb")))
+        .withColumn("jac", NearDup.jaccard(col("sa"), col("sb")))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -276,9 +164,7 @@ object LlmOps {
     // at the iteration cap, reliable-checkpoint flag for multi-day jobs).
     // The oracle recomputes components with a recursive CTE.
     "q_dedup_clusters" -> { (s, d) =>
-      graft.operators.ConnectedComponents.run(
-        minhashPairs(s, d).select(col("doc_a"), col("doc_b"))).labels
-        .select(col("label").as("cluster_rep"), col("id").as("member"))
+      NearDup.clusters(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
         .orderBy(col("cluster_rep"), col("member"))
     },
 
@@ -290,7 +176,7 @@ object LlmOps {
     // (block_idx, block_value) buckets (capped at MaxBucket), never an
     // all-pairs crossJoin, and the signature pipeline is evaluated once.
     "q_dedup_simhash" -> { (s, d) =>
-      simhashPairsFor(s, Tables.documents(s, d))
+      NearDup.simhashPairs(Tables.documents(s, d), SimHashCfg)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -300,7 +186,7 @@ object LlmOps {
     // column-min form; this query pins the Aggregator itself against DuckDB.
     "q_udaf_minhash_sig" -> { (s, d) =>
       val hashVec = array((0 until 12).map(i =>
-        (lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28): _*)
+        (lit(NearDup.aCoef(i)) * col("h") + lit(NearDup.bCoef(i))) % NearDup.P28): _*)
       shingleRows(s, d).filter(col("doc_id") < 50)
         .withColumn("h", h28(col("sh")))
         .select(col("doc_id"), hashVec.as("hs"))
@@ -317,27 +203,15 @@ object LlmOps {
     // values are bit-identical, but it stays inside whole-stage codegen.
     // The rank key is the ROUNDED similarity (engine-stable) + id tiebreak.
     "q_embed_cosine_topk" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val q = withNorm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-      val c = withNorm.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-      val scored = broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
-        .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+      Ann.exactTopK(embedVecs(s, d), col("vec_id") < 10, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
     // B51 LSH-bucketed ANN (the scale path): 24 bands × 6 deterministic
-    // integer hyperplanes (144 planes, pairwise-distinct via the mod-101
-    // hash — see embedBands), one 6-bit bucket per band per vector;
-    // candidates = vectors sharing ANY (band, bucket) with the query, hot
-    // buckets capped at MaxBucket.
+    // integer hyperplanes (144 planes, pairwise-distinct via the mod-149
+    // hash — see graft.functions.VecLshBuckets), one 6-bit bucket per band
+    // per vector; candidates = vectors sharing ANY (band, bucket) with the
+    // query, hot buckets capped at MaxBucket.
     //
     // Multi-band is the scale design r2's single 8-bit bucket lacked: the
     // bucket space per band is 2^r where r is a CONFIG of the corpus size
@@ -346,30 +220,7 @@ object LlmOps {
     // 1-(1-p^r)^b per the standard LSH amplification. AnnRecallSpec pins
     // the measured top-3 recall vs the exact baseline.
     "q_embed_ann_lsh" -> { (s, d) =>
-      val emb = embedVecs(s, d)
-      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val bands = embedBands(emb)
-      val okBuckets = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc"))
-        .filter(col("bc") <= MaxBucket).select(col("band"), col("bucket"))
-      val qb = bands.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
-        col("band"), col("bucket"))
-      val cb = bands.select(col("vec_id").as("cid"), col("band"), col("bucket"))
-      val cand = qb.join(okBuckets, Seq("band", "bucket"))
-        .join(cb, Seq("band", "bucket"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid")).distinct()
-      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      cand
-        .join(withNorm.select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qn")), "qid")
-        .join(withNorm.select(col("vec_id").as("cid"), col("e").as("ce"),
-          col("nrm").as("cn")), "cid")
-        .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+      Ann.lshTopK(embedVecs(s, d), col("vec_id") < 10, k = 3, EmbedCfg)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -380,25 +231,7 @@ object LlmOps {
     // is bounded per bucket, bucket count grows with the corpus via the
     // per-band bit width.
     "q_dedup_embed_cosine" -> { (s, d) =>
-      val emb = embedVecs(s, d)
-      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val cand = embedBands(emb).groupBy(col("band"), col("bucket"))
-        .agg(collect_set(col("vec_id")).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-        .select(explode(flatten(transform(col("ids"), a =>
-          transform(filter(col("ids"), b => b > a),
-            b => struct(a.as("keep_id"), b.as("dup_id")))))).as("p"))
-        .select(col("p.keep_id"), col("p.dup_id"))
-        .distinct()
-      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      cand
-        .join(withNorm.select(col("vec_id").as("keep_id"), col("e").as("ea"),
-          col("nrm").as("na")), "keep_id")
-        .join(withNorm.select(col("vec_id").as("dup_id"), col("e").as("eb"),
-          col("nrm").as("nb")), "dup_id")
-        .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= 0.45)
-        .select(col("keep_id"), col("dup_id"), col("cos_sim"))
+      NearDup.embedCosinePairs(embedVecs(s, d), EmbedCfg)
         .orderBy(col("keep_id"), col("dup_id"))
     },
 
@@ -409,33 +242,8 @@ object LlmOps {
     // near-boundary misses single-probe loses; AnnRecallSpec documents the
     // measured recall vs the exact top-k). Exact top-3 over the probed cells.
     "q_embed_ann_ivf" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-      val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val cents = withNorm.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      val ranked = withNorm.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
-        .withColumn("arn", row_number().over(assignW))
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
-      val probes = ranked.filter(col("arn") <= 2 && col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qn"), col("cent_id").as("qcell"))
-      val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
-        col("nrm").as("cn"), col("cell").as("ccell"))
-      // cells are disjoint per candidate (arn=1), so the probe join yields
-      // each (query, candidate) at most once — no dedup step needed
-      broadcast(probes).join(c, col("qcell") === col("ccell") && col("qid") =!= col("cid"))
-        .withColumn("cos_sim", round(dot(col("qe"), col("ce2")) / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("cos_sim"))
+      Ann.ivfTopK(embedVecs(s, d), col("vec_id") < 10, k = 3,
+        IvfConfig(numCentroids = 16, nprobe = 2))
         .orderBy(col("qid"), col("rank"))
     },
 

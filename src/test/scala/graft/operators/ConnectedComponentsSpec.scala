@@ -37,8 +37,21 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("reliable mode without any checkpoint dir fails loudly") {
+    // silently defaulting to a driver-local path would defeat the point of
+    // reliable checkpointing (surviving executor loss on a real cluster
+    // needs a distributed-FS dir the CALLER chooses). Runs before the
+    // reliable-mode test below, which is what sets the context's dir.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.run(path(4), reliable = true)
+      }
+    } else cancel("checkpoint dir already set on the shared context")
+  }
+
   test("reliable-checkpoint mode produces identical labels") {
-    val res = ConnectedComponents.run(path(32), reliable = true)
+    val res = ConnectedComponents.run(path(32), reliable = true,
+      checkpointDir = Some("target/cc_checkpoint_spec"))
     assert(res.labels.collect().forall(_.getLong(1) == 0L))
   }
 }

@@ -1,8 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
-
 import graft.SparkSpecBase
+import graft.operators.{MinHashConfig, NearDup}
 
 /** Hot-bucket guard for LSH candidate generation (SURVEY.md §2 B50).
   *
@@ -34,7 +33,7 @@ class SkewSpec extends SparkSpecBase {
   }
 
   test("minhash pair generation skips the 10k mega-bucket, keeps small families") {
-    val pairs = LlmOps.minhashPairsFor(spark, docs).collect()
+    val pairs = NearDup.minhashPairs(docs, LlmOps.MinHashCfg).collect()
     assert(pairs.forall(r => r.getLong(0) < 100000L && r.getLong(1) < 100000L),
       "no candidate pair may come from the capped mega family")
     val smallPairs = pairs.filter(r => r.getLong(0) < 5 && r.getLong(1) < 5)
@@ -43,18 +42,25 @@ class SkewSpec extends SparkSpecBase {
   }
 
   test("simhash pair generation skips the 10k mega-bucket, keeps small families") {
-    val pairs = LlmOps.simhashPairsFor(spark, docs).collect()
+    val pairs = NearDup.simhashPairs(docs, LlmOps.SimHashCfg).collect()
     assert(pairs.forall(r => r.getLong(0) < 100000L && r.getLong(1) < 100000L))
     val smallPairs = pairs.filter(r => r.getLong(0) < 5 && r.getLong(1) < 5)
     assert(smallPairs.length == 10)
     assert(smallPairs.forall(_.getInt(2) == 0), "identical docs have Hamming distance 0")
   }
 
-  test("raising the cap admits the mega family (the cap is the only gate)") {
-    // On a 30-doc slice of the mega family with a permissive cap the pairs
-    // ARE generated — proving the skip above is the cap, not a lost bucket.
-    val slice = docs.filter(col("doc_id") >= 100000L && col("doc_id") < 100030L)
-    val pairs = LlmOps.minhashPairsFor(spark, slice, maxBucket = 1000).collect()
-    assert(pairs.length == 30 * 29 / 2)
+  test("the cap is the only gate: a family above the default cap flips from" +
+      " skipped to admitted as maxBucket crosses the family size") {
+    // a 1200-doc identical family sits ABOVE the default 1000 cap (skipped)
+    // and BELOW a raised 2000 cap (admitted: C(1200,2) = 719 400 pairs) —
+    // same data, only the config changes, so the skip in the tests above is
+    // provably the cap and not a lost bucket
+    val family = (0 until 1200).map(i => (200000L + i, megaText)).toDF("doc_id", "text")
+    val capped = NearDup.minhashPairs(family,
+      MinHashConfig(maxBucket = 1000)).count()
+    assert(capped === 0L, "family of 1200 must be skipped at cap 1000")
+    val admitted = NearDup.minhashPairs(family,
+      MinHashConfig(maxBucket = 2000)).count()
+    assert(admitted === 1200L * 1199 / 2)
   }
 }
