@@ -169,13 +169,19 @@ object StreamingQ {
     else raw.withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
   }
 
-  /** Run `df` to completion into a memory sink and return its contents. */
+  /** Run `df` to completion into a memory sink and return its contents.
+    * A timed-out query is stopped and thrown, never read: a partial sink
+    * would surface as a baffling nondeterministic oracle mismatch. */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
                          mode: String): DataFrame = {
     s.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name still running after 180 s — refusing to read a partial sink")
+    }
     s.table(name)
   }
 
@@ -227,6 +233,27 @@ object StreamingQ {
           col("n"), col("total_value"))
       runToTable(s, agg, "graft_stream_late_drop", "append")
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // B40 sliding window in watermark+append mode — the scale-mode form
+    // (complete mode re-emits every window each batch; append emits each
+    // window once, when the watermark passes its end — the only shape that
+    // works on an unbounded stream). Same 3-batch machinery as
+    // q_stream_late_drop: LATE rows arrive in batch 2 under a watermark
+    // ~9 days past their last window end (start-day + 2) and drop; windows
+    // ending after the final watermark stay open and never emit. Each event
+    // belongs to the 2-day windows starting at its day and the day before —
+    // the oracle is that 2-way day explode minus LATE, windows ending
+    // ≤ max(ts) − 1 h.
+    "q_stream_sliding_append" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val agg = mbStream(s, d)
+        .withWatermark("ts", DELAY)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"), 2).as("total_value"))
+        .select(to_date(col("w.start")).as("win_start"), col("n"), col("total_value"))
+      runToTable(s, agg, "graft_stream_sliding_append", "append")
+        .orderBy(col("win_start"))
     },
 
     // B41 streaming session window (the declared form q_events_session only
@@ -329,7 +356,11 @@ object StreamingQ {
           ()
         }
         .start()
-      q.awaitTermination(180000)
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_multisink still running after 180 s — refusing to read partial sinks")
+      }
       s.read.parquet(byType)
         .select(lit("by_type").as("sink"), col("event_type").as("k"),
           col("batch_seq"), col("n"), col("total_cents"))
@@ -397,6 +428,18 @@ object StreamingQ {
          |HAVING CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) + 1
          |       <= $sqlFinalWm
          |ORDER BY day, event_type""".stripMargin,
+
+    "q_stream_sliding_append" ->
+      s"""WITH exploded AS (
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS win_start, value
+         |  FROM events WHERE NOT $sqlLate
+         |  UNION ALL
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) - 1 AS win_start, value
+         |  FROM events WHERE NOT $sqlLate)
+         |SELECT win_start, count(*) AS n, ${moneySumSql("value", 2)} AS total_value
+         |FROM exploded GROUP BY win_start
+         |HAVING win_start + 2 <= $sqlFinalWm
+         |ORDER BY win_start""".stripMargin,
 
     "q_stream_session" ->
       s"""WITH kept AS (
