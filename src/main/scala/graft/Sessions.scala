@@ -44,4 +44,30 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark
   }
+
+  /** Shuffle-partition count for a STATEFUL streaming job. Stateful
+    * streaming partitions are state-store instances, pinned for the life of
+    * the checkpoint (HDFSBackedStateStoreProvider/RocksDB keep one store
+    * per partition) — so they must be sized to the STATE key space, not to
+    * the OLAP scan default:
+    *
+    *  - too many: thousands of near-empty state stores, each paying
+    *    snapshot/maintenance overhead per micro-batch (the 200-default
+    *    failure mode for a 150-key job);
+    *  - too few: state keys per partition outgrow executor memory (or a
+    *    RocksDB instance), and ONE hot store serializes the batch.
+    *
+    * `keysPerPartition` is the real knob: how many keys one store should
+    * hold (bounded by executor memory / state row size; 10k–1M typical).
+    * The result is clamped to [1, 8 × totalCores] — beyond a few stores
+    * per core there is no parallelism left to win, only maintenance to pay.
+    * AvailableNow/foreachBatch jobs size the same way (the scoped child
+    * sessions in StreamingQ pin 8 for the 150–1500-key harness: 1500/200 →
+    * 8 under a 32-thread local master). */
+  def statefulShufflePartitions(expectedKeys: Long, keysPerPartition: Long,
+                                totalCores: Int): Int = {
+    require(expectedKeys >= 0 && keysPerPartition > 0 && totalCores > 0)
+    val byState = math.ceil(expectedKeys.toDouble / keysPerPartition).toLong
+    math.max(1L, math.min(byState, 8L * totalCores)).toInt
+  }
 }

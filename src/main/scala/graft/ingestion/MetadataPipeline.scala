@@ -143,14 +143,16 @@ object MetadataPipeline {
     // ZIPs carrying the same ISBN in one poll would both pass and emit two
     // workflow rows — the reference's sequential per-ZIP processing gates
     // the second via WORKFLOW_EXISTS (ref :190–198). Keep the first by
-    // zip_name; losers are skipped (not uploaded), so they are re-polled
-    // next run and gated against the then-real state — converging with the
+    // zip_name; losers are tagged DUPLICATE_IN_BATCH (not WORKFLOW_EXISTS:
+    // no workflow row exists yet, and the winner may still dead-letter —
+    // see SkipGate) and are not uploaded, so they are re-polled next run
+    // and gated against the then-real state — converging with the
     // reference even when the winner fails validation this batch.
     val intraW = Window.partitionBy(col("isbn")).orderBy(col("zip_name"))
     val intraRanked = g3pre.withColumn("rn", row_number().over(intraW))
     val g3 = intraRanked.filter(col("rn") === 1).drop("rn")
     val intraDup = intraRanked.filter(col("rn") > 1)
-      .select(col("zip_name"), col("isbn"), lit(SkipGate.WorkflowExists).as("gate"))
+      .select(col("zip_name"), col("isbn"), lit(SkipGate.DuplicateInBatch).as("gate"))
     def skip(df: DataFrame, seen: DataFrame, key: String, gate: String) =
       df.join(seen, Seq(key), "left_semi")
         .select(col("zip_name"), col("isbn"), lit(gate).as("gate"))

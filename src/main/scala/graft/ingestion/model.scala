@@ -38,6 +38,13 @@ object model {
     val AlreadyUploaded = "ALREADY_UPLOADED"   // gate 1, ref :182–188
     val WorkflowExists = "WORKFLOW_EXISTS"     // gate 2, ref :190–198
     val IsbnFolderExists = "ISBN_FOLDER_EXISTS" // gate 3, ref :200–207
+    /** Intra-batch loser: a second ZIP with the same ISBN in ONE poll. The
+      * reference's sequential per-ZIP loop would gate it WORKFLOW_EXISTS —
+      * but only after the winner actually commits; in a set-based batch no
+      * workflow row exists yet (and the winner may still dead-letter), so a
+      * WORKFLOW_EXISTS record here could be counterfactual. A distinct tag
+      * keeps the skip audit trail truthful. */
+    val DuplicateInBatch = "DUPLICATE_IN_BATCH"
   }
 
   /** Keys looked up inside a book `.properties` record. The reference pulls

@@ -97,12 +97,37 @@ object LlmOps {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
 
   // DuckDB mirrors of the shared pieces.
-  private val sqlShingles =
-    """sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
-      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
-      |  WHERE len(toks) >= 3)""".stripMargin
+  private def sqlShinglesFrom(src: String) =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src) t
+       |  WHERE len(toks) >= 3)""".stripMargin
+  private val sqlShingles = sqlShinglesFrom("documents")
+
+  /** The minhash → bands → capped buckets → confirmed-pairs CTE chain
+    * (mirrors [[graft.operators.NearDup.minhashPairs]] with [[MinHashCfg]]),
+    * assuming an `sh(doc_id, shingles)` CTE is already in scope. Lazy:
+    * `sqlJaccard` is initialized further down the object body. */
+  private lazy val sqlMinhashPairs =
+    s"""ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+       |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+       |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+       |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 2 AS band,
+       |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+       |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+       |  FROM mh GROUP BY doc_id, i // 2),
+       |ok AS (SELECT band, mh0, mh1 FROM bands
+       |       GROUP BY 1, 2, 3 HAVING count(*) <= ${MaxBucket}),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN ok z ON z.band = x.band AND z.mh0 = x.mh0 AND z.mh1 = x.mh1
+       |  JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+       |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+       |  WHERE $sqlJaccard >= 0.8)""".stripMargin
   private def sqlH28(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
   private val sqlJaccard =
     "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
@@ -166,6 +191,40 @@ object LlmOps {
     "q_dedup_clusters" -> { (s, d) =>
       NearDup.clusters(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
         .orderBy(col("cluster_rep"), col("member"))
+    },
+
+    // B49+B50 the full dedup recipe as ONE composed pipeline over the
+    // public operator API (README "Deduplicating a corpus"): exact dedup
+    // (sha-256 groups, min-id survivor) → MinHash near-dup over the exact
+    // survivors only (never pay LSH for byte-identical copies — they are
+    // the mega-buckets the cap skips) → connected-component clusters →
+    // survivor selection. One verdict row per document: kept, exact_dup or
+    // near_dup, plus the doc that replaces it (itself when kept; an
+    // exact-dup's survivor follows its rep through the cluster step).
+    //
+    // Scale shape: exact pass is one shuffle on the content hash; near-dup
+    // inherits the single-aggregate + capped-bucket shape of
+    // q_dedup_minhash_lsh at the REDUCED (post-exact) cardinality; the
+    // verdict join is against cluster labels only (|members of clusters|
+    // rows, tiny vs the corpus — AQE broadcasts it).
+    "q_dedup_pipeline" -> { (s, d) =>
+      val reps = Tables.documents(s, d)
+        .withColumn("exact_rep",
+          min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256))))
+      val survivors = reps.filter(col("doc_id") === col("exact_rep"))
+        .select(col("doc_id"), col("text"))
+      val pairs = NearDup.minhashPairs(survivors, MinHashCfg)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = NearDup.clusters(pairs)
+        .select(col("member").as("exact_rep"), col("cluster_rep"))
+      reps.join(labels, Seq("exact_rep"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("exact_rep"), "exact_dup")
+            .when(col("cluster_rep").isNotNull &&
+              col("cluster_rep") =!= col("doc_id"), "near_dup")
+            .otherwise("kept").as("status"),
+          coalesce(col("cluster_rep"), col("exact_rep")).as("survivor_id"))
+        .orderBy(col("doc_id"))
     },
 
     // B50 SimHash: 28-bit signature from shingle hashes. Each shingle row
@@ -467,6 +526,33 @@ object LlmOps {
          |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r)
          |SELECT min(r) AS cluster_rep, id AS member
          |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE
+         |reps AS (
+         |  SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_rep
+         |  FROM documents),
+         |survivors AS (SELECT doc_id, text FROM reps WHERE doc_id = exact_rep),
+         |${sqlShinglesFrom("survivors")},
+         |$sqlMinhashPairs,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r),
+         |labels AS (SELECT id AS exact_rep, min(r) AS cluster_rep
+         |           FROM walk GROUP BY id)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id != p.exact_rep THEN 'exact_dup'
+         |       WHEN l.cluster_rep IS NOT NULL AND l.cluster_rep != p.doc_id
+         |         THEN 'near_dup'
+         |       ELSE 'kept' END AS status,
+         |  coalesce(l.cluster_rep, p.exact_rep) AS survivor_id
+         |FROM reps p LEFT JOIN labels l ON l.exact_rep = p.exact_rep
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $sqlShingles,

@@ -55,6 +55,34 @@ object Sources {
       .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
         col("length"), col("content"))
 
+  /** Register `tbl` as a bucketed parquet table at `path`, building the
+    * files only when the source's fingerprint — (row count, max join key),
+    * one cheap 2-column aggregate — differs from the one recorded at build
+    * time. A bare existence sentinel would silently serve STALE buckets if
+    * the source were ever regenerated in place; the fingerprint re-check
+    * costs one footer-count + key max per run and turns that into a
+    * rebuild. Re-registration goes through DDL because bucket metadata
+    * lives in the catalog, not the parquet footer. */
+  private[graft] def ensureBucketed(s: SparkSession, tbl: String, path: String,
+                                    key: String, ddlCols: String,
+                                    src: => DataFrame): Unit = {
+    val df = src
+    val fpRow = df.agg(count(lit(1)), max(col(key))).head()
+    val fp = s"${fpRow.get(0)}_${fpRow.get(1)}"
+    val marker = Paths.get(path, "_built")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp)
+      s.sql(s"""CREATE TABLE $tbl ($ddlCols) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |LOCATION '$path'""".stripMargin)
+    else {
+      df.write.bucketBy(8, key).sortBy(key)
+        .option("path", path).mode("overwrite").saveAsTable(tbl)
+      Files.write(marker, fp.getBytes("UTF-8"))
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     // B2 CSV: write nation as header-CSV, read back with an explicit schema.
     "q_csv_roundtrip" -> { (s, d) =>
@@ -144,26 +172,15 @@ object Sources {
     // large×large joins on a stable key. The bucketed files are built once
     // per sf and re-registered via DDL on later runs (bucket metadata
     // lives in the catalog, not the parquet footer) — exactly the
-    // write-once-read-many economics the operator exists for.
+    // write-once-read-many economics the operator exists for; a source
+    // fingerprint (row count + max key) keys the rebuild-skip, so
+    // regenerated source data can never serve stale buckets.
     "q_bucket_join" -> { (s, d) =>
       val wh = scratch(d, "bkt")
-      def ensure(tbl: String, path: String, key: String, ddlCols: String,
-                 src: => DataFrame): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        if (new File(path, "_built").exists())
-          s.sql(s"""CREATE TABLE $tbl ($ddlCols) USING parquet
-                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-                   |LOCATION '$path'""".stripMargin)
-        else {
-          src.write.bucketBy(8, key).sortBy(key)
-            .option("path", path).mode("overwrite").saveAsTable(tbl)
-          Files.write(Paths.get(path, "_built"), Array.emptyByteArray)
-        }
-      }
-      ensure("graft_li_b", s"$wh/li", "l_orderkey",
+      ensureBucketed(s, "graft_li_b", s"$wh/li", "l_orderkey",
         "l_orderkey BIGINT, l_quantity DOUBLE",
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity"))
-      ensure("graft_ord_b", s"$wh/ord", "o_orderkey",
+      ensureBucketed(s, "graft_ord_b", s"$wh/ord", "o_orderkey",
         "o_orderkey BIGINT, o_orderstatus STRING",
         Tables.orders(s, d).select("o_orderkey", "o_orderstatus"))
       s.table("graft_li_b")

@@ -134,13 +134,17 @@ object StreamingQ {
 
   /** Child session for the multi-batch stateful queries: stateful streaming
     * partitions = state-store instances per micro-batch, so they are sized
-    * to the STATE volume (150–1500 user keys here), not to the OLAP scan
-    * default — on a real cluster this is the same knob, set per-job to
-    * ~keys/executor. A child session scopes the override without mutating
-    * the caller's conf. */
+    * to the STATE volume via [[graft.Sessions.statefulShufflePartitions]]
+    * (≤1500 user keys here at ~200 keys/store → 8), not to the OLAP scan
+    * default — on a real cluster it is the same formula with the cluster's
+    * key cardinality and core count. A child session scopes the override
+    * without mutating the caller's conf. */
   private def mbSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.Sessions.statefulShufflePartitions(expectedKeys = 1500,
+        keysPerPartition = 200,
+        totalCores = s0.sparkContext.defaultParallelism).toString)
     s
   }
 

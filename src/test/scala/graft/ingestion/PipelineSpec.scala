@@ -110,12 +110,13 @@ class PipelineSpec extends SparkSpecBase {
     val out = MetadataPipeline.runBatch(spark, IngestionConfig(in, wh), ts1)
     assert(out.newWorkflow.count() === 1)
     assert(out.newRaw.count() === 1)
-    // winner = first by zip_name; loser surfaces as a WORKFLOW_EXISTS skip
+    // winner = first by zip_name; loser surfaces as a DUPLICATE_IN_BATCH
+    // skip (not WORKFLOW_EXISTS — no workflow row existed when it lost)
     val raw = table(wh, Zone.Raw).select("zip_name").collect().map(_.getString(0))
     assert(raw === Array(s"book-${b.isbn}-copy.zip"))
     val sk = out.skipped.select("zip_name", "gate").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    assert(sk === Array((s"book-${b.isbn}.zip", SkipGate.WorkflowExists)))
+    assert(sk === Array((s"book-${b.isbn}.zip", SkipGate.DuplicateInBatch)))
     // re-poll: the loser is now gated by the REAL workflow state
     val out2 = MetadataPipeline.runBatch(spark, IngestionConfig(in, wh), ts2)
     assert(out2.newWorkflow.count() === 0)

@@ -50,4 +50,27 @@ class BucketJoinSpec extends SparkSpecBase {
       s.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("regenerating the source in place invalidates the bucketed cache") {
+    val s = spark
+    import s.implicits._
+    val wh = scratch("bucketed_fp")
+    def build(n: Int, v: Long): Unit = Sources.ensureBucketed(s, "fp_bucketed",
+      s"$wh/t", "k", "k BIGINT, v BIGINT",
+      (0 until n).map(i => (i.toLong, v)).toDF("k", "v"))
+    def maxV: Long = s.table("fp_bucketed").agg(max(col("v"))).head().getLong(0)
+    try {
+      build(5, v = 1)
+      assert(s.table("fp_bucketed").count() === 5)
+      // unchanged fingerprint (same count, same max key): served from the
+      // existing files — v still shows the FIRST build
+      build(5, v = 2)
+      assert(maxV === 1L)
+      // changed fingerprint (row count moved): rebuilt — a bare existence
+      // sentinel would have kept serving the stale 5-row build
+      build(7, v = 3)
+      assert(s.table("fp_bucketed").count() === 7)
+      assert(maxV === 3L)
+    } finally s.sql("DROP TABLE IF EXISTS fp_bucketed")
+  }
 }
