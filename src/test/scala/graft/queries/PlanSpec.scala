@@ -37,10 +37,23 @@ class PlanSpec extends SparkSpecBase {
   test("scale-path dedup queries contain no cartesian product") {
     Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_exact",
       "q_embed_ann_lsh", "q_dedup_embed_cosine", "q_dedup_rows",
-      "q_text_tfidf").foreach { q =>
+      "q_text_tfidf", "q_dedup_pipeline").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
+  }
+
+  test("IVF cell assignment is a partial+final aggregate, not a full-data window") {
+    // assigning each vector to its best of 16 centroid cells through a
+    // row_number window would shuffle 16x the corpus; the max_by aggregate
+    // reduces the 16 candidate rows map-side, so the exchange carries ~n
+    // rows. The window must survive ONLY on the filtered query side.
+    val p = plan("q_embed_ann_ivf")
+    assert(p.contains("partial_max_by") || p.contains("partial_first"),
+      s"IVF assignment lost its map-side partial aggregate:\n$p")
+    val windowCount = "(?m)^\\s*\\S*Window".r.findAllIn(p).size
+    assert(windowCount <= 2, // probe-side rank + final top-k rank, never a 3rd
+      s"IVF plan grew an extra window (expected probe rank + top-k only):\n$p")
   }
 
   test("aggregations run as partial+final hash aggregates") {
