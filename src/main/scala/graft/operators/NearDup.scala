@@ -14,9 +14,11 @@ final case class MinHashConfig(
     numHashes: Int = 12,
     bands: Int = 6,
     maxBucket: Int = 1000,
-    jaccardConfirm: Double = 0.8) {
+    jaccardConfirm: Double = 0.8,
+    shingleWidth: Int = 3) {
   require(numHashes % bands == 0,
     s"numHashes ($numHashes) must split evenly into bands ($bands)")
+  require(shingleWidth >= 1, s"shingleWidth ($shingleWidth) must be >= 1")
   val rowsPerBand: Int = numHashes / bands
 
   /** The similarity at which candidate probability crosses ~50% —
@@ -49,8 +51,10 @@ final case class SimHashConfig(
     bits: Int = 28,
     blocks: Int = 5,
     maxBucket: Int = 1000,
-    maxHamming: Int = 4) {
+    maxHamming: Int = 4,
+    shingleWidth: Int = 3) {
   require(bits >= blocks && bits <= 28, s"bits ($bits) must be in [blocks, 28]")
+  require(shingleWidth >= 1, s"shingleWidth ($shingleWidth) must be >= 1")
   require(maxHamming < blocks,
     s"pigeonhole needs maxHamming ($maxHamming) < blocks ($blocks)")
 
@@ -91,24 +95,25 @@ object NearDup {
   private[graft] def h28(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
-  /** One row per (doc_id, DISTINCT word-3-gram): a typed `flatMap`
+  /** One row per (doc_id, DISTINCT word-`width`-gram): a typed `flatMap`
     * generator, iterator-pipelined inside the scan stage — no shuffle and no
     * interpreted higher-order function in the hot path (building the shingle
     * array with `transform` and exploding it measured ~8x slower: HOFs are
     * CodegenFallback and the fallback projection lands under the Generate).
     * Dedup happens in the generator's JVM set (all of a doc's shingles are
     * emitted by one input row, so per-doc distinctness needs no shuffle).
-    * Docs shorter than 3 tokens produce no rows. */
-  def shingles(docs: DataFrame): DataFrame = {
+    * Docs shorter than `width` tokens produce no rows. */
+  def shingles(docs: DataFrame, width: Int = 3): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    require(width >= 1, s"shingle width ($width) must be >= 1")
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val tk = text.split(' ')
         val seen = new java.util.LinkedHashSet[String]()
         var i = 0
-        while (i <= tk.length - 3) {
-          seen.add(tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+        while (i <= tk.length - width) {
+          seen.add(tk.slice(i, i + width).mkString(" "))
           i += 1
         }
         scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
@@ -144,7 +149,7 @@ object NearDup {
     * the signature pipeline is evaluated once, not twice as a self-join
     * would. */
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val rows = shingles(docs)
+    val rows = shingles(docs, cfg.shingleWidth)
     val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     // duplicate shingles don't affect a min — no dedup shuffle needed here
     val mh = rows
@@ -179,7 +184,7 @@ object NearDup {
       when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
     // vote weights count each distinct shingle once — shingles() is
     // already per-doc distinct (generator-side set), no dedup shuffle
-    val sig = shingles(docs)
+    val sig = shingles(docs, cfg.shingleWidth)
       .withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))
       .agg(sum(vote(0)).as("w0"),

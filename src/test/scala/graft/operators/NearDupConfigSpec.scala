@@ -49,6 +49,42 @@ class NearDupConfigSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](MinHashConfig(numHashes = 10, bands = 4))
   }
 
+  test("shingle width is a real knob: wider grams split fewer docs into candidates") {
+    val s = spark
+    import s.implicits._
+    // two docs sharing a 2-token phrase but no 3-token run: 2-gram shingling
+    // finds the overlap, 3-gram does not
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "omega alpha beta epsilon zeta")).toDF("doc_id", "text")
+    def byDoc(width: Int): Map[Long, Set[String]] =
+      NearDup.shingles(docs, width).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+    val two = byDoc(2)
+    assert((two(1L) & two(2L)) === Set("alpha beta"))
+    val three = byDoc(3)
+    assert((three(1L) & three(2L)).isEmpty)
+    // width reaches minhashPairs through the config: identical docs pair up
+    // at any width, and a doc shorter than the width yields no shingles
+    val dup = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    assert(NearDup.minhashPairs(dup, MinHashConfig(shingleWidth = 2)).count() === 1)
+    assert(NearDup.minhashPairs(dup, MinHashConfig(shingleWidth = 3)).count() === 0)
+  }
+
+  test("forCorpus derives geometry from the live corpus cardinality") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 2000).map(i =>
+      (i.toLong, Array.fill(16)((i % 7).toDouble))).toDF("vec_id", "e")
+    val cfg = EmbedLshConfig.forCorpus(emb, targetBucket = 64)
+    // ~2000 distinct ids / 64 target => 5 bits (approx_count_distinct has
+    // ~2% error; the ceil result is stable well away from the 2^k boundary)
+    assert(cfg.bits === 5)
+    assert(cfg.dim === 16)
+    assert(cfg.prime >= cfg.bands * cfg.bits)
+  }
+
   test("derived geometry holds bucket occupancy at the target across corpus sizes") {
     val s = spark
     import s.implicits._
