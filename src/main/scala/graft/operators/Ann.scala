@@ -213,6 +213,53 @@ object Ann {
     rankTopK(out, k)
   }
 
+  /** Lloyd-iteration k-means over the embedding column — the trainer for a
+    * REAL IVF coarse quantizer (the catalog's IVF uses the deterministic
+    * first-k init directly; `kmeansFit` is what you run first at scale so
+    * cells actually balance). Deterministic end to end: init = the k
+    * lowest-id vectors, assignment by cosine rounded to 6 places with
+    * min-id tiebreak, update = per-dimension mean with empty cells keeping
+    * their previous centroid.
+    *
+    * Shape per iteration (the 100 TB path): ONE broadcast crossJoin scores
+    * every vector against the k centroids inside codegen (`vec_dot`), a
+    * map-side-combined `max_by` picks each vector's cell (~n rows
+    * shuffled), and the update is a posexplode + partial+final avg keyed on
+    * (cell, dim) — k·d result rows. Only the O(k·d) MODEL is collected to
+    * the driver between iterations (how every distributed k-means works);
+    * the data never leaves the cluster.
+    *
+    * @return exploded centroids (cent_id, j, c_val), c_val rounded to 6. */
+  def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = withNorm(emb)
+    var cents: IndexedSeq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val cn = cents.toDF("cent_id", "ce")
+        .withColumn("cnrm", sqrt(vdot(col("ce"), col("ce"))))
+      val assigned = n.crossJoin(broadcast(cn))
+        .withColumn("cos",
+          round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(first(col("e")).as("e"),
+          max_by(col("cent_id"),
+            struct(col("cos"), (-col("cent_id")).as("neg"))).as("cell"))
+      val means = assigned.select(col("cell"), posexplode(col("e")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = cents.map { case (id, prev) => (id, means.getOrElse(id, prev)) }
+    }
+    cents.toDF("cent_id", "ce")
+      .select(col("cent_id"), posexplode(col("ce")))
+      .select(col("cent_id"), col("pos").as("j"),
+        round(col("col"), 6).as("c_val"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))))

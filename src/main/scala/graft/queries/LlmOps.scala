@@ -294,6 +294,17 @@ object LlmOps {
         .orderBy(col("keep_id"), col("dup_id"))
     },
 
+    // B51 IVF coarse-quantizer TRAINING: 2 Lloyd iterations of k-means over
+    // the embedding corpus (deterministic first-16 init, cosine assignment,
+    // per-dim mean update — Ann.kmeansFit documents the per-iteration plan
+    // shape). The oracle replays both iterations as chained CTEs on the
+    // exploded vectors — every mean and every assignment tie-break must
+    // agree across engines for the 16×64 centroid matrix to hash-match.
+    "q_embed_kmeans" -> { (s, d) =>
+      Ann.kmeansFit(embedVecs(s, d), k = 16, iters = 2)
+        .orderBy(col("cent_id"), col("j"))
+    },
+
     // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
     // coarse centroids = the first 16 vectors (deterministic "training"),
     // every vector assigned to its max-cosine centroid (min-id tiebreak);
@@ -588,6 +599,38 @@ object LlmOps {
          |       FROM ex CROSS JOIN params GROUP BY doc_id, i)
          |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
          |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_embed_kmeans" -> {
+      // chained-CTE Lloyd iterations: cN = centroids after N updates
+      def iter(n: Int): String = {
+        val prev = s"c${n - 1}"
+        s"""n${n - 1} AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM $prev GROUP BY cent_id),
+           |d$n AS (SELECT ex.vec_id, p.cent_id, sum(ex.x * p.c) AS dp
+           |       FROM ex JOIN $prev p ON p.i = ex.i GROUP BY 1, 2),
+           |s$n AS (SELECT d$n.vec_id, d$n.cent_id,
+           |         round(dp / (vn.nrm * n${n - 1}.cn), 6) AS cos
+           |       FROM d$n JOIN vn ON vn.vec_id = d$n.vec_id
+           |         JOIN n${n - 1} ON n${n - 1}.cent_id = d$n.cent_id),
+           |a$n AS (SELECT vec_id, cent_id AS cell FROM (
+           |         SELECT vec_id, cent_id, row_number() OVER (
+           |           PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+           |         FROM s$n) t WHERE rn = 1),
+           |m$n AS (SELECT a$n.cell AS cent_id, ex.i, avg(ex.x) AS c
+           |       FROM a$n JOIN ex ON ex.vec_id = a$n.vec_id GROUP BY 1, 2),
+           |c$n AS (SELECT p.cent_id, p.i, coalesce(m$n.c, p.c) AS c
+           |       FROM $prev p LEFT JOIN m$n
+           |         ON m$n.cent_id = p.cent_id AND m$n.i = p.i)""".stripMargin
+      }
+      s"""WITH ex AS (
+         |  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(64) r(i)),
+         |vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+         |c0 AS (SELECT vec_id AS cent_id, i, x AS c FROM ex WHERE vec_id < 16),
+         |${iter(1)},
+         |${iter(2)}
+         |SELECT cent_id, i AS j, round(c, 6) AS c_val FROM c2
+         |ORDER BY cent_id, j""".stripMargin
+    },
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -82,6 +82,8 @@ object StreamingQ {
   private val DELAY = "1 hour"
 
   /** Shared SQL fragments mirroring the split + watermark arithmetic. */
+  private def sqlLateFor(a: String) =
+    s"(CAST($a.ts AS TIMESTAMP) < TIMESTAMP '$LATE_CUT' AND $a.user_id % 10 = 7)"
   private val sqlLate =
     s"(CAST(ts AS TIMESTAMP) < TIMESTAMP '$LATE_CUT' AND user_id % 10 = 7)"
   private val sqlBatch0 =
@@ -278,6 +280,68 @@ object StreamingQ {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Stream-stream interval inner join (the streaming form of B15's range
+    // join): click events join purchase events of the same user within the
+    // following day. Both sides carry a watermark and the join condition
+    // bounds purch_ts to [click_ts, click_ts + 1 day], so click state is
+    // evictable the moment the watermark passes click_ts + 1 day — bounded
+    // state on an unbounded stream, the property that makes the operator
+    // viable at 100 TB. Late inputs (below the input watermark) are dropped
+    // per side before joining. The time-ordered 3-batch split makes the
+    // result EXACTLY the batch join minus LATE rows: a row arriving in
+    // batch k+1 has ts above every prior watermark, and state old enough to
+    // be evicted (click_ts < wm − 1 day) is provably out of its join window
+    // — so eviction never costs a match, and the oracle is pure SQL.
+    "q_stream_join" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val clicks = mbStream(s, d).filter(col("event_type") === "click")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+          col("user_id").as("p_user"))
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purch_ts") >= col("click_ts") &&
+            col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"))
+        .select(col("user_id"), col("click_id"), col("purch_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purch_ts")).as("purch_us"))
+      runToTable(s, joined, "graft_stream_join", "append")
+        .orderBy(col("user_id"), col("click_id"), col("purch_id"))
+    },
+
+    // Stream-stream LEFT OUTER interval join: same shape, but a click with
+    // no purchase in its day emits a null-padded row — and only once the
+    // watermark passes click_ts + 1 day (before that a match could still
+    // arrive, so outer rows are held back by state eviction). Clicks whose
+    // window ends after the final watermark are still open when the stream
+    // drains and never emit their null row — the oracle bounds them with
+    // the same final-watermark arithmetic as the windowed aggregates.
+    "q_stream_join_left" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val clicks = mbStream(s, d).filter(col("event_type") === "click")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+          col("user_id").as("p_user"))
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purch_ts") >= col("click_ts") &&
+            col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"),
+          "left_outer")
+        .select(col("user_id"), col("click_id"), col("purch_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purch_ts")).as("purch_us"))
+      runToTable(s, joined, "graft_stream_join_left", "append")
+        .orderBy(col("user_id"), col("click_id"), col("purch_id"))
+    },
+
     // B44 arbitrary stateful op: flatMapGroupsWithState in update mode —
     // per-user state (update count, running event count, running cents sum)
     // evolves across the three micro-batches; every state update is emitted,
@@ -465,6 +529,43 @@ object StreamingQ {
          |FROM sessions GROUP BY user_id, sess_id
          |HAVING max(tsu) + INTERVAL 4 HOUR <= $sqlFinalWm
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+         |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+         |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |FROM events c JOIN events p
+         |  ON p.user_id = c.user_id
+         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+         |WHERE NOT ${sqlLateFor("c")} AND NOT ${sqlLateFor("p")}
+         |ORDER BY c.user_id, click_id, purch_id""".stripMargin,
+
+    "q_stream_join_left" ->
+      s"""WITH m AS (
+         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+         |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+         |    epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |  FROM events c JOIN events p
+         |    ON p.user_id = c.user_id
+         |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |   AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+         |  WHERE NOT ${sqlLateFor("c")} AND NOT ${sqlLateFor("p")})
+         |SELECT * FROM m
+         |UNION ALL
+         |SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purch_id,
+         |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us, CAST(NULL AS BIGINT) AS purch_us
+         |FROM events c
+         |WHERE c.event_type = 'click' AND NOT ${sqlLateFor("c")}
+         |  AND NOT EXISTS (SELECT 1 FROM events p
+         |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+         |      AND NOT ${sqlLateFor("p")}
+         |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
+         |  AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY < $sqlFinalWm
+         |ORDER BY user_id, click_id, purch_id""".stripMargin,
 
     "q_stream_stateful" -> statefulOracle,
     "q_stream_tws" -> statefulOracle,
