@@ -184,10 +184,19 @@ object Ann {
     * shape). The window ranking survives only on the query side, AFTER the
     * `isQuery` filter (`nprobe` cells per query need a real rank). */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
-              cfg: IvfConfig = IvfConfig()): DataFrame = {
+              cfg: IvfConfig = IvfConfig()): DataFrame =
+    ivfTopK(emb, isQuery, k, cfg,
+      emb.filter(col("vec_id") < cfg.numCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce")))
+
+  /** IVF against an explicit centroid table (cent_id, ce) — e.g. one
+    * trained by [[kmeansFit]]. The deterministic-init overload above is the
+    * no-training quick path; same plan shape either way. */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+              cfg: IvfConfig, centroids: DataFrame): DataFrame = {
     val n = withNorm(emb)
-    val cents = n.filter(col("vec_id") < cfg.numCentroids)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val cents = centroids.select(col("cent_id"), col("ce"),
+      sqrt(vdot(col("ce"), col("ce"))).as("cnrm"))
     val scored = n.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))

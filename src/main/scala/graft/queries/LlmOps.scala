@@ -96,6 +96,39 @@ object LlmOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** Chained-CTE Lloyd iterations mirroring [[graft.operators.Ann.kmeansFit]]
+    * (k=16, iters=2, dim 64): cN = exploded centroids after N updates;
+    * also defines ex (exploded vectors) and vn (vector norms) for reuse.
+    * Assignment cos is rounded to 6 in BOTH engines so the 1-ulp mean
+    * differences a distributed avg accumulates can never flip a cell. */
+  private def sqlKmeansIter(n: Int): String = {
+    val prev = s"c${n - 1}"
+    s"""n${n - 1} AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM $prev GROUP BY cent_id),
+       |d$n AS (SELECT ex.vec_id, p.cent_id, sum(ex.x * p.c) AS dp
+       |       FROM ex JOIN $prev p ON p.i = ex.i GROUP BY 1, 2),
+       |s$n AS (SELECT d$n.vec_id, d$n.cent_id,
+       |         round(dp / (vn.nrm * n${n - 1}.cn), 6) AS cos
+       |       FROM d$n JOIN vn ON vn.vec_id = d$n.vec_id
+       |         JOIN n${n - 1} ON n${n - 1}.cent_id = d$n.cent_id),
+       |a$n AS (SELECT vec_id, cent_id AS cell FROM (
+       |         SELECT vec_id, cent_id, row_number() OVER (
+       |           PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |         FROM s$n) t WHERE rn = 1),
+       |m$n AS (SELECT a$n.cell AS cent_id, ex.i, avg(ex.x) AS c
+       |       FROM a$n JOIN ex ON ex.vec_id = a$n.vec_id GROUP BY 1, 2),
+       |c$n AS (SELECT p.cent_id, p.i, coalesce(m$n.c, p.c) AS c
+       |       FROM $prev p LEFT JOIN m$n
+       |         ON m$n.cent_id = p.cent_id AND m$n.i = p.i)""".stripMargin
+  }
+  private def sqlKmeansCtes: String =
+    s"""ex AS (
+       |  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+       |  FROM embeddings CROSS JOIN range(64) r(i)),
+       |vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cent_id, i, x AS c FROM ex WHERE vec_id < 16),
+       |${sqlKmeansIter(1)},
+       |${sqlKmeansIter(2)}""".stripMargin
+
   // DuckDB mirrors of the shared pieces.
   private def sqlShinglesFrom(src: String) =
     s"""sh AS (
@@ -303,6 +336,23 @@ object LlmOps {
     "q_embed_kmeans" -> { (s, d) =>
       Ann.kmeansFit(embedVecs(s, d), k = 16, iters = 2)
         .orderBy(col("cent_id"), col("j"))
+    },
+
+    // B51 the composed train→index→query path: kmeansFit's centroids feed
+    // ivfTopK's explicit-centroid overload, all under ONE oracle — the SQL
+    // replays the training CTEs, re-assigns every vector against the
+    // ROUNDED centroid matrix (rounding makes the two engines' inputs
+    // bit-identical, so the round-9 assignment key is stable), and ranks
+    // the probed cells exactly like the untrained IVF row.
+    "q_embed_ann_ivf_trained" -> { (s, d) =>
+      val emb = embedVecs(s, d)
+      val cents = Ann.kmeansFit(emb, k = 16, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce"))
+      Ann.ivfTopK(emb, col("vec_id") < 10, k = 3,
+        IvfConfig(numCentroids = 16, nprobe = 2), cents)
+        .orderBy(col("qid"), col("rank"))
     },
 
     // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
@@ -600,37 +650,38 @@ object LlmOps {
          |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
          |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_embed_kmeans" -> {
-      // chained-CTE Lloyd iterations: cN = centroids after N updates
-      def iter(n: Int): String = {
-        val prev = s"c${n - 1}"
-        s"""n${n - 1} AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM $prev GROUP BY cent_id),
-           |d$n AS (SELECT ex.vec_id, p.cent_id, sum(ex.x * p.c) AS dp
-           |       FROM ex JOIN $prev p ON p.i = ex.i GROUP BY 1, 2),
-           |s$n AS (SELECT d$n.vec_id, d$n.cent_id,
-           |         round(dp / (vn.nrm * n${n - 1}.cn), 6) AS cos
-           |       FROM d$n JOIN vn ON vn.vec_id = d$n.vec_id
-           |         JOIN n${n - 1} ON n${n - 1}.cent_id = d$n.cent_id),
-           |a$n AS (SELECT vec_id, cent_id AS cell FROM (
-           |         SELECT vec_id, cent_id, row_number() OVER (
-           |           PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-           |         FROM s$n) t WHERE rn = 1),
-           |m$n AS (SELECT a$n.cell AS cent_id, ex.i, avg(ex.x) AS c
-           |       FROM a$n JOIN ex ON ex.vec_id = a$n.vec_id GROUP BY 1, 2),
-           |c$n AS (SELECT p.cent_id, p.i, coalesce(m$n.c, p.c) AS c
-           |       FROM $prev p LEFT JOIN m$n
-           |         ON m$n.cent_id = p.cent_id AND m$n.i = p.i)""".stripMargin
-      }
-      s"""WITH ex AS (
-         |  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
-         |  FROM embeddings CROSS JOIN range(64) r(i)),
-         |vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
-         |c0 AS (SELECT vec_id AS cent_id, i, x AS c FROM ex WHERE vec_id < 16),
-         |${iter(1)},
-         |${iter(2)}
+    "q_embed_kmeans" ->
+      s"""WITH $sqlKmeansCtes
          |SELECT cent_id, i AS j, round(c, 6) AS c_val FROM c2
-         |ORDER BY cent_id, j""".stripMargin
-    },
+         |ORDER BY cent_id, j""".stripMargin,
+
+    "q_embed_ann_ivf_trained" ->
+      s"""WITH $sqlKmeansCtes,
+         |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
+         |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
+         |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
+         |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
+         |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 9) AS ccos
+         |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
+         |         JOIN crn ON crn.cent_id = dq.cent_id),
+         |rk AS (SELECT vec_id, cent_id, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM rk WHERE arn = 1),
+         |probes AS (SELECT vec_id AS qid, cent_id AS qcell FROM rk
+         |           WHERE arn <= 2 AND vec_id < 10),
+         |outp AS (SELECT p.qid, a.vec_id AS cid FROM probes p
+         |         JOIN assigned a ON a.cell = p.qcell AND a.vec_id != p.qid),
+         |dd AS (SELECT o.qid, o.cid, sum(eq.x * ec.x) AS dp
+         |       FROM outp o JOIN ex eq ON eq.vec_id = o.qid
+         |         JOIN ex ec ON ec.vec_id = o.cid AND ec.i = eq.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT dd.qid, dd.cid, round(dd.dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |       FROM dd JOIN vn nq ON nq.vec_id = dd.qid
+         |         JOIN vn nc ON nc.vec_id = dd.cid)
+         |SELECT qid, rank, cid, cos_sim FROM (
+         |  SELECT qid, cid, cos_sim, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
