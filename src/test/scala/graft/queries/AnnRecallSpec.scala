@@ -35,11 +35,15 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(exact.size == 30, s"exact baseline should yield 10 queries x 3: ${exact.size}")
     val lsh = top3("q_embed_ann_lsh")
     val ivf = top3("q_embed_ann_ivf")
+    val trained = top3("q_embed_ann_ivf_trained")
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    val trainedRecall = (exact & trained).size.toDouble / exact.size
     info(f"LSH top-3 recall: $lshRecall%.2f  (${(exact & lsh).size}/${exact.size})")
     info(f"IVF nprobe=2 top-3 recall: $ivfRecall%.2f  (${(exact & ivf).size}/${exact.size})")
+    info(f"trained-IVF top-3 recall: $trainedRecall%.2f  (${(exact & trained).size}/${exact.size})")
     assert(lshRecall >= 0.75, f"banded LSH recall degraded: $lshRecall%.2f")
     assert(ivfRecall >= 0.8, f"IVF nprobe=2 recall degraded: $ivfRecall%.2f")
+    assert(trainedRecall >= 0.8, f"trained-IVF recall degraded: $trainedRecall%.2f")
   }
 }
