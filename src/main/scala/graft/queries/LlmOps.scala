@@ -367,6 +367,39 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B52 deterministic train/val/test split: bucket = 28-bit md5 of the
+    // doc id, mod 100 → 80/10/10. Hash-mod IS the scale design — rand()
+    // sampling is irreproducible across retries/engines and seed-sampling
+    // depends on partitioning; a content-key hash gives every engine, every
+    // run, every executor the same split with zero coordination and zero
+    // extra shuffle (the split is computed in the scan stage; only the
+    // 3-row stats aggregate moves data).
+    "q_split_hash" -> { (s, d) =>
+      val b = h28(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    },
+
+    // B52 per-source quota sampling (training-data curation: cap any one
+    // source's contribution): deterministic row_number ≤ 10 per source by
+    // doc id. One shuffle on the group key; the window state is bounded by
+    // the quota, and a skew-heavy source costs its reducer only its own
+    // rows (this is the dedup-survivor shape, reused for curation).
+    "q_sample_quota" -> { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars"),
+          max(col("doc_id")).as("last_doc_id"))
+        .orderBy(col("source"))
+    },
+
     // B49/B52 composed training-data prep: quality gate → language gate →
     // exact dedup survivor → corpus totals. One declarative plan: the
     // filters run in the scan stage, the dedup is one shuffle on the
@@ -819,6 +852,25 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_split_hash" ->
+      s"""WITH t AS (
+         |  SELECT ${sqlH28("CAST(doc_id AS VARCHAR)")} % 100 AS b, n_chars
+         |  FROM documents)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM t GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_sample_quota" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(doc_id) AS last_doc_id
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_llm_prep" ->
       """WITH scored AS (
