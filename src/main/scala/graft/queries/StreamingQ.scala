@@ -280,6 +280,27 @@ object StreamingQ {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Stream-static enrichment join — the most common production streaming
+    // shape: every event is enriched with a broadcast dimension row
+    // (user → market segment) as it arrives. The static side is planned
+    // fresh each micro-batch (a dimension update is picked up on the next
+    // trigger without restarting the query) and broadcast, so the stream
+    // side never shuffles. No watermark: an inner equi-join against a
+    // static table needs no state at all, so nothing is late and nothing
+    // is dropped — the oracle is the plain batch join over all 3 batches.
+    "q_stream_static" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val out = mbStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"),
+          round(col("value") * 100).cast("long").as("cents"))
+      runToTable(s, out, "graft_stream_static", "append")
+        .orderBy(col("event_id"))
+    },
+
     // Stream-stream interval inner join (the streaming form of B15's range
     // join): click events join purchase events of the same user within the
     // following day. Both sides carry a watermark and the join condition
@@ -529,6 +550,12 @@ object StreamingQ {
          |FROM sessions GROUP BY user_id, sess_id
          |HAVING max(tsu) + INTERVAL 4 HOUR <= $sqlFinalWm
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_static" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_stream_join" ->
       s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
