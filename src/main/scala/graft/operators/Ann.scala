@@ -247,20 +247,23 @@ object Ann {
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toIndexedSeq
     for (_ <- 1 to iters) {
-      val cn = cents.toDF("cent_id", "ce")
-        .withColumn("cnrm", sqrt(vdot(col("ce"), col("ce"))))
-      val assigned = n.crossJoin(broadcast(cn))
-        .withColumn("cos",
-          round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("e")).as("e"),
-          max_by(col("cent_id"),
-            struct(col("cos"), (-col("cent_id")).as("neg"))).as("cell"))
-      val means = assigned.select(col("cell"), posexplode(col("e")))
+      // the centroids are MODEL state already on the driver, so score them
+      // as k literal columns and take the argmax in one projection — the
+      // assignment never shuffles (a broadcast-join + groupBy(vec) form
+      // would move every vector once per iteration). Struct ordering gives
+      // the (cos DESC, cent_id ASC) tiebreak: max on (cos, −id).
+      val scored = cents.map { case (id, c) =>
+        val cnrm = math.sqrt(c.map(x => x * x).sum)
+        struct(
+          round(vdot(col("e"), typedLit(c)) / (col("nrm") * lit(cnrm)), 6).as("cos"),
+          lit(-id).as("neg"))
+      }
+      val cell = -array_max(array(scored: _*)).getField("neg")
+      val means = n.select(cell.as("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect().groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
       cents = cents.map { case (id, prev) => (id, means.getOrElse(id, prev)) }
     }
     cents.toDF("cent_id", "ce")
