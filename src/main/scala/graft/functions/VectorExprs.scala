@@ -39,16 +39,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, not fixed names: nullSafeCodeGen only adds a brace scope
+    // when the child is NULLABLE — two instances of this expression over
+    // non-null inputs in one codegen method would otherwise redeclare the
+    // locals, fail janino, and silently drop the stage to interpreted mode
+    val n = ctx.freshName("vecDotN")
+    val s = ctx.freshName("vecDotS")
+    val i = ctx.freshName("vecDotI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int vecDotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vecDotS = 0.0;
-         |for (int vecDotI = 0; vecDotI < vecDotN; vecDotI++) {
-         |  vecDotS += $a.getDouble(vecDotI) * $b.getDouble(vecDotI);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = vecDotS;
+         |${ev.value} = $s;
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -114,24 +122,35 @@ case class VecLshBuckets(child: Expression, bands: Int, bits: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    // freshName for every local — see VecDot.doGenCode for why fixed names
+    // break codegen when two instances share a method scope
+    val out = ctx.freshName("lshOut")
+    val len = ctx.freshName("lshLen")
+    val b = ctx.freshName("lshB")
+    val bucket = ctx.freshName("lshBucket")
+    val j = ctx.freshName("lshJ")
+    val p = ctx.freshName("lshP")
+    val n = ctx.freshName("lshN")
+    val s = ctx.freshName("lshS")
+    val i = ctx.freshName("lshI")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |long[] lshOut = new long[$bands];
-         |int lshLen = $c.numElements();
-         |for (int lshB = 0; lshB < $bands; lshB++) {
-         |  long lshBucket = 0L;
-         |  for (int lshJ = 0; lshJ < $bits; lshJ++) {
-         |    double[] lshP = $mat[lshB * $bits + lshJ];
-         |    int lshN = java.lang.Math.min(lshP.length, lshLen);
-         |    double lshS = 0.0;
-         |    for (int lshI = 0; lshI < lshN; lshI++) {
-         |      lshS += $c.getDouble(lshI) * lshP[lshI];
+         |long[] $out = new long[$bands];
+         |int $len = $c.numElements();
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double[] $p = $mat[$b * $bits + $j];
+         |    int $n = java.lang.Math.min($p.length, $len);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $c.getDouble($i) * $p[$i];
          |    }
-         |    if (lshS > 0.0) lshBucket |= (1L << lshJ);
+         |    if ($s > 0.0) $bucket |= (1L << $j);
          |  }
-         |  lshOut[lshB] = lshBucket;
+         |  $out[$b] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(lshOut);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |""".stripMargin)
   }
 

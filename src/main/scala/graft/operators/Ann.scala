@@ -53,15 +53,23 @@ object EmbedLshConfig {
   }
 
   /** Pure sizing math — the formula the r3 hard-coded `24 × 6` comment
-    * described, now executable:
+    * described, now executable, and HONEST about feasibility:
     *
-    *  - `bits = max(4, ceil(log2(corpusSize / targetBucket)))` keeps the
-    *    expected per-band bucket at ~`targetBucket` members, so candidate
-    *    pair generation stays linear in the corpus;
-    *  - `bands = ceil(ln(1 − recallTarget) / ln(1 − p^bits))`, clamped to
-    *    [8, 64], restores per-pair recall ≥ `recallTarget` at per-plane
-    *    agreement `p` (`p = 1 − θ/π`; 0.6 ≈ the cosine-0.3..0.5 regime,
-    *    use ~0.8 for true near-dups at cosine ≥ 0.8);
+    *  - ideal `bits = max(4, ceil(log2(corpusSize / targetBucket)))` keeps
+    *    the expected per-band bucket at ~`targetBucket` members;
+    *  - `bands(bits) = ceil(ln(1 − recallTarget) / ln(1 − p^bits))` is what
+    *    per-pair recall ≥ `recallTarget` COSTS at per-plane agreement `p`
+    *    (`p = 1 − θ/π`; 0.6 ≈ the cosine-0.3..0.5 regime, ~0.8 for true
+    *    near-dups at cosine ≥ 0.8) — it grows geometrically with bits, so
+    *    past a corpus size the ideal bit width is unaffordable;
+    *  - when `bands(bits)` exceeds `maxBands`, bits are WALKED DOWN until
+    *    the recall target is affordable — coarser buckets (occupancy above
+    *    `targetBucket`) are a cost the candidate-confirm stage absorbs,
+    *    whereas silently missing recall is an unfixable data defect;
+    *  - if even the affordable geometry would push expected occupancy past
+    *    `maxBucket` (the skew cap would then SKIP typical buckets, a
+    *    silent recall collapse), derive REFUSES with the actionable
+    *    alternatives rather than returning a config that lies;
     *  - `prime` = smallest prime ≥ the plane count (pairwise-distinct
     *    planes — see VecLshBuckets for the two historical defects).
     */
@@ -70,17 +78,31 @@ object EmbedLshConfig {
              planeAgreement: Double = 0.6,
              recallTarget: Double = 0.9,
              maxBucket: Int = 1000,
-             cosineConfirm: Double = 0.45): EmbedLshConfig = {
-    require(corpusSize > 0 && targetBucket > 0)
+             cosineConfirm: Double = 0.45,
+             maxBands: Int = 64): EmbedLshConfig = {
+    require(corpusSize > 0 && targetBucket > 0 && maxBands >= 1)
     require(planeAgreement > 0 && planeAgreement < 1)
     require(recallTarget > 0 && recallTarget < 1)
-    val bits = math.max(4,
+    def bandsFor(bits: Int): Long = {
+      val pBand = math.pow(planeAgreement, bits)
+      if (pBand <= 0) Long.MaxValue
+      else math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand)).toLong
+    }
+    val idealBits = math.max(4,
       math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt)
-    val pBand = math.pow(planeAgreement, bits)
-    val rawBands =
-      if (pBand <= 0) 64
-      else math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand))
-    val bands = math.min(64, math.max(8, rawBands.toInt))
+    val bits = (idealBits to 4 by -1).find(b => bandsFor(b) <= maxBands)
+      .getOrElse(throw new IllegalArgumentException(
+        s"recall $recallTarget at plane agreement $planeAgreement needs " +
+          s"${bandsFor(4)} bands even at 4 bits (> maxBands $maxBands): " +
+          "raise maxBands, lower recallTarget, or use IVF"))
+    val occupancy = corpusSize.toDouble / (1L << bits)
+    require(occupancy <= maxBucket,
+      f"corpus $corpusSize needs $idealBits-bit buckets, but recall " +
+        f"$recallTarget only affords $bits bits within $maxBands bands — " +
+        f"expected occupancy $occupancy%.0f would exceed maxBucket " +
+        s"$maxBucket and the skew cap would skip TYPICAL buckets: raise " +
+        "maxBands/maxBucket, lower recallTarget, or use IVF at this scale")
+    val bands = math.max(8, bandsFor(bits).toInt)
     EmbedLshConfig(bands, bits, primeAtLeast(bands * bits), dim,
       maxBucket, cosineConfirm)
   }
@@ -157,7 +179,10 @@ object Ann {
     val okBuckets = bands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= cfg.maxBucket).select(col("band"), col("bucket"))
-    val qb = bands.filter(isQuery).select(col("vec_id").as("qid"),
+    // isQuery is applied to emb itself (not the pruned bands projection) so
+    // a predicate over any contract column — vec_id OR e — works in every
+    // Ann operator; re-banding the handful of query rows is free
+    val qb = lshBands(emb.filter(isQuery), cfg).select(col("vec_id").as("qid"),
       col("band"), col("bucket"))
     val cb = bands.select(col("vec_id").as("cid"), col("band"), col("bucket"))
     val cand = qb.join(okBuckets, Seq("band", "bucket"))
@@ -244,7 +269,8 @@ object Ann {
     import spark.implicits._
     val n = withNorm(emb)
     var cents: IndexedSeq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).collect()
+      .select(col("vec_id"), col("e")) // by name: the contract promises the
+      .orderBy(col("vec_id")).collect() // columns, not their position
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toIndexedSeq
     for (_ <- 1 to iters) {
       // the centroids are MODEL state already on the driver, so score them

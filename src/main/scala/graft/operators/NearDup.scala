@@ -28,17 +28,26 @@ final case class MinHashConfig(
 }
 
 object MinHashConfig {
-  /** Size the band split for a confirm threshold: pick rows-per-band so the
-    * S-curve lands below `jaccardConfirm` (recall at the threshold stays
-    * high), with `bandsCount` bands for amplification. Pure math — corpus
+  /** Size the band split for a confirm threshold: the S-curve threshold
+    * `(1/b)^(1/r)` RISES with rows-per-band (more rows = stricter bands),
+    * so take the LARGEST r that keeps it at or below `margin ·
+    * jaccardConfirm` — the band test stays strict enough that candidate
+    * volume is bounded, while the threshold sits far enough under the
+    * confirm level that recall there stays high (at `margin` 0.75 and the
+    * solved r, recall at `jaccardConfirm` is ≥ ~0.95 for b ≥ 4). Closed
+    * form: `(1/b)^(1/r) ≤ t  ⟺  r ≤ ln(1/b)/ln(t)` (both logs negative).
+    * r floors at 1 — the loosest band possible — when even a single-row
+    * band sits above the target (tiny confirm thresholds: max recall, more
+    * candidates to confirm; never an infinite search). Pure math — corpus
     * size does not move MinHash geometry (bucket keys are 28-bit hash
     * tuples, already sparse); `maxBucket` is the skew guard. */
   def derive(jaccardConfirm: Double, bandsCount: Int = 6,
-             maxBucket: Int = 1000): MinHashConfig = {
+             maxBucket: Int = 1000, margin: Double = 0.75): MinHashConfig = {
     require(jaccardConfirm > 0 && jaccardConfirm < 1)
-    val r = Iterator.from(1)
-      .find(r => math.pow(1.0 / bandsCount, 1.0 / r) <= jaccardConfirm)
-      .get
+    require(margin > 0 && margin <= 1)
+    val target = margin * jaccardConfirm
+    val r = math.max(1,
+      math.floor(math.log(1.0 / bandsCount) / math.log(target)).toInt)
     MinHashConfig(bandsCount * r, bandsCount, maxBucket, jaccardConfirm)
   }
 }

@@ -56,19 +56,23 @@ object Sources {
         col("length"), col("content"))
 
   /** Register `tbl` as a bucketed parquet table at `path`, building the
-    * files only when the source's fingerprint — (row count, max join key),
-    * one cheap 2-column aggregate — differs from the one recorded at build
-    * time. A bare existence sentinel would silently serve STALE buckets if
-    * the source were ever regenerated in place; the fingerprint re-check
-    * costs one footer-count + key max per run and turns that into a
+    * files only when the source's fingerprint — (row count, max join key,
+    * order-independent xxhash of every row), one aggregate scan — differs
+    * from the one recorded at build time. A bare existence sentinel would
+    * silently serve STALE buckets if the source were ever regenerated in
+    * place, and a cardinality-only fingerprint would still miss a
+    * values-only regeneration; the full row hash turns both into a
     * rebuild. Re-registration goes through DDL because bucket metadata
     * lives in the catalog, not the parquet footer. */
   private[graft] def ensureBucketed(s: SparkSession, tbl: String, path: String,
                                     key: String, ddlCols: String,
                                     src: => DataFrame): Unit = {
     val df = src
-    val fpRow = df.agg(count(lit(1)), max(col(key))).head()
-    val fp = s"${fpRow.get(0)}_${fpRow.get(1)}"
+    // decimal sum: ANSI mode would throw on a bigint overflow; the hash sum
+    // is commutative, so partitioning/order can't move the fingerprint
+    val fpRow = df.agg(count(lit(1)), max(col(key)),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+    val fp = s"${fpRow.get(0)}_${fpRow.get(1)}_${fpRow.get(2)}"
     val marker = Paths.get(path, "_built")
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     if (Files.exists(marker) &&

@@ -15,37 +15,51 @@ import graft.SparkSpecBase
   */
 class NearDupConfigSpec extends SparkSpecBase {
 
-  test("EmbedLshConfig.derive sizes bits to corpus and restores recall with bands") {
-    // bits = max(4, ceil(log2(n / targetBucket))): 4x corpus => +2 bits
-    val small = EmbedLshConfig.derive(corpusSize = 4096, dim = 64, targetBucket = 64)
-    val large = EmbedLshConfig.derive(corpusSize = 16384, dim = 64, targetBucket = 64)
-    assert(small.bits === 6)
-    assert(large.bits === 8)
-    // finer buckets need more bands for the same recall target
-    assert(large.bands >= small.bands)
-    // the amplification curve clears the recall target — or the band clamp
-    // (64, a cost ceiling) was hit, the documented escape hatch for a
-    // hard p/bits regime
+  test("EmbedLshConfig.derive sizes bits to corpus and ALWAYS meets the recall target") {
     def recall(c: EmbedLshConfig, p: Double): Double =
       1 - math.pow(1 - math.pow(p, c.bits), c.bands)
-    assert(recall(small, 0.6) >= 0.9)
-    assert(recall(large, 0.6) >= 0.9 || large.bands === 64)
-    // at true near-dup similarity (p ~ 0.8) both geometries clear it outright
-    assert(recall(small, 0.8) >= 0.9)
-    assert(recall(large, 0.8) >= 0.9)
+    // true near-dup regime (p ~ 0.8): ideal bits are affordable, so
+    // 4x corpus => +2 bits, and bands grow to hold the recall target
+    val small = EmbedLshConfig.derive(4096, dim = 64, targetBucket = 64,
+      planeAgreement = 0.8)
+    val large = EmbedLshConfig.derive(16384, dim = 64, targetBucket = 64,
+      planeAgreement = 0.8)
+    assert(small.bits === 6 && large.bits === 8)
+    assert(large.bands > small.bands)
+    assert(recall(small, 0.8) >= 0.9 && recall(large, 0.8) >= 0.9)
+    // hard regime (p = 0.6 default): the ideal 10 bits would need ~379
+    // bands — derive walks bits DOWN until recall is affordable instead of
+    // silently clamping bands and missing the target (the review finding)
+    val hard = EmbedLshConfig.derive(60000, dim = 64, targetBucket = 64)
+    assert(hard.bits === 6 && hard.bands <= 64)
+    assert(recall(hard, 0.6) >= 0.9)
+    // and when even the affordable geometry would blow past maxBucket —
+    // the skew cap would then skip TYPICAL buckets — derive refuses loudly
+    intercept[IllegalArgumentException](
+      EmbedLshConfig.derive(10000000L, dim = 64, targetBucket = 64))
     // prime must dominate the plane count, pairwise-distinctness's precondition
     assert(small.prime >= small.bands * small.bits)
-    assert(large.prime >= large.bands * large.bits)
+    assert(hard.prime >= hard.bands * hard.bits)
     assert(EmbedLshConfig.primeAtLeast(144) === 149)
   }
 
   test("MinHashConfig.derive lands the S-curve under the confirm threshold") {
     val c = MinHashConfig.derive(jaccardConfirm = 0.8)
-    assert(c.sCurveThreshold <= 0.8)
+    assert(c.rowsPerBand === 3) // largest r with (1/6)^(1/r) <= 0.75*0.8
+    assert(c.sCurveThreshold <= 0.75 * 0.8)
     assert(c.numHashes === c.bands * c.rowsPerBand)
-    // tighter confirm => fewer rows per band suffice; looser needs more
-    val loose = MinHashConfig.derive(jaccardConfirm = 0.95)
-    assert(loose.rowsPerBand <= c.rowsPerBand)
+    def recallAtConfirm(m: MinHashConfig): Double =
+      1 - math.pow(1 - math.pow(m.jaccardConfirm, m.rowsPerBand), m.bands)
+    assert(recallAtConfirm(c) >= 0.95)
+    // the S-curve RISES with rows-per-band, so a HIGHER confirm threshold
+    // affords MORE rows per band (stricter bands, fewer candidates)
+    val strict = MinHashConfig.derive(jaccardConfirm = 0.95)
+    assert(strict.rowsPerBand > c.rowsPerBand)
+    assert(recallAtConfirm(strict) >= 0.95)
+    // a confirm below the single-row floor (1/bands) degrades to r = 1
+    // (max recall, candidate volume bounded only by maxBucket) — it must
+    // never hang searching for an unreachable threshold
+    assert(MinHashConfig.derive(jaccardConfirm = 0.05).rowsPerBand === 1)
     intercept[IllegalArgumentException](MinHashConfig(numHashes = 10, bands = 4))
   }
 

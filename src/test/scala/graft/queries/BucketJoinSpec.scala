@@ -59,15 +59,20 @@ class BucketJoinSpec extends SparkSpecBase {
       s"$wh/t", "k", "k BIGINT, v BIGINT",
       (0 until n).map(i => (i.toLong, v)).toDF("k", "v"))
     def maxV: Long = s.table("fp_bucketed").agg(max(col("v"))).head().getLong(0)
+    val marker = new java.io.File(s"$wh/t/_built")
     try {
       build(5, v = 1)
       assert(s.table("fp_bucketed").count() === 5)
-      // unchanged fingerprint (same count, same max key): served from the
-      // existing files — v still shows the FIRST build
+      val built1 = marker.lastModified()
+      // identical source: served from the existing files, marker untouched
+      build(5, v = 1)
+      assert(marker.lastModified() === built1)
+      // VALUES-only regeneration (same count, same max key): the row-hash
+      // fingerprint still catches it — a cardinality-only one would not
       build(5, v = 2)
-      assert(maxV === 1L)
-      // changed fingerprint (row count moved): rebuilt — a bare existence
-      // sentinel would have kept serving the stale 5-row build
+      assert(maxV === 2L)
+      // cardinality change: rebuilt — a bare existence sentinel would have
+      // kept serving the stale 5-row build
       build(7, v = 3)
       assert(s.table("fp_bucketed").count() === 7)
       assert(maxV === 3L)

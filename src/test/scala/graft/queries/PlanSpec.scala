@@ -51,9 +51,11 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_embed_ann_ivf")
     assert(p.contains("partial_max_by") || p.contains("partial_first"),
       s"IVF assignment lost its map-side partial aggregate:\n$p")
-    val windowCount = "(?m)^\\s*\\S*Window".r.findAllIn(p).size
-    assert(windowCount <= 2, // probe-side rank + final top-k rank, never a 3rd
-      s"IVF plan grew an extra window (expected probe rank + top-k only):\n$p")
+    // "Window [" is the exact operator print form ("WindowGroupLimit [" has
+    // no space before its bracket, so rank-pushdown nodes don't count)
+    val windowCount = "Window \\[".r.findAllIn(p).size
+    assert(windowCount >= 1 && windowCount <= 2, // probe rank + top-k rank,
+      s"IVF plan window count $windowCount (expected 1-2, never a full-data assignment window):\n$p")
   }
 
   test("aggregations run as partial+final hash aggregates") {
