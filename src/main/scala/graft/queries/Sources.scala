@@ -195,6 +195,29 @@ object Sources {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B5 sorted-layout write → stats-pruned scan: orders written
+    // range-partitioned AND sorted by o_orderdate, so every parquet
+    // row-group's min/max date stats are tight and a date-range read
+    // discharges most row groups from their footer alone — the third
+    // layout recipe next to q_partition_prune (directory pruning, best for
+    // low-cardinality keys) and q_bucket_join (co-located joins): sort on
+    // the RANGE-scanned column. The pushed filter (PushedFilters in the
+    // plan) is what the row-group stats answer; values are hash-checked.
+    "q_sorted_scan" -> { (s, d) =>
+      val dir = scratch(d, "sorted")
+      if (!new File(dir, "_SUCCESS").exists())
+        Tables.orders(s, d)
+          .repartitionByRange(4, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate"))
+          .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"), QUtil.moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("day"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -222,6 +245,14 @@ object Sources {
          |  max(CAST(o_orderdate AS DATE)) AS last_date
          |FROM orders WHERE o_orderkey < 200
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sorted_scan" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+         |  ${QUtil.moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_orc_roundtrip" ->
       s"""SELECT s_nationkey, count(*) AS n,

@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_sorted_scan pushes the date-range filter to the sorted parquet scan") {
+    // the pushed predicate is what parquet answers from row-group min/max
+    // stats — with the sort-on-write layout, out-of-range groups are
+    // discharged from the footer alone
+    val p = plan("q_sorted_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("PushedFilters: [GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q_multimodal_meta places no broadcast hint on the unbounded catalog side") {
     // the document catalog grows with the corpus: a hard-wired broadcast
     // hint would OOM the driver at 100 TB — join strategy is left to AQE
