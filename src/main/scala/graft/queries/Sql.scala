@@ -91,6 +91,23 @@ object Sql {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** WITH RECURSIVE through both frontends (Spark 4 gained recursive CTEs;
+    * DuckDB has always had them): a recursively generated month spine
+    * LEFT-JOINed to real orders — the join direction every reporting query
+    * needs when empty periods must still appear. Identical text. */
+  private val recursive =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT m + 1 FROM months WHERE m < 12)
+      |SELECT m.m AS mo, count(o.o_orderkey) AS n,
+      |  round(sum(round(o.o_totalprice * 100)) / 100, 2) AS total
+      |FROM months m LEFT JOIN orders o
+      |  ON month(CAST(o.o_orderdate AS TIMESTAMP)) = m.m
+      | AND year(CAST(o.o_orderdate AS TIMESTAMP)) = 1996
+      |GROUP BY m.m
+      |ORDER BY mo""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -102,6 +119,7 @@ object Sql {
     "q_sql_tpch5" -> run(tpch5),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
+    "q_sql_recursive" -> run(recursive),
     "q_sql_udf_isbn" -> run(isbnSparkSql))
 
   val oracle: Map[String, String] = Map(
@@ -109,5 +127,6 @@ object Sql {
     "q_sql_tpch5" -> tpch5,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
+    "q_sql_recursive" -> recursive,
     "q_sql_udf_isbn" -> isbnOracleSql)
 }
