@@ -168,6 +168,113 @@ object VecLshBuckets {
     Array.tabulate(nPlanes, dim)((j, i) => coef(j, i, prime))
 }
 
+/** Argmax-cosine cell assignment against a FOLDABLE centroid matrix
+  * (SURVEY.md B51 — the k-means/IVF assignment kernel): returns the INDEX
+  * (long) of the centroid with the highest `round(cos, 6)`, first index
+  * winning ties — with centroids sorted by id that is exactly the
+  * `max_by(cent_id, struct(round(cos,6), -cent_id))` / SQL
+  * `row_number() OVER (ORDER BY cos DESC, cent_id)` = 1 semantics the
+  * oracles replay.
+  *
+  * Why an expression: the centroid matrix is driver-side MODEL state; as a
+  * `typedLit` operand every element read unboxes through GenericArrayData
+  * (measured ~2.5x on the kmeans bench rows), and as a broadcast-join side
+  * the argmax needs a groupBy that shuffles every vector per iteration.
+  * Baking the matrix in as a primitive `double[][]` reference object keeps
+  * the assignment a zero-shuffle projection at primitive-read speed.
+  *
+  * Rounding uses BigDecimal HALF_UP — bit-compatible with Spark's
+  * `round(col, 6)` (RoundBase) and therefore with the DuckDB oracle that
+  * already hash-matches it. */
+case class VecBestCell(vec: Expression, cents: Expression)
+    extends BinaryExpression {
+  require(cents.foldable, "vec_best_cell: centroid matrix must be foldable")
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_best_cell"
+
+  @transient lazy val (planes: Array[Array[Double]], norms: Array[Double]) = {
+    val arr = cents.eval(null).asInstanceOf[ArrayData]
+    val m = Array.tabulate(arr.numElements()) { i =>
+      arr.getArray(i).toDoubleArray()
+    }
+    (m, m.map(p => math.sqrt(p.map(x => x * x).sum)))
+  }
+
+  /** Spark `round(x, 6)` semantics (RoundBase: BigDecimal HALF_UP). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(v: Any, unused: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    var nrm2 = 0.0
+    var i = 0
+    while (i < e.numElements()) { val x = e.getDouble(i); nrm2 += x * x; i += 1 }
+    val nrm = math.sqrt(nrm2)
+    var best = Double.NegativeInfinity
+    var bestIdx = 0L
+    var c = 0
+    while (c < planes.length) {
+      val p = planes(c)
+      val n = math.min(p.length, e.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += e.getDouble(j) * p(j); j += 1 }
+      val cos = round6(s / (nrm * norms(c)))
+      if (cos > best) { best = cos; bestIdx = c.toLong }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("cellPlanes", planes, "double[][]")
+    val nms = ctx.addReferenceObj("cellNorms", norms, "double[]")
+    val nrm2 = ctx.freshName("nrm2")
+    val nrm = ctx.freshName("nrm")
+    val len = ctx.freshName("len")
+    val best = ctx.freshName("best")
+    val bestIdx = ctx.freshName("bestIdx")
+    val c = ctx.freshName("c")
+    val p = ctx.freshName("p")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val j = ctx.freshName("j")
+    val cos = ctx.freshName("cos")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"""
+         |int $len = $v.numElements();
+         |double $nrm2 = 0.0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  double x = $v.getDouble($i); $nrm2 += x * x;
+         |}
+         |double $nrm = java.lang.Math.sqrt($nrm2);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |long $bestIdx = 0L;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $p = $mat[$c];
+         |  int $n = java.lang.Math.min($p.length, $len);
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $s += $v.getDouble($j) * $p[$j];
+         |  }
+         |  double $cos = java.math.BigDecimal.valueOf($s / ($nrm * $nms[$c]))
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if ($cos > $best) { $best = $cos; $bestIdx = (long) $c; }
+         |}
+         |${ev.value} = $bestIdx;
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecBestCell =
+    copy(vec = newLeft, cents = newRight)
+}
+
 object VectorExprs {
   private val toVec: Expression => Expression = {
     case e if e.dataType == ArrayType(DoubleType, containsNull = false) => e
@@ -192,5 +299,10 @@ object VectorExprs {
       (children: Seq[Expression]) => VecLshBuckets(toVec(children.head),
         intLit(children(1), "bands"), intLit(children(2), "bits"),
         intLit(children(3), "prime"), intLit(children(4), "dim"))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_best_cell"),
+      new ExpressionInfo(classOf[VecBestCell].getName, "vec_best_cell"),
+      (children: Seq[Expression]) => VecBestCell(toVec(children.head),
+        children(1))))
   }
 }

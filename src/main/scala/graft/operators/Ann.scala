@@ -267,30 +267,29 @@ object Ann {
   def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = withNorm(emb)
     var cents: IndexedSeq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("e")) // by name: the contract promises the
       .orderBy(col("vec_id")).collect() // columns, not their position
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toIndexedSeq
     for (_ <- 1 to iters) {
-      // the centroids are MODEL state already on the driver, so score them
-      // as k literal columns and take the argmax in one projection — the
-      // assignment never shuffles (a broadcast-join + groupBy(vec) form
-      // would move every vector once per iteration). Struct ordering gives
-      // the (cos DESC, cent_id ASC) tiebreak: max on (cos, −id).
-      val scored = cents.map { case (id, c) =>
-        val cnrm = math.sqrt(c.map(x => x * x).sum)
-        struct(
-          round(vdot(col("e"), typedLit(c)) / (col("nrm") * lit(cnrm)), 6).as("cos"),
-          lit(-id).as("neg"))
-      }
-      val cell = -array_max(array(scored: _*)).getField("neg")
-      val means = n.select(cell.as("cell"), posexplode(col("e")))
+      // the centroids are MODEL state already on the driver, so the
+      // assignment is ONE projection through the vec_best_cell kernel
+      // ([[graft.functions.VecBestCell]]): the matrix rides along as a
+      // primitive codegen reference object — no broadcast join, no
+      // groupBy(vec) (which would shuffle every vector once per
+      // iteration), and no boxed literal-array reads. The kernel returns
+      // the argmax INDEX with first-wins ties; centroids are sorted by id,
+      // so that is exactly the (round(cos,6) DESC, cent_id ASC) rank-1
+      // the oracle replays.
+      val cell = call_function("vec_best_cell", col("e"),
+        typedLit(cents.map(_._2)))
+      val means = emb.select(cell.as("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect().groupBy(_.getLong(0))
         .map { case (c, rows) =>
           c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
-      cents = cents.map { case (id, prev) => (id, means.getOrElse(id, prev)) }
+      cents = cents.zipWithIndex.map { case ((id, prev), i) =>
+        (id, means.getOrElse(i.toLong, prev)) }
     }
     cents.toDF("cent_id", "ce")
       .select(col("cent_id"), posexplode(col("ce")))

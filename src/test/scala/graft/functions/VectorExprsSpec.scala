@@ -91,4 +91,36 @@ class VectorExprsSpec extends SparkSpecBase {
     assert(df(0).getAs[Seq[Long]]("b").size === 4)
     assert(df(1).isNullAt(2))
   }
+
+  test("vec_best_cell picks the max-cosine index, first index winning ties") {
+    val s = spark
+    import s.implicits._
+    // centroids: axis-aligned; v = (1, 0) must pick index 0; v = (1, 1) has
+    // equal cosine to both axes => tie => index 0; v = (0, 1) picks 1;
+    // index 2 duplicates index 1 so (0, 1) must still report the FIRST max
+    val cents = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 2.0)))
+    val rows = Seq((0, Seq(3.0, 0.0)), (1, Seq(2.0, 2.0)), (2, Seq(0.0, 5.0)))
+      .toDF("id", "e")
+      .withColumn("cell", call_function("vec_best_cell", col("e"), cents))
+      .orderBy("id").collect().map(_.getAs[Long]("cell"))
+    assert(rows.toSeq === Seq(0L, 0L, 1L))
+    // interpreted path (expression eval outside codegen) agrees
+    val expr = graft.functions.VecBestCell(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    assert(expr.eval(null) === 0L)
+    // a non-foldable centroid operand is refused at construction
+    val err = intercept[Exception] {
+      Seq((1, Seq(1.0))).toDF("id", "e")
+        .withColumn("c", call_function("vec_best_cell", col("e"), col("e")))
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
 }
