@@ -197,15 +197,21 @@ case class VecBestCell(vec: Expression, cents: Expression)
 
   @transient lazy val (planes: Array[Array[Double]], norms: Array[Double]) = {
     val arr = cents.eval(null).asInstanceOf[ArrayData]
+    require(arr != null && arr.numElements() > 0,
+      "vec_best_cell: centroid matrix must be non-empty")
     val m = Array.tabulate(arr.numElements()) { i =>
       arr.getArray(i).toDoubleArray()
     }
     (m, m.map(p => math.sqrt(p.map(x => x * x).sum)))
   }
 
-  /** Spark `round(x, 6)` semantics (RoundBase: BigDecimal HALF_UP). */
+  /** Spark `round(x, 6)` semantics (RoundBase: BigDecimal HALF_UP, with
+    * the same NaN/Infinity passthrough — BigDecimal.valueOf would THROW on
+    * a zero-norm vector's NaN cosine; a NaN compares false against `best`,
+    * so such rows keep cell 0, exactly like the pre-kernel round() path). */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   override protected def nullSafeEval(v: Any, unused: Any): Any = {
@@ -245,12 +251,13 @@ case class VecBestCell(vec: Expression, cents: Expression)
     val j = ctx.freshName("j")
     val cos = ctx.freshName("cos")
     val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
     nullSafeCodeGen(ctx, ev, (v, _) =>
       s"""
          |int $len = $v.numElements();
          |double $nrm2 = 0.0;
          |for (int $i = 0; $i < $len; $i++) {
-         |  double x = $v.getDouble($i); $nrm2 += x * x;
+         |  double $x = $v.getDouble($i); $nrm2 += $x * $x;
          |}
          |double $nrm = java.lang.Math.sqrt($nrm2);
          |double $best = java.lang.Double.NEGATIVE_INFINITY;
@@ -262,8 +269,11 @@ case class VecBestCell(vec: Expression, cents: Expression)
          |  for (int $j = 0; $j < $n; $j++) {
          |    $s += $v.getDouble($j) * $p[$j];
          |  }
-         |  double $cos = java.math.BigDecimal.valueOf($s / ($nrm * $nms[$c]))
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $cos = $s / ($nrm * $nms[$c]);
+         |  if (!java.lang.Double.isNaN($cos) && !java.lang.Double.isInfinite($cos)) {
+         |    $cos = java.math.BigDecimal.valueOf($cos)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
          |  if ($cos > $best) { $best = $cos; $bestIdx = (long) $c; }
          |}
          |${ev.value} = $bestIdx;
@@ -279,6 +289,13 @@ object VectorExprs {
   private val toVec: Expression => Expression = {
     case e if e.dataType == ArrayType(DoubleType, containsNull = false) => e
     case e => Cast(e, ArrayType(DoubleType))
+  }
+
+  /** Coerce a centroid-matrix operand to array<array<double>> (an integer
+    * literal matrix would otherwise ClassCastException at plane init). */
+  private val toMat: Expression => Expression = {
+    case e if e.dataType == ArrayType(ArrayType(DoubleType, false), false) => e
+    case e => Cast(e, ArrayType(ArrayType(DoubleType)))
   }
 
   private def intLit(e: Expression, name: String): Int = e match {
@@ -303,6 +320,6 @@ object VectorExprs {
       new FunctionIdentifier("vec_best_cell"),
       new ExpressionInfo(classOf[VecBestCell].getName, "vec_best_cell"),
       (children: Seq[Expression]) => VecBestCell(toVec(children.head),
-        children(1))))
+        toMat(children(1)))))
   }
 }

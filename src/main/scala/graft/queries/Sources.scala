@@ -205,11 +205,14 @@ object Sources {
     // plan) is what the row-group stats answer; values are hash-checked.
     "q_sorted_scan" -> { (s, d) =>
       val dir = scratch(d, "sorted")
-      if (!new File(dir, "_SUCCESS").exists())
-        Tables.orders(s, d)
-          .repartitionByRange(4, col("o_orderdate"))
-          .sortWithinPartitions(col("o_orderdate"))
-          .write.mode("overwrite").parquet(dir)
+      // rewritten every run (like q_partition_prune): a bare existence
+      // sentinel would serve a stale sorted copy if the source data were
+      // regenerated in place — the defect class ensureBucketed's
+      // fingerprint exists to prevent
+      Tables.orders(s, d)
+        .repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-04-01").cast("timestamp"))

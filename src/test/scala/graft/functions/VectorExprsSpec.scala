@@ -115,6 +115,19 @@ class VectorExprsSpec extends SparkSpecBase {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))
     assert(expr.eval(null) === 0L)
+    // a zero-norm vector (NaN cosine everywhere) must keep cell 0, not
+    // crash — BigDecimal.valueOf(NaN) throws; Spark's round() passes NaN
+    // through and NaN compares false, which the kernel mirrors
+    val zero = Seq((0, Seq(0.0, 0.0))).toDF("id", "e")
+      .withColumn("cell", call_function("vec_best_cell", col("e"), cents))
+      .head().getAs[Long]("cell")
+    assert(zero === 0L)
+    // an integer literal matrix is coerced, not ClassCastException'd
+    val intMat = Seq((0, Seq(1.0, 0.0))).toDF("id", "e")
+      .withColumn("cell", call_function("vec_best_cell", col("e"),
+        org.apache.spark.sql.functions.expr("array(array(0, 1), array(1, 0))")))
+      .head().getAs[Long]("cell")
+    assert(intMat === 1L)
     // a non-foldable centroid operand is refused at construction
     val err = intercept[Exception] {
       Seq((1, Seq(1.0))).toDF("id", "e")
