@@ -195,6 +195,25 @@ object Sources {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B3-adjacent text source round-trip (the 6th format next to parquet/
+    // CSV/JSON/ORC/binaryFile — raw text lines are how LLM corpora ship):
+    // one "doc_id|text" line per document out through the text sink, parsed
+    // back with a limit-2 split (embedded separators stay in the text), and
+    // reduced to per-doc stats the oracle recomputes from the parquet.
+    "q_text_roundtrip" -> { (s, d) =>
+      val dir = scratch(d, "txt")
+      Tables.documents(s, d)
+        .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(split(col("value"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("text"))
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // B5 sorted-layout write → stats-pruned scan: orders written
     // range-partitioned AND sorted by o_orderdate, so every parquet
     // row-group's min/max date stats are tight and a date-range read
@@ -248,6 +267,11 @@ object Sources {
          |  max(CAST(o_orderdate AS DATE)) AS last_date
          |FROM orders WHERE o_orderkey < 200
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_text_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sorted_scan" ->
       s"""SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
