@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout/stderr instead of
+// through sbt's logger: the logger prefixes every line with "[info] "/"[error] ",
+// which breaks any harness that tries to json-parse the one-line Bench report
+// (observed: four rounds of BENCH_r*.json with parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,14 +53,27 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Own line on BOTH streams so the driver's parser finds it regardless of
-    // which stream it captures (sbt prefixes stdout with [info]); also
-    // persisted to a file so a truncated log tail can never lose it.
+    // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
+    // log-tail capture window, so a parser that only sees the end of the run
+    // can find the line's tail but not its head. Emit a second, compact line
+    // LAST (slowest 20 queries only, full map persisted to a file) so a
+    // complete parseable JSON line always sits within the final ~1.5 KB of
+    // output on both streams.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"sf":"$sfDir","full":"target/bench_last.json"}"""
+    // Both lines on BOTH streams so the driver's parser finds one regardless
+    // of which stream it captures; full line also persisted to a file so a
+    // truncated log tail can never lose it.
     println(line)
     System.err.println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
     catch { case _: Throwable => () }
+    println(compact)
+    System.err.println(compact)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
