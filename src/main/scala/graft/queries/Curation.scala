@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity (SURVEY.md §2 Part B extensions): repetition
+  * quality gates, PII redaction, incremental SCD2 snapshot merge,
+  * embedding pooling and an inverted term index.
+  *
+  * Scale posture: every query is a linear scan plus key-partitioned
+  * aggregates/windows — no all-pairs step, no driver-side loop. The
+  * repetition metrics ride ONE posexplode (the bigram and run passes share
+  * it); the SCD2 merge is the one key shuffle an incremental ingest pays;
+  * pooling aggregates (label, dim) with map-side partial combine.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic synthetic PII appended to each doc — the corpus itself is
+    * PII-free word soup, so the redaction path needs planted addresses. The
+    * SAME expression is written in the oracle SQL: the redaction is what is
+    * under test, not the planting. */
+  private def withPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text2", concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 7 === 0, lit(" and admin@test.org")).otherwise(lit(""))))
+
+  /** Regexes kept to the Java-regex ∩ RE2 common subset (char classes,
+    * +/{n} quantifiers — no lookaround, no backrefs) so Spark and DuckDB
+    * match identically. */
+  private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  val defs: Map[String, Q] = Map(
+    // Gopher-style repetition metrics: duplicate-token fraction, most
+    // frequent bigram share, longest same-token run. One posexplode feeds
+    // both the bigram counts and the run-length pass; everything downstream
+    // is (doc_id)-partitioned — at 100 TB this shuffles token rows once on
+    // doc_id and aggregates with partial combine.
+    "q_text_repetition" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val seq = toks
+        .withColumn("next_tok", lead(col("tok"), 1).over(w))
+        .withColumn("new_run",
+          when(lag(col("tok"), 1).over(w) === col("tok"), 0).otherwise(1))
+        .withColumn("run_id", sum(col("new_run"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = seq.groupBy(col("doc_id"), col("run_id"))
+        .agg(count(lit(1)).as("rl"))
+        .groupBy(col("doc_id")).agg(max(col("rl")).as("max_run"))
+      val bg = seq.filter(col("next_tok").isNotNull)
+        .groupBy(col("doc_id"), col("tok"), col("next_tok"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+        .join(bg, Seq("doc_id"), "left")
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          round(lit(1.0) - col("n_distinct") / col("n_toks").cast("double"), 6)
+            .as("dup_tok_frac"),
+          col("top_bigram_n"),
+          round(col("top_bigram_n") / col("n_bigrams").cast("double"), 6)
+            .as("top_bigram_frac"),
+          col("max_run"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: emails/phones matched, counted, and replaced in one
+    // linear codegen'd pass (regexp_extract_all + regexp_replace — no UDF).
+    // Output carries the md5 of the redacted text so the oracle proves the
+    // rewritten BYTES match, not just the counts.
+    "q_text_pii" -> { (s, d) =>
+      withPii(Tables.documents(s, d)).select(col("doc_id"),
+          size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Inverted term index: term → document frequency + first-20 posting
+    // list. distinct (doc, term) pairs → one aggregate on term; the posting
+    // list is slice-capped so a mega-term (every term here, 31-token vocab)
+    // carries bounded state — the cap rule every collect_list at scale needs.
+    "q_text_inverted" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            k => k.cast("string"))).as("postings"))
+        .orderBy(col("term"))
+    },
+
+    // Embedding mean-pool per label class: posexplode dims → (label, dim)
+    // aggregate with map-side combine. Float sums are order-dependent, so
+    // the mean rides the integer-scaled exact-sum trick (QUtil doc): round
+    // each float to 6 dp as an integer, sum exactly, divide — engine- and
+    // partition-order-exact.
+    "q_embed_pool" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(sum(round(col("v").cast("double") * 1e6)) / 1e6 / count(lit(1)), 6)
+            .as("pooled"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim"))
+    },
+
+    // SCD2 incremental merge: base snapshot (orders with key%100 < 90) +
+    // change batch (key%10 = 3: updates where the key exists, inserts at
+    // %100 = 93) → versioned rows with is_current. The merge is two
+    // key-partitioned joins (existence flags), ONE shuffle each — the
+    // canonical MERGE INTO dataflow without a table format, and exactly
+    // what an incremental 100 TB ingest pays per batch.
+    "q_scd2_merge" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 100 < 90)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val changes = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 1.1, 2).as("price"), lit("U").as("status"))
+      val v1 = base.join(changes.select(col("k"), lit(1).as("upd")), Seq("k"), "left")
+        .select(col("k"), col("price"), col("status"), lit(1).as("version"),
+          col("upd").isNull.as("is_current"))
+      val v2 = changes.join(base.select(col("k"), lit(1).as("had")), Seq("k"), "left")
+        .select(col("k"), col("price"), col("status"),
+          when(col("had").isNotNull, 2).otherwise(1).as("version"),
+          lit(true).as("is_current"))
+      v1.unionByName(v2).orderBy(col("k"), col("version"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, tok, pos,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok,
+        |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+        |      THEN 0 ELSE 1 END AS new_run
+        |  FROM tok),
+        |runs AS (
+        |  SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM (
+        |    SELECT doc_id, run_id, count(*) AS rl FROM (
+        |      SELECT doc_id, sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |      FROM seq) GROUP BY doc_id, run_id) GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(n) AS BIGINT) AS n_bigrams FROM (
+        |    SELECT doc_id, tok, next_tok, count(*) AS n FROM seq
+        |    WHERE next_tok IS NOT NULL GROUP BY doc_id, tok, next_tok)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(string_split(b.text, ' ')) AS INT) AS n_toks,
+        |  round(1.0 - len(list_distinct(string_split(b.text, ' ')))
+        |    / CAST(len(string_split(b.text, ' ')) AS DOUBLE), 6) AS dup_tok_frac,
+        |  bg.top_bigram_n,
+        |  round(bg.top_bigram_n / CAST(bg.n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+        |  runs.max_run
+        |FROM documents b
+        |LEFT JOIN bg ON bg.doc_id = b.doc_id
+        |LEFT JOIN runs ON runs.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' and admin@test.org' ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_text_inverted" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+        |    x -> CAST(x AS VARCHAR)), ',') AS postings
+        |FROM pairs GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_embed_pool" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  round(sum(round(CAST(v AS DOUBLE) * 1e6)) / 1e6 / count(*), 6) AS pooled,
+        |  count(*) AS n
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_scd2_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 100 < 90),
+        |changes AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice * 1.1, 2) AS price,
+        |    'U' AS status
+        |  FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT b.k, b.price, b.status, CAST(1 AS INT) AS version,
+        |  c.k IS NULL AS is_current
+        |FROM base b LEFT JOIN changes c ON c.k = b.k
+        |UNION ALL
+        |SELECT c.k, c.price, c.status,
+        |  CASE WHEN b.k IS NOT NULL THEN CAST(2 AS INT) ELSE CAST(1 AS INT) END AS version,
+        |  TRUE AS is_current
+        |FROM changes c LEFT JOIN base b ON b.k = c.k
+        |ORDER BY k, version""".stripMargin)
+}
