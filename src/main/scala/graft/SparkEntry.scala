@@ -24,7 +24,8 @@ object SparkEntry {
       (cat.Sources.defs, cat.Sources.oracle),
       (cat.StreamingQ.defs, cat.StreamingQ.oracle),
       (cat.Sql.defs, cat.Sql.oracle),
-      (cat.TypedQ.defs, cat.TypedQ.oracle)
+      (cat.TypedQ.defs, cat.TypedQ.oracle),
+      (cat.Curation.defs, cat.Curation.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -124,20 +124,25 @@ object Curation {
     // %100 = 93) → versioned rows with is_current. The merge is two
     // key-partitioned joins (existence flags), ONE shuffle each — the
     // canonical MERGE INTO dataflow without a table format, and exactly
-    // what an incremental 100 TB ingest pays per batch.
+    // what an incremental 100 TB ingest pays per batch. Prices are carried
+    // as integer cents (round to 0 dp agrees across engines; round(x, 2)
+    // does NOT — Spark rounds the shortest decimal repr, DuckDB the raw
+    // double, and .xx5 ties split).
     "q_scd2_merge" -> { (s, d) =>
       val orders = Tables.orders(s, d)
       val base = orders.filter(col("o_orderkey") % 100 < 90)
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
           col("o_orderstatus").as("status"))
       val changes = orders.filter(col("o_orderkey") % 10 === 3)
         .select(col("o_orderkey").as("k"),
-          round(col("o_totalprice") * 1.1, 2).as("price"), lit("U").as("status"))
+          round(col("o_totalprice") * 110).cast("long").as("price_cents"),
+          lit("U").as("status"))
       val v1 = base.join(changes.select(col("k"), lit(1).as("upd")), Seq("k"), "left")
-        .select(col("k"), col("price"), col("status"), lit(1).as("version"),
+        .select(col("k"), col("price_cents"), col("status"), lit(1).as("version"),
           col("upd").isNull.as("is_current"))
       val v2 = changes.join(base.select(col("k"), lit(1).as("had")), Seq("k"), "left")
-        .select(col("k"), col("price"), col("status"),
+        .select(col("k"), col("price_cents"), col("status"),
           when(col("had").isNotNull, 2).otherwise(1).as("version"),
           lit(true).as("is_current"))
       v1.unionByName(v2).orderBy(col("k"), col("version"))
@@ -213,17 +218,20 @@ object Curation {
 
     "q_scd2_merge" ->
       """WITH base AS (
-        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status
         |  FROM orders WHERE o_orderkey % 100 < 90),
         |changes AS (
-        |  SELECT o_orderkey AS k, round(o_totalprice * 1.1, 2) AS price,
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 110) AS BIGINT) AS price_cents,
         |    'U' AS status
         |  FROM orders WHERE o_orderkey % 10 = 3)
-        |SELECT b.k, b.price, b.status, CAST(1 AS INT) AS version,
+        |SELECT b.k, b.price_cents, b.status, CAST(1 AS INT) AS version,
         |  c.k IS NULL AS is_current
         |FROM base b LEFT JOIN changes c ON c.k = b.k
         |UNION ALL
-        |SELECT c.k, c.price, c.status,
+        |SELECT c.k, c.price_cents, c.status,
         |  CASE WHEN b.k IS NOT NULL THEN CAST(2 AS INT) ELSE CAST(1 AS INT) END AS version,
         |  TRUE AS is_current
         |FROM changes c LEFT JOIN base b ON b.k = c.k
