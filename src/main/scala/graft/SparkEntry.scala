@@ -25,7 +25,8 @@ object SparkEntry {
       (cat.StreamingQ.defs, cat.StreamingQ.oracle),
       (cat.Sql.defs, cat.Sql.oracle),
       (cat.TypedQ.defs, cat.TypedQ.oracle),
-      (cat.Curation.defs, cat.Curation.oracle)
+      (cat.Curation.defs, cat.Curation.oracle),
+      (cat.Graph.defs, cat.Graph.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -146,6 +146,80 @@ object Curation {
           when(col("had").isNotNull, 2).otherwise(1).as("version"),
           lit(true).as("is_current"))
       v1.unionByName(v2).orderBy(col("k"), col("version"))
+    },
+
+    // Incremental aggregate maintenance: the base partition's aggregate
+    // state (count + exact integer-cents sum) merged with a delta
+    // partition's state must equal the full-table aggregate — the
+    // materialized-view refresh pattern. At 100 TB this is THE economics of
+    // a daily ingest: re-aggregate only the new partition and merge states
+    // (sums of sums, sums of counts), never rescan history. The oracle IS
+    // the full-table aggregate, so the row proves merged-incremental ≡
+    // recomputed-from-scratch.
+    "q_incr_agg" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def state(pred: Column): DataFrame = orders.filter(pred)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val base  = state(col("o_orderkey") % 100 < 90)
+      val delta = state(col("o_orderkey") % 100 >= 90)
+      base.unionByName(delta)
+        .groupBy(col("status"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy(col("status"))
+    },
+
+    // CDC apply: an insert/update/delete changelog (ordered by a sequence
+    // number) reduced to the latest-wins snapshot. One aggregate with
+    // max_by(struct, seq) — partial combine on the map side, ONE shuffle on
+    // the key — rather than the window row_number() form, which would sort
+    // every key group just to keep row 1. Deletes survive to the aggregate
+    // (a late D must beat an early U) and drop afterwards.
+    "q_cdc_apply" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val ins = orders.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+        lit("I").as("op"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val upd = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
+          round(col("o_totalprice") * 110).cast("long").as("price_cents"))
+      val del = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("long").as("price_cents"))
+      ins.unionByName(upd).unionByName(del)
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("op"), col("price_cents")), col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("k"), col("last.op").as("op"),
+          col("last.price_cents").as("price_cents"))
+        .orderBy(col("k"))
+    },
+
+    // Column profiler: per-column null count, exact distinct count and
+    // min/max over a dynamic column list, in ONE pass (the aggregate row is
+    // melted to one output row per column). Multiple exact count(distinct)
+    // expand the input k-ways — at 100 TB swap count_distinct for
+    // approx_count_distinct (same shape, no expand); exact here because the
+    // oracle hash-compares. Restricted to integer/string columns: double
+    // min/max would compare Java vs C++ float formatting, not data.
+    "q_profile" -> { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__nn"),
+          count_distinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      } :+ count(lit(1)).as("__total")
+      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          (col("__total") - col(s"${c}__nn")).as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_s"),
+          col(s"${c}__max").as("max_s"))): _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -235,5 +309,49 @@ object Curation {
         |  CASE WHEN b.k IS NOT NULL THEN CAST(2 AS INT) ELSE CAST(1 AS INT) END AS version,
         |  TRUE AS is_current
         |FROM changes c LEFT JOIN base b ON b.k = c.k
-        |ORDER BY k, version""".stripMargin)
+        |ORDER BY k, version""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(round(o_totalprice * 110) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+        |r AS (SELECT k, op, price_cents,
+        |        row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin)
 }

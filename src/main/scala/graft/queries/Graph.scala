@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.PageRank
+
+/** Graph analytics over relational edge lists (SURVEY.md §2 Part B
+  * extensions): PageRank and triangle counting, the two canonical
+  * joins-as-graph-ops. The graph is derived from lineitem with modded keys
+  * (a ~100-node multigraph) so the oracle stays cheap; the dataflow is the
+  * one a billion-edge graph pays — distinct edges once, then per-iteration
+  * key-partitioned join + aggregate (PageRank) or a two-hop self-join bounded
+  * by degree (triangles). Complements [[graft.operators.ConnectedComponents]]
+  * (the third classic, exercised by q_dedup_clusters).
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Directed edges: (orderkey mod 100) → (partkey mod 100), self-loops
+    * dropped, deduplicated inside the consumers. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  val defs: Map[String, Q] = Map(
+    // 3 integer-exact PageRank hops (graft.operators.PageRank): each hop is
+    // one edges⋈scores join + one partial+final aggregate on dst — linear in
+    // edges, no driver state, bit-reproducible (all-integer ppm arithmetic).
+    "q_graph_pagerank" -> { (s, d) =>
+      PageRank.run(edges(s, d), iterations = 3).orderBy(col("node"))
+    },
+
+    // Triangle count: canonical undirected edges (u < v, distinct), then the
+    // two-hop join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c — each triangle counted
+    // exactly once. At 100 TB the join fans out by degree²; production adds
+    // degree-ordered orientation (high-degree nodes never expand), which the
+    // u<v canonicalization here is the first half of.
+    "q_graph_triangles" -> { (s, d) =>
+      val und = edges(s, d)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val e1 = und.select(col("u").as("a"), col("v").as("b"))
+      val e2 = und.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = und.select(col("u").as("a3"), col("v").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+        |  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+        |c1 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s0 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s1 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s1 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s2 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s2 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s3 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
+        |SELECT node, score FROM s3 ORDER BY node""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM (
+        |    SELECT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+        |    FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100))
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM und e1 JOIN und e2 ON e2.u = e1.v
+        |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)
+}

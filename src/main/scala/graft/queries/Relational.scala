@@ -375,6 +375,47 @@ object Relational {
       val sn = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
         .select(col("s_nationkey").as("nationkey"))
       cn.except(sn).orderBy(col("nationkey"))
+    },
+
+    // Unpivot/melt (wide → long): the inverse of q_pivot. Zero shuffle past
+    // the aggregate — melt is an Expand projection, each input row fans to
+    // one row per measure. Measures ride the exact integer-cents rule so
+    // the long `value` column is engine-exact.
+    "q_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_discount") * 100).cast("long")).as("disc_cents"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"))
+        .unpivot(Array(col("flag")),
+          Array(col("price_cents"), col("disc_cents"), col("qty")),
+          "measure", "value")
+        .orderBy(col("flag"), col("measure"))
+    },
+
+    // Runtime bloom-filter join reduction: build an exact-membership sketch
+    // over the small side's keys (distributed aggregate, ~1.2 MB sketch to
+    // the driver), broadcast it, and discard non-joining fact rows BEFORE
+    // the join's shuffle. No false negatives, so prefilter + join ≡ plain
+    // join (which is exactly what the oracle checks); false positives are
+    // eliminated by the join itself. At 100 TB this is the semi-join
+    // reduction that turns a 10%-selective dimension join from a full fact
+    // shuffle into a tenth of one — what AQE's InjectRuntimeFilter does
+    // automatically, made explicit and testable (BloomJoinSpec).
+    "q_bloom_join" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      Tables.orders(s, d)
+        .filter(col("o_custkey").isNotNull && mightContain(col("o_custkey")))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("status"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -607,5 +648,24 @@ object Relational {
     "q_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, 'price_cents' AS measure, price_cents AS value FROM w
+        |UNION ALL SELECT flag, 'disc_cents', disc_cents FROM w
+        |UNION ALL SELECT flag, 'qty', qty FROM w
+        |ORDER BY flag, measure""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

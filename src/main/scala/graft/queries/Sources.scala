@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.operators.ZOrder
 
 /** Source formats beyond parquet (SURVEY.md §2 B2/B3/B4) plus the declared
   * family members the round-1 catalog never exercised (B12 right join, B38
@@ -240,6 +241,30 @@ object Sources {
         .orderBy(col("day"))
     },
 
+    // B5 z-order clustered layout → two-dimension stats-pruned scan: the
+    // fourth layout recipe (after directory partitioning, bucketing, and
+    // single-key sort). lineitem is rewritten clustered by the Morton
+    // interleave of (l_partkey, l_suppkey); the read then filters BOTH keys
+    // — pushed to the parquet scan, answered mostly from row-group footer
+    // stats because z-locality keeps each row group tight in both
+    // dimensions (ZOrderSpec measures the file-level pruning vs the
+    // single-key sort, which clusters only one dimension). Values are
+    // hash-checked against the unclustered table — layout must never
+    // change query results.
+    "q_zorder_prune" -> { (s, d) =>
+      val dir = scratch(d, "zorder")
+      ZOrder.cluster(Tables.lineitem(s, d),
+          col("l_partkey"), col("l_suppkey"), numFiles = 8)
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(100, 299) &&
+          col("l_suppkey").between(10, 29))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("flag"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -313,5 +338,12 @@ object Sources {
       """SELECT 'customer' AS file_token, count(*) AS n_rows,
         |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_xxh,
         |  TRUE AS ids_unique
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+
+    "q_zorder_prune" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 29
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

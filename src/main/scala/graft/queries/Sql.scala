@@ -108,6 +108,17 @@ object Sql {
       |GROUP BY m.m
       |ORDER BY mo""".stripMargin
 
+  /** LATERAL correlated subquery (top-2-per-group through the SQL frontend
+    * — the per-row-subquery form of q_topk_group's window). Identical text:
+    * both engines support SQL:2016 LATERAL with correlated ORDER BY/LIMIT. */
+  private val lateral =
+    """SELECT n_name, t.c_name, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, t.c_name""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -120,6 +131,7 @@ object Sql {
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
+    "q_sql_lateral" -> run(lateral),
     "q_sql_udf_isbn" -> run(isbnSparkSql))
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +140,6 @@ object Sql {
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,
+    "q_sql_lateral" -> lateral,
     "q_sql_udf_isbn" -> isbnOracleSql)
 }
