@@ -54,4 +54,55 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decoder.decode(id, bytes) })
       .toDF()
   }
+
+  /** Frame sampling (the video-payload access pattern): the payload is cut
+    * into fixed `frameLen`-byte frames and every `stride`-th frame is kept —
+    * a 1→N generator via typed flatMap, output bounded by payload/stride.
+    * A real video codec replaces the byte-slice "frame decode" (per-frame
+    * sum here stands in for a decoded frame's features); the fan-out shape,
+    * schema, and partition-parallel execution are the production plumbing.
+    */
+  def frameSample(spark: SparkSession, bin: DataFrame,
+                  frameLen: Int = 64, stride: Int = 4): DataFrame = {
+    require(frameLen > 0 && stride > 0)
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameLen - 1) / frameLen
+        (0 until nFrames).iterator.filter(_ % stride == 0).map { fi =>
+          val start = fi * frameLen
+          val end = math.min(start + frameLen, bytes.length)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+          (id, fi, end - start, sum)
+        }
+      }.toDF("doc_id", "frame_idx", "n_bytes", "byte_sum")
+  }
+
+  /** Resize (the image-payload access pattern): downsample the payload to
+    * `nPx` equal-width buckets by exact integer bucket assignment
+    * (`bucket = i·nPx div n`) and per-bucket byte sums — the strided-average
+    * shape of an image resize with deterministic integer arithmetic (the
+    * caller divides byte_sum/n_in for the "pixel" value). Constant-size
+    * output per row, no shuffle. */
+  def resize(spark: SparkSession, bin: DataFrame, nPx: Int = 16): DataFrame = {
+    require(nPx > 0)
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        val sums = new Array[Long](nPx)
+        val cnts = new Array[Long](nPx)
+        var i = 0
+        while (i < n) {
+          val b = (i.toLong * nPx / n).toInt
+          sums(b) += bytes(i) & 0xff
+          cnts(b) += 1
+          i += 1
+        }
+        (0 until nPx).iterator.filter(cnts(_) > 0)
+          .map(j => (id, j, sums(j), cnts(j)))
+      }.toDF("doc_id", "px", "byte_sum", "n_in")
+  }
 }

@@ -545,6 +545,26 @@ object LlmOps {
           round(col("mean_byte"), 6).as("mean_byte"),
           col("max_byte"), col("checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    // B53 frame sampling: every 4th 64-byte frame of each payload through
+    // the typed flatMap generator (Multimodal.frameSample) — the bounded
+    // fan-out a video pipeline pays; per-frame byte sums stand in for
+    // decoded-frame features and the oracle recomputes them from the text.
+    "q_multimodal_frames" -> { (s, d) =>
+      graft.multimodal.Multimodal.frameSample(s, Sources.binaryDocs(s, d))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // B53 resize: each payload downsampled to 16 equal-width buckets with
+    // exact integer bucket assignment; the "pixel" is the rounded bucket
+    // mean (exact integer sum / exact count — engine- and order-exact).
+    "q_multimodal_resize" -> { (s, d) =>
+      graft.multimodal.Multimodal.resize(s, Sources.binaryDocs(s, d))
+        .select(col("doc_id"), col("px"),
+          round(col("byte_sum") / col("n_in").cast("double"), 6).as("v"),
+          col("n_in"))
+        .orderBy(col("doc_id"), col("px"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -965,5 +985,30 @@ object LlmOps {
         |         i -> ord(substr(d.text, CAST(i AS INT), 1))::BIGINT)),
         |     (a, x) -> (a * 31 + x) % 1000000007)
         |   FROM documents d WHERE d.doc_id = b.doc_id) AS checksum
-        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, text, unnest(range(0, (n + 63) // 64)) AS fi FROM d),
+        |s AS (SELECT doc_id, fi, substr(text, CAST(fi * 64 + 1 AS INT), 64) AS fr
+        |      FROM f WHERE fi % 4 = 0)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(length(fr) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(1, length(fr) + 1),
+        |    i -> ord(substr(fr, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM d),
+        |b AS (SELECT doc_id, CAST((i * 16) // n AS INT) AS px,
+        |        ord(substr(text, CAST(i + 1 AS INT), 1)) AS o
+        |      FROM p)
+        |SELECT doc_id, px, round(sum(o) / CAST(count(*) AS DOUBLE), 6) AS v,
+        |  CAST(count(*) AS BIGINT) AS n_in
+        |FROM b GROUP BY doc_id, px ORDER BY doc_id, px""".stripMargin)
 }

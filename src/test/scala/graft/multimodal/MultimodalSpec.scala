@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Multimodal plumbing: the stub decoder's arithmetic, the frame-sample
+  * generator's fan-out/boundary behavior, and resize's exact bucket
+  * assignment — all hand-checkable on tiny payloads.
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def binDf(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataFrame(rows).toDF("doc_id", "content")
+
+  test("StubDecoder: byte stats and rolling checksum on a known payload") {
+    val f = Multimodal.StubDecoder.decode(7L, Array[Byte](1, 2, 3))
+    assert(f.n_bytes === 3 && f.max_byte === 3)
+    assert(f.mean_byte === 2.0)
+    // ((1*31+1)*31+2)*31+3 = 32*31+2=994; 994*31+3=30817
+    assert(f.checksum === 30817L)
+  }
+
+  test("frameSample keeps every stride-th frame and truncates the tail frame") {
+    // 10 bytes, frameLen=4 → frames [0,4),[4,8),[8,10); stride=2 keeps 0 and 2
+    val bytes = (1 to 10).map(_.toByte).toArray
+    val out = Multimodal.frameSample(spark, binDf(Seq((1L, bytes))),
+        frameLen = 4, stride = 2)
+      .orderBy(col("frame_idx"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0, 4, 1L + 2 + 3 + 4), (2, 2, 9L + 10)))
+  }
+
+  test("frameSample of an empty payload emits no frames") {
+    assert(Multimodal.frameSample(spark,
+      binDf(Seq((1L, Array.emptyByteArray)))).count() === 0)
+  }
+
+  test("resize assigns bytes to buckets by i*nPx div n, covering all input") {
+    // 10 bytes into 4 buckets: i*4/10 → [0,0,0, 1,1, 2,2,2, 3,3]
+    val bytes = (1 to 10).map(_.toByte).toArray
+    val out = Multimodal.resize(spark, binDf(Seq((1L, bytes))), nPx = 4)
+      .orderBy(col("px"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0, 1L + 2 + 3, 3L), (1, 4L + 5, 2L), (2, 6L + 7 + 8, 3L), (3, 9L + 10, 2L)))
+    assert(out.map(_._3).sum === bytes.length)
+  }
+
+  test("resize with fewer bytes than pixels emits only occupied buckets") {
+    val out = Multimodal.resize(spark, binDf(Seq((1L, Array[Byte](5)))), nPx = 16)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0, 5L, 1L)))
+  }
+}

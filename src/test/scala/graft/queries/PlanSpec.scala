@@ -97,4 +97,41 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("size(ids") && p.contains("1000"), s"$q lost the bucket cap:\n$p")
     }
   }
+
+  test("q_cdc_apply reduces the changelog with a partial max_by aggregate, not a window sort") {
+    // latest-wins through row_number() would shuffle AND sort every key
+    // group; max_by gets map-side combine, so the exchange carries one
+    // struct per key per mapper
+    val p = plan("q_cdc_apply")
+    assert(p.contains("partial_max_by"), s"lost the map-side combine:\n$p")
+    assert(!p.contains("Window ["), s"unexpected window sort:\n$p")
+  }
+
+  test("q_zorder_prune pushes both key filters to the clustered parquet scan") {
+    // both dimensions must reach the footer-stats level — that is the whole
+    // point of the z-order layout (the printed plan truncates PushedFilters
+    // at 100 chars, so inspect the scan node's pushed predicates directly)
+    val df = graft.SparkEntry.queries("q_zorder_prune")(spark, sf)
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its children
+    // from collect until execution
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no parquet scan in the plan")
+    val pushed = scans.flatMap(_.dataFilters).map(_.toString).mkString("; ")
+    assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+      s"z-order read lost two-dimension pushdown: $pushed")
+  }
+
+  test("q_bloom_join broadcasts the dim side after the bloom prefilter") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_graph_pagerank aggregates contributions partial+final each hop") {
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("partial_sum"), s"contribution aggregate lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
