@@ -32,4 +32,23 @@ object Skew {
       .groupBy(keys: _*)
       .agg(finalAgg.head, finalAgg.tail: _*)
   }
+
+  /** Salted equi-join for a skewed probe side: each probe row gets a
+    * deterministic salt in [0, buckets); the build side is replicated once
+    * per salt value; the join key becomes (key, salt). One hot key's rows
+    * spread over `buckets` reducers, at the cost of `buckets`× the (small)
+    * build side — the explicit recipe for when the build side is too big to
+    * broadcast but cheap to replicate, and the complement of AQE's
+    * adaptive skew-join splitting (which needs sort-merge + statistics).
+    * Join semantics are unchanged: every (probe, build) key match meets in
+    * exactly one salt bucket. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets.toLong)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
 }

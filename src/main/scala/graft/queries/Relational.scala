@@ -393,6 +393,25 @@ object Relational {
         .orderBy(col("flag"), col("measure"))
     },
 
+    // Salted skew join (graft.operators.Skew.saltedJoin): probe rows salted
+    // into 8 buckets, dim side replicated 8x, join on (key, salt) — a hot
+    // customer's orders spread over 8 reducers instead of funneling through
+    // one. Semantics provably unchanged: the oracle is the PLAIN join. The
+    // explicit sibling of AQE skew splitting, for build sides too large to
+    // broadcast but cheap to replicate.
+    "q_skew_salted_join" -> { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      graft.operators.Skew.saltedJoin(fact, dim, "c_custkey", buckets = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // Runtime bloom-filter join reduction: build an exact-membership sketch
     // over the small side's keys (distributed aggregate, ~1.2 MB sketch to
     // the driver), broadcast it, and discard non-joining fact rows BEFORE
@@ -661,6 +680,13 @@ object Relational {
         |UNION ALL SELECT flag, 'disc_cents', disc_cents FROM w
         |UNION ALL SELECT flag, 'qty', qty FROM w
         |ORDER BY flag, measure""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,

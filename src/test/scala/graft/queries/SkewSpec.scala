@@ -63,4 +63,24 @@ class SkewSpec extends SparkSpecBase {
       MinHashConfig(maxBucket = 2000)).count()
     assert(admitted === 1200L * 1199 / 2)
   }
+
+  test("saltedJoin on a planted hot key equals the plain join, spread over buckets") {
+    import org.apache.spark.sql.functions._
+    // one customer owns 90% of the fact rows — the shape that funnels a
+    // sort-merge join's hot key through a single task
+    val fact = ((0 until 9000).map(_ => 1L) ++ (0 until 1000).map(i => 2L + i % 50))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "v")
+    val dim = (1L to 60L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", buckets = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // and the hot key's rows really are spread: >1 distinct salt bucket
+    val saltSpread = fact.filter(col("k") === 1L)
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(8L)))
+      .select(countDistinct(col("__salt"))).head().getLong(0)
+    assert(saltSpread > 1, s"hot key stayed in $saltSpread bucket(s)")
+  }
 }
