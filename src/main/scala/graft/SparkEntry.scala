@@ -26,7 +26,8 @@ object SparkEntry {
       (cat.Sql.defs, cat.Sql.oracle),
       (cat.TypedQ.defs, cat.TypedQ.oracle),
       (cat.Curation.defs, cat.Curation.oracle),
-      (cat.Graph.defs, cat.Graph.oracle)
+      (cat.Graph.defs, cat.Graph.oracle),
+      (cat.TrainPrep.defs, cat.TrainPrep.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data preparation operators (SURVEY.md §2 B60/B61): benchmark
+  * contamination detection, document chunking, deterministic sequence
+  * packing, embedding int8 quantization and rare-token quality scoring —
+  * the sequence/corpus-shaping steps that sit between curation (Curation)
+  * and dedup/similarity (LlmOps) in a large-scale pipeline.
+  *
+  * Determinism rules (the DuckDB oracle hash-compares): every fraction is
+  * an integer-ppm (`floor(k * 1e6 / n)` over exact ints — both engines
+  * IEEE-divide exact integers, and a true quotient ≥ 1/n away from any
+  * integer cannot round across `floor`), quantization rounds via
+  * `floor(x + 0.5)` (identical in both engines; `round()` half-up ties
+  * differ), and chunk/vector payloads travel as md5 digests so the compare
+  * proves bytes, not just counts.
+  */
+object TrainPrep {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Context-length budget for q_seq_pack (tokens per packed sequence).
+    * Small so sf0.01 produces several bins per pack group; production sets
+    * 4096/8192. */
+  private val PackBudget = 512
+
+  /** Docs with doc_id % 19 == 0 act as the held-out benchmark set for
+    * q_contamination — at 100 TB the benchmark side (MMLU-sized eval sets)
+    * is tiny, which is exactly why the broadcast below is the right join. */
+  private val BenchMod = 19
+
+  val defs: Map[String, Q] = Map(
+    // B60 contamination: 4-token shingle overlap between the training split
+    // and a held-out benchmark split. Distinct (doc, shingle) pairs on the
+    // train side LEFT-join the BROADCAST distinct benchmark shingle set (no
+    // shuffle of the 100 TB side; bench sets are always broadcast-sized),
+    // then one partial+final aggregate per doc. Flags every train doc
+    // sharing ≥1 shingle with the benchmark — the pre-training hygiene
+    // check every eval suite needs.
+    "q_contamination" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 4)
+      val sh = base.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 3),
+          i => concat_ws(" ", slice(col("t"), i, lit(4)))))).as("sh"))
+      val bench = sh.filter(col("doc_id") % BenchMod === 0)
+        .select(col("sh")).distinct().withColumn("hit", lit(1L))
+      sh.filter(col("doc_id") % BenchMod =!= 0)
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          floor(col("n_hit") * 1000000 / col("n_shingles").cast("double"))
+            .cast("long").as("hit_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B60 chunking: fixed 64-token windows at stride 48 (16-token overlap)
+    // — the sequence-prep step before tokenization. One generate-and-slice
+    // pass per doc (sequence → transform → explode), no shuffle until the
+    // final order; the chunk text travels as md5 so the oracle proves the
+    // exact byte content of every window.
+    "q_doc_chunks" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - 1, lit(48)),
+          st => struct(st.as("start"), slice(col("t"), st + 1, lit(64)).as("ch")))).as("c"))
+        .select(col("doc_id"),
+          col("c.start").cast("int").as("start"),
+          size(col("c.ch")).as("n_chunk_toks"),
+          md5(concat_ws(" ", col("c.ch"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("start"))
+    },
+
+    // B60 sequence packing: docs are sharded into 8 pack groups (doc_id %
+    // 8) and greedily packed in doc_id order — a doc opens in the bin its
+    // preceding cumulative token count falls in. The running sum is the one
+    // inherently sequential step of packing; sharding first bounds each
+    // window partition, so parallelism = #groups and no global sort exists
+    // (the standard shard-then-pack layout; at 100 TB groups = O(cores)).
+    "q_seq_pack" -> { (s, d) =>
+      val w = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("pack_group"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_toks")) / lit(PackBudget.toDouble)).cast("long"))
+        .groupBy(col("pack_group"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+        .select(col("pack_group"), col("bin"), col("n_docs"), col("sum_toks"),
+          floor(col("sum_toks") * 1000000 / lit(PackBudget.toDouble))
+            .cast("long").as("fill_ppm"))
+        .orderBy(col("pack_group"), col("bin"))
+    },
+
+    // B61 int8 quantization: symmetric per-vector max-abs scaling to
+    // [-127, 127] — the storage/serving compression step for embedding
+    // columns (4x smaller, dot products in integer SIMD). Pure per-row
+    // codegen'd array math, zero shuffle; the quantized vector is digested
+    // to md5 and summed exactly, so the oracle pins every int8 value.
+    "q_embed_quant" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("scale",
+          array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+        .withColumn("qv", transform(col("embedding"),
+          v => floor(v.cast("double") / col("scale") * 127 + 0.5).cast("long")))
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs_q"),
+          md5(concat_ws(",", transform(col("qv"), _.cast("string")))).as("q_md5"))
+        .orderBy(col("vec_id"))
+    },
+
+    // B61 rare-token quality score: fraction of token occurrences whose
+    // corpus-wide frequency is below the mean term frequency (cnt * vocab <
+    // total — pure integer compare, no division). The term-frequency table
+    // is vocabulary-sized (≪ corpus, broadcast); one exploded-token join +
+    // one per-doc aggregate. The OOV/rarity heuristic quality filters use.
+    "q_text_rarity" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val stats = tf.agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("total"))
+      val rare = tf.crossJoin(broadcast(stats))
+        .select(col("term"), (col("cnt") * col("vocab") < col("total")).as("rare"))
+      tok.join(broadcast(rare), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_toks"), col("n_rare"),
+          floor(col("n_rare") * 1000000 / col("n_toks").cast("double"))
+            .cast("long").as("rare_ppm"))
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_contamination" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 4),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+         |  FROM base, unnest(generate_series(1, len(t) - 3)) AS g(i)),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $BenchMod = 0),
+         |tr AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |    count(*) FILTER (WHERE sh IN (SELECT sh FROM bench)) AS n_hit
+         |  FROM sh WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  CAST(floor(n_hit * 1000000 / CAST(n_shingles AS DOUBLE)) AS BIGINT) AS hit_ppm
+         |FROM tr WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS start,
+        |  CAST(len(toks[i+1 : least(i + 64, len(toks))]) AS INT) AS n_chunk_toks,
+        |  md5(array_to_string(toks[i+1 : least(i + 64, len(toks))], ' ')) AS chunk_md5
+        |FROM t, unnest(generate_series(0, len(toks) - 1, 48)) AS g(i)
+        |ORDER BY doc_id, start""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % 8 AS pack_group,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT pack_group, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |b AS (
+         |  SELECT pack_group,
+         |    CAST(floor((cum - n_toks) / $PackBudget.0) AS BIGINT) AS bin,
+         |    n_toks
+         |  FROM c)
+         |SELECT pack_group, bin, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(floor(sum(n_toks) * 1000000 / $PackBudget.0) AS BIGINT) AS fill_ppm
+         |FROM b GROUP BY pack_group, bin ORDER BY pack_group, bin""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)) AS qv
+        |  FROM e)
+        |SELECT vec_id, n_dims,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+        |  md5(array_to_string(qv, ',')) AS q_md5
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_text_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |st AS (SELECT count(*) AS vocab, sum(cnt) AS total FROM tf),
+        |r AS (SELECT term, (cnt * vocab < total) AS rare FROM tf, st)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  CAST(count(*) FILTER (WHERE r.rare) AS BIGINT) AS n_rare,
+        |  CAST(floor(count(*) FILTER (WHERE r.rare) * 1000000
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS rare_ppm
+        |FROM tok t JOIN r ON r.term = t.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+}

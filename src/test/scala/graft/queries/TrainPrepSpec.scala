@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the TrainPrep catalog that the row-hash oracle
+  * cannot express: chunk coverage/overlap arithmetic, pack-bin budget
+  * bounds, quantization range, and the broadcast shape of the
+  * contamination join. Runs on sf0.001 (the spec-speed tier). */
+class TrainPrepSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_doc_chunks: stride-48 windows cover every token of every doc") {
+    val chunks = TrainPrep.defs("q_doc_chunks")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    // Coverage: last chunk's start + its length reaches n_toks, every start
+    // is a multiple of the stride, and every chunk but the last is full
+    // width (64) or the doc's remainder.
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(max(col("start") + col("n_chunk_toks")).as("covered"),
+        max(col("start")).as("last_start"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(byDoc.filter(col("covered") < col("n_toks")).count() == 0)
+    assert(chunks.filter(col("start") % 48 =!= 0).count() == 0)
+    // Each doc produces ceil(max(n_toks - 16, 1) / 48) windows (stride 48
+    // starts at 0 while start < n_toks).
+    assert(byDoc.filter(col("n_chunks") =!=
+      floor((col("n_toks") - 1) / 48) + 1).count() == 0)
+  }
+
+  test("q_seq_pack: bins stay within budget except the straddling doc") {
+    val bins = TrainPrep.defs("q_seq_pack")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(max(size(split(col("text"), " ")))).head.getInt(0)
+    // A bin opens below the 512-token budget; it can only overshoot by less
+    // than the largest single doc (the straddler).
+    bins.foreach { r =>
+      val sum = r.getAs[Long]("sum_toks")
+      assert(sum < 512 + docs, s"bin overshoots: $r")
+    }
+    // Bins within a pack group are dense (0..max with no holes).
+    bins.groupBy(_.getAs[Long]("pack_group")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0 && ids.zipWithIndex.forall { case (b, i) => b == i })
+    }
+  }
+
+  test("q_embed_quant: quantized values live in [-127, 127] and hit ±127") {
+    val q = TrainPrep.defs("q_embed_quant")(spark, sf)
+    // sum_abs_q per vector is bounded by dims * 127, and at least one dim
+    // hits the scale endpoint (|q| = 127 for the max-abs element).
+    assert(q.filter(col("sum_abs_q") > col("n_dims") * 127).count() == 0)
+    assert(q.filter(col("sum_abs_q") < 127).count() == 0)
+  }
+
+  test("q_contamination: benchmark docs are excluded and ppm is consistent") {
+    val c = TrainPrep.defs("q_contamination")(spark, sf)
+    assert(c.filter(col("doc_id") % 19 === 0).count() == 0)
+    assert(c.filter(col("n_hit") > col("n_shingles")).count() == 0)
+    assert(c.filter(
+      col("hit_ppm") =!= floor(col("n_hit") * 1000000 / col("n_shingles").cast("double")).cast("long"))
+      .count() == 0)
+  }
+
+  test("q_contamination plan broadcasts the benchmark side") {
+    val plan = TrainPrep.defs("q_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark join must broadcast")
+  }
+
+  test("q_text_rarity: rare fraction is in [0, 1e6] and counts are exact") {
+    val r = TrainPrep.defs("q_text_rarity")(spark, sf)
+    assert(r.filter(col("n_rare") > col("n_toks")).count() == 0)
+    assert(r.filter(col("rare_ppm") > 1000000 || col("rare_ppm") < 0).count() == 0)
+  }
+}
