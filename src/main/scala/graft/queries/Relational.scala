@@ -147,6 +147,24 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // B12 null-safe equality join (<=> ≙ IS NOT DISTINCT FROM): planted
+    // nulls on both sides must pair up, where plain `=` drops them. Still a
+    // hash join — null-safe keys hash like any value, no plan penalty.
+    "q_join_nullsafe" -> { (s, d) =>
+      val left = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 3, lit(null)).otherwise(col("c_custkey") % 7).as("k"))
+      val right = Tables.nation(s, d)
+        .select(when(col("n_nationkey") % 7 === 3, lit(null))
+          .otherwise(col("n_nationkey") % 7).as("k"))
+        .distinct()
+        .withColumn("matched", lit(1L))
+      left.join(right, left("k") <=> right("k"), "left")
+        .groupBy(left("k").as("k"))
+        .agg(count(lit(1)).as("n_rows"), count(col("matched")).as("n_matched"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
     // B19 exact distinct count + B18 multi-agg.
     "q_distinct_count" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -520,6 +538,21 @@ object Relational {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH l AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_custkey % 7 END AS k
+        |  FROM customer),
+        |r AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_nationkey % 7 END AS k,
+        |    1 AS matched
+        |  FROM nation)
+        |SELECT l.k, count(*) AS n_rows,
+        |  CAST(count(r.matched) AS BIGINT) AS n_matched
+        |FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |GROUP BY l.k ORDER BY l.k NULLS FIRST""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT l_returnflag,

@@ -41,13 +41,10 @@ object TrainPrep {
     // sharing ≥1 shingle with the benchmark — the pre-training hygiene
     // check every eval suite needs.
     "q_contamination" -> { (s, d) =>
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 4)
-      val sh = base.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - 3),
-          i => concat_ws(" ", slice(col("t"), i, lit(4)))))).as("sh"))
+      // Typed-flatMap shingle generator (graft.operators.NearDup) — the
+      // codegen-friendly path; a transform-under-explode HOF would run in
+      // CodegenFallback ~8x slower on the 100 TB side of this join.
+      val sh = graft.operators.NearDup.shingles(Tables.documents(s, d), width = 4)
       val bench = sh.filter(col("doc_id") % BenchMod === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1L))
       sh.filter(col("doc_id") % BenchMod =!= 0)
@@ -67,15 +64,21 @@ object TrainPrep {
     // final order; the chunk text travels as md5 so the oracle proves the
     // exact byte content of every window.
     "q_doc_chunks" -> { (s, d) =>
+      // Typed flatMap generator (not transform-under-explode — HOFs under
+      // Generate run in CodegenFallback); md5 stays a codegen'd built-in.
+      import s.implicits._
       Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("t")) - 1, lit(48)),
-          st => struct(st.as("start"), slice(col("t"), st + 1, lit(64)).as("ch")))).as("c"))
-        .select(col("doc_id"),
-          col("c.start").cast("int").as("start"),
-          size(col("c.ch")).as("n_chunk_toks"),
-          md5(concat_ws(" ", col("c.ch"))).as("chunk_md5"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val tk = text.split(' ')
+          Iterator.range(0, tk.length, 48).map { st =>
+            val ch = tk.slice(st, st + 64)
+            (id, st, ch.length, ch.mkString(" "))
+          }
+        }
+        .toDF("doc_id", "start", "n_chunk_toks", "chunk_text")
+        .select(col("doc_id"), col("start"), col("n_chunk_toks"),
+          md5(col("chunk_text")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("start"))
     },
 
