@@ -183,6 +183,58 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Incremental MinHash+LSH: confirmed near-dup pairs where at least one
+    * side belongs to `delta` — the per-batch form of [[minhashPairs]] for a
+    * corpus ingested incrementally. Band buckets containing no delta doc
+    * are dropped BEFORE pair expansion, and history×history pairs are never
+    * generated, so per-batch cost scales with |delta| bucket contention,
+    * not |history|². The history signature stage here stands in for the
+    * persisted signature index a production ingest would store (signatures
+    * are tiny — numHashes longs per doc — and append-only, which is why
+    * they are the thing you checkpoint between batches).
+    *
+    * Pair-for-pair equal to `minhashPairs(history ∪ delta)` restricted to
+    * delta-touching pairs (same bucket keys, same `maxBucket` cap counting
+    * the FULL bucket — a bucket a delta doc lands in is skipped or kept
+    * exactly as the full run would skip or keep it). */
+  def minhashPairsIncremental(history: DataFrame, delta: DataFrame,
+                              cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val rows = shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
+      .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1)))
+    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    val mh = rows
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_new")).as("is_new"),
+        (0 until cfg.numHashes).map(i =>
+          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+    val r = cfg.rowsPerBand
+    val bands = mh.select(col("doc_id"), col("is_new"),
+        posexplode(array((0 until cfg.bands).map(b =>
+          array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    val cand = bands.groupBy(col("band"), col("sig"))
+      .agg(collect_set(struct(col("doc_id"), col("is_new"))).as("ids"))
+      // the cap counts the FULL bucket (identical to the non-incremental
+      // run); only delta-touched buckets survive to pair expansion
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket &&
+        exists(col("ids"), m => m.getField("is_new") === 1))
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b =>
+            b.getField("doc_id") > a.getField("doc_id") &&
+              (a.getField("is_new") === 1 || b.getField("is_new") === 1)),
+          b => struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= cfg.jaccardConfirm)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** SimHash near-dup pairs (doc_a < doc_b, Hamming ≤ `cfg.maxHamming`).
     * Each shingle row votes ±1 on all `bits` bits inside one codegen'd
     * HashAggregate (map-side combined); pairing uses the pigeonhole band

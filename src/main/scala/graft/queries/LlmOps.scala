@@ -216,6 +216,22 @@ object LlmOps {
       minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // B50 incremental dedup: the per-batch ingest form — delta docs
+    // (doc_id % 10 = 7, the "today's batch" split) deduped against history
+    // WITHOUT regenerating history×history pairs; candidates come only
+    // from band buckets the delta touches. Pair-for-pair equal to the full
+    // run restricted to delta-touching pairs (the oracle IS that filter),
+    // which is the invariant that lets a 100 TB corpus pay per-batch dedup
+    // cost proportional to the batch, not the corpus.
+    "q_dedup_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      NearDup.minhashPairsIncremental(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7),
+          MinHashCfg)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // B50 dedup cluster canonicalization: connected components over the
     // confirmed near-dup pair graph (graft.operators.ConnectedComponents —
     // min-label propagation + pointer jumping, O(log n) rounds, fail-loud
@@ -609,6 +625,26 @@ object LlmOps {
          |SELECT doc_a, doc_b, $sqlJaccard AS jac
          |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
          |WHERE $sqlJaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the full LSH pair set restricted to delta-touching pairs — the
+    // incremental run must produce exactly this
+    "q_dedup_incremental" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+         |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+         |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+         |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+         |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, $sqlJaccard AS jac
+         |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+         |WHERE $sqlJaccard >= 0.8 AND (doc_a % 10 = 7 OR doc_b % 10 = 7)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_clusters" ->
