@@ -135,6 +135,30 @@ object Events {
           coalesce((unix_micros(col("ts")) - col("prev_us")) / lit(1000000L), lit(-1.0))
             .cast("double").as("gap_sec"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // B17-family gap-fill resample: per-user daily spine (sequence explode
+    // between the user's first and last active day), LEFT join of the
+    // daily aggregate, forward-fill via last(ignoreNulls) — the standard
+    // time-series completion. All windows are (user)-partitioned (bounded
+    // by a user's span, never global), sums ride integer cents, and the
+    // spine explode is |users|×|days| rows — linear, no cross join.
+    "q_events_resample" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100)).cast("long").as("cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+          col("cents").isNull.as("is_filled"))
+        .orderBy(col("user_id"), col("day"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -234,5 +258,24 @@ object Events {
         |    lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events) t
-        |WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin)
+        |WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_events_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, CAST(g AS DATE) AS day
+        |  FROM span, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) t(g))
+        |SELECT s.user_id, s.day,
+        |  last_value(d.cents IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_cents,
+        |  d.cents IS NULL AS is_filled
+        |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+        |ORDER BY s.user_id, s.day""".stripMargin)
 }

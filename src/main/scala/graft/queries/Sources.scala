@@ -122,6 +122,56 @@ object Sources {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B5 schema evolution: two parquet batches with different schemas under
+    // one root (hive-style b=N partition dirs), read back with
+    // mergeSchema=true — batch 1 predates the o_orderstatus column and
+    // surfaces it as NULL. The per-file-footer merge is the schema-drift
+    // story a years-long 100 TB ingest needs (mergeSchema costs a footer
+    // read per file — enable it on evolving zones, not hot paths).
+    "q_schema_merge" -> { (s, d) =>
+      val dir = scratch(d, "evolve")
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/b=1")
+      orders.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/b=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("b"), coalesce(col("o_orderstatus"), lit("pre_schema")).as("status"))
+        .agg(count(lit(1)).as("n"), QUtil.moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("b"), col("status"))
+    },
+
+    // B2 malformed-row routing: PERMISSIVE CSV read with a corrupt-record
+    // column — planted unparsable rows land in _corrupt with every typed
+    // field NULL, clean rows parse; the source-level half of the pipeline's
+    // dead-letter discipline (A15). Counts + key ranges per class prove
+    // nothing is dropped and nothing leaks across.
+    "q_csv_permissive" -> { (s, d) =>
+      val dir = scratch(d, "badcsv")
+      val nation = Tables.nation(s, d)
+      nation.select(concat_ws(",",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+          .select(concat(lit("x"), col("n_name"), lit(",oops")).as("value")))
+        .orderBy(col("value")).coalesce(1)
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("name", StringType),
+        StructField("region", IntegerType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        .groupBy(col("_corrupt").isNotNull.as("is_corrupt"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_keys"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("is_corrupt"))
+    },
+
     // ORC write/read round-trip (the second columnar format Spark ships).
     "q_orc_roundtrip" -> { (s, d) =>
       val dir = scratch(d, "orc")
@@ -285,6 +335,25 @@ object Sources {
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_schema_merge" ->
+      s"""SELECT CAST(1 AS INT) AS b, 'pre_schema' AS status, count(*) AS n,
+         |  ${QUtil.moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_orderkey < 100
+         |UNION ALL
+         |SELECT CAST(2 AS INT), o_orderstatus, count(*),
+         |  ${QUtil.moneySumSql("o_totalprice", 2)}
+         |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300
+         |GROUP BY o_orderstatus
+         |ORDER BY b, status""".stripMargin,
+
+    "q_csv_permissive" ->
+      """SELECT FALSE AS is_corrupt, count(*) AS n, count(*) AS n_keys,
+        |  min(n_nationkey) AS min_k, max(n_nationkey) AS max_k FROM nation
+        |UNION ALL
+        |SELECT TRUE, count(*), 0, NULL, NULL FROM nation
+        |WHERE n_nationkey % 5 = 0
+        |ORDER BY is_corrupt""".stripMargin,
 
     "q_json_roundtrip" ->
       s"""SELECT o_orderstatus, count(*) AS n,
