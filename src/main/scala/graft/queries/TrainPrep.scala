@@ -123,6 +123,35 @@ object TrainPrep {
         .orderBy(col("vec_id"))
     },
 
+    // B60 data-mixture resampling: per-language upsampling weights applied
+    // as deterministic fractional repetition — every doc gets floor(w)
+    // copies plus one more when its 28-bit md5 hash falls under the
+    // fractional part (hash-thresholding, not rand(): reproducible across
+    // runs, partitions and engines — the property a resumable 100 TB
+    // mixture job needs). The repetition is a real sequence-explode (the
+    // oracle counts the exploded rows), copies are bounded by ceil(max w),
+    // and the weight table is a broadcast literal.
+    "q_data_mixture" -> { (s, d) =>
+      val weights = s.createDataFrame(Seq(
+        ("en", 1, 0), ("de", 2, 500), ("fr", 2, 500), ("es", 3, 250),
+        ("zh", 4, 0))).toDF("lang", "wf", "ft")
+      Tables.documents(s, d)
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long"))
+        .join(broadcast(weights), Seq("lang"))
+        .withColumn("copies",
+          col("wf") + when(col("h") % 1000 < col("ft"), 1).otherwise(0))
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1), col("copies"))).as("rep"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_in"), count(lit(1)).as("n_out"))
+        .select(col("lang"), col("n_in"), col("n_out"),
+          floor(col("n_out") * 1000000 / col("n_in").cast("double"))
+            .cast("long").as("ratio_ppm"))
+        .orderBy(col("lang"))
+    },
+
     // B61 rare-token quality score: fraction of token occurrences whose
     // corpus-wide frequency is below the mean term frequency (cnt * vocab <
     // total — pure integer compare, no division). The term-frequency table
@@ -205,6 +234,25 @@ object TrainPrep {
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
         |  md5(array_to_string(qv, ',')) AS q_md5
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_data_mixture" ->
+      """WITH w(lang, wf, ft) AS (VALUES
+        |  ('en', 1, 0), ('de', 2, 500), ('fr', 2, 500), ('es', 3, 250),
+        |  ('zh', 4, 0)),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    wf + CASE WHEN h % 1000 < ft THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN w ON w.lang = d.lang),
+        |x AS (SELECT doc_id, lang FROM c, unnest(generate_series(1, copies)) g(r))
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_in,
+        |  count(*) AS n_out,
+        |  CAST(floor(count(*) * 1000000
+        |    / CAST(count(DISTINCT doc_id) AS DOUBLE)) AS BIGINT) AS ratio_ppm
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_rarity" ->
       """WITH tok AS (
