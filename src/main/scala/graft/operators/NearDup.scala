@@ -297,6 +297,41 @@ object NearDup {
       .select(col("keep_id"), col("dup_id"), col("cos_sim"))
   }
 
+  /** Incremental embedding near-dup: the per-batch form of
+    * [[embedCosinePairs]] — delta vectors bucketed by the SAME hyperplane
+    * family as the (conceptually stored) history buckets, candidates only
+    * from delta-touched buckets, history×history pairs never generated.
+    * Same equivalence contract as [[minhashPairsIncremental]]: pair-for-pair
+    * equal to the full run restricted to delta-touching pairs, with the
+    * `maxBucket` cap counting the full bucket. */
+  def embedCosinePairsIncremental(history: DataFrame, delta: DataFrame,
+                                  cfg: EmbedLshConfig = EmbedLshConfig()): DataFrame = {
+    val bands = Ann.lshBands(history, cfg).withColumn("is_new", lit(0))
+      .unionByName(Ann.lshBands(delta, cfg).withColumn("is_new", lit(1)))
+    val cand = bands.groupBy(col("band"), col("bucket"))
+      .agg(collect_set(struct(col("vec_id"), col("is_new"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket &&
+        exists(col("ids"), m => m.getField("is_new") === 1))
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b =>
+            b.getField("vec_id") > a.getField("vec_id") &&
+              (a.getField("is_new") === 1 || b.getField("is_new") === 1)),
+          b => struct(a.getField("vec_id").as("keep_id"),
+            b.getField("vec_id").as("dup_id")))))).as("p"))
+      .select(col("p.keep_id"), col("p.dup_id"))
+      .distinct()
+    val n = history.unionByName(delta)
+      .withColumn("nrm", sqrt(Ann.vdot(col("e"), col("e"))))
+    cand
+      .join(n.select(col("vec_id").as("keep_id"), col("e").as("ea"),
+        col("nrm").as("na")), "keep_id")
+      .join(n.select(col("vec_id").as("dup_id"), col("e").as("eb"),
+        col("nrm").as("nb")), "dup_id")
+      .withColumn("cos_sim", round(Ann.vdot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= cfg.cosineConfirm)
+      .select(col("keep_id"), col("dup_id"), col("cos_sim"))
+  }
+
   /** Cluster canonicalization: confirmed pairs → (cluster_rep, member) via
     * min-label connected components (see [[ConnectedComponents]] for the
     * pointer-jumping convergence and checkpointing contract). */

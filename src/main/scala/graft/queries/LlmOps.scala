@@ -343,6 +343,21 @@ object LlmOps {
         .orderBy(col("keep_id"), col("dup_id"))
     },
 
+    // B50/B51 incremental embedding dedup: the per-batch ingest form on the
+    // vector side (vec_id % 10 = 7 is "today's batch") — delta vectors hash
+    // into the SAME hyperplane buckets as stored history, candidates come
+    // only from delta-touched buckets, history×history pairs are never
+    // expanded. Same per-batch economics as q_dedup_incremental; the
+    // oracle is the full LSH run filtered to delta-touching pairs.
+    "q_embed_incremental" -> { (s, d) =>
+      val vecs = embedVecs(s, d)
+      NearDup.embedCosinePairsIncremental(
+          vecs.filter(col("vec_id") % 10 =!= 7),
+          vecs.filter(col("vec_id") % 10 === 7),
+          EmbedCfg)
+        .orderBy(col("keep_id"), col("dup_id"))
+    },
+
     // B51 IVF coarse-quantizer TRAINING: 2 Lloyd iterations of k-means over
     // the embedding corpus (deterministic first-16 init, cosine assignment,
     // per-dim mean update — Ann.kmeansFit documents the per-iteration plan
@@ -849,6 +864,43 @@ object LlmOps {
          |  FROM buckets ba JOIN ok z ON z.band = ba.band AND z.bucket = ba.bucket
          |  JOIN buckets bb ON bb.band = ba.band AND bb.bucket = ba.bucket
          |    AND ba.vec_id < bb.vec_id),
+         |dots AS (
+         |  SELECT cand.keep_id, cand.dup_id,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM cand JOIN e a ON a.vec_id = cand.keep_id
+         |  JOIN e b ON b.vec_id = cand.dup_id
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT keep_id, dup_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM dots JOIN norms na ON na.vec_id = keep_id
+         |  JOIN norms nb ON nb.vec_id = dup_id)
+         |SELECT keep_id, dup_id, cos_sim FROM scored
+         |WHERE cos_sim >= 0.45 ORDER BY keep_id, dup_id""".stripMargin,
+
+    // the full hyperplane-LSH pair set restricted to delta-touching pairs
+    // — the incremental run must produce exactly this
+    "q_embed_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |pdots AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+         |  FROM e CROSS JOIN range(144) rj(j) CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id, j // 6 AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % 6)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // 6),
+         |ok AS (SELECT band, bucket FROM buckets
+         |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |cand AS (SELECT DISTINCT ba.vec_id AS keep_id, bb.vec_id AS dup_id
+         |  FROM buckets ba JOIN ok z ON z.band = ba.band AND z.bucket = ba.bucket
+         |  JOIN buckets bb ON bb.band = ba.band AND bb.bucket = ba.bucket
+         |    AND ba.vec_id < bb.vec_id
+         |  WHERE ba.vec_id % 10 = 7 OR bb.vec_id % 10 = 7),
          |dots AS (
          |  SELECT cand.keep_id, cand.dup_id,
          |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp

@@ -24,6 +24,20 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0)
   }
 
+  test("embed incremental pairs == full pairs restricted to delta-touching") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("e"))
+    val cfg = EmbedLshConfig()
+    val full = NearDup.embedCosinePairs(emb, cfg)
+      .filter(col("keep_id") % 10 === 7 || col("dup_id") % 10 === 7)
+    val incr = NearDup.embedCosinePairsIncremental(
+      emb.filter(col("vec_id") % 10 =!= 7),
+      emb.filter(col("vec_id") % 10 === 7), cfg)
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0)
+    assert(incr.filter(col("keep_id") % 10 =!= 7 && col("dup_id") % 10 =!= 7)
+      .count() == 0)
+  }
+
   test("no history-history pair is ever emitted") {
     val incr = NearDup.minhashPairsIncremental(
       docs.filter(col("doc_id") % 10 =!= 7),
