@@ -134,4 +134,26 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), s"contribution aggregate lost map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_data_mixture broadcasts the weight table ahead of the explode") {
+    val p = plan("q_data_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup queries contain no cartesian product") {
+    Seq("q_dedup_incremental", "q_embed_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_events_resample windows are user-partitioned, never global") {
+    val p = plan("q_events_resample")
+    // a Window with an empty partition spec would serialize the whole spine
+    // through one task; the forward-fill must stay keyed on user_id
+    assert(!p.contains("Window [last") || p.contains("windowspecdefinition(user_id"),
+      s"forward-fill window lost its user partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
