@@ -57,23 +57,36 @@ object Sources {
         col("length"), col("content"))
 
   /** Register `tbl` as a bucketed parquet table at `path`, building the
-    * files only when the source's fingerprint — (row count, max join key,
-    * order-independent xxhash of every row), one aggregate scan — differs
-    * from the one recorded at build time. A bare existence sentinel would
-    * silently serve STALE buckets if the source were ever regenerated in
-    * place, and a cardinality-only fingerprint would still miss a
-    * values-only regeneration; the full row hash turns both into a
-    * rebuild. Re-registration goes through DDL because bucket metadata
-    * lives in the catalog, not the parquet footer. */
+    * files only when the source's fingerprint differs from the one recorded
+    * at build time. A bare existence sentinel would silently serve STALE
+    * buckets if the source were ever regenerated in place; the fingerprint
+    * is the sorted (path, length, mtime) listing of the source's input
+    * files — metadata-only (no data scan: a row-hash fingerprint would
+    * re-read the whole source per registration, unpayable at 100 TB), and
+    * any in-place regeneration moves an mtime. Falls back to a one-scan
+    * row hash for non-file sources. Re-registration goes through DDL
+    * because bucket metadata lives in the catalog, not the parquet
+    * footer. */
   private[graft] def ensureBucketed(s: SparkSession, tbl: String, path: String,
                                     key: String, ddlCols: String,
                                     src: => DataFrame): Unit = {
     val df = src
-    // decimal sum: ANSI mode would throw on a bigint overflow; the hash sum
-    // is commutative, so partitioning/order can't move the fingerprint
-    val fpRow = df.agg(count(lit(1)), max(col(key)),
-      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
-    val fp = s"${fpRow.get(0)}_${fpRow.get(1)}_${fpRow.get(2)}"
+    val files = df.inputFiles
+    val fp =
+      if (files.nonEmpty) {
+        val conf = s.sparkContext.hadoopConfiguration
+        files.sorted.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        }.mkString("|").hashCode.toString
+      } else {
+        // decimal sum: ANSI mode would throw on a bigint overflow; the hash
+        // sum is commutative, so partitioning/order can't move it
+        val fpRow = df.agg(count(lit(1)), max(col(key)),
+          sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+        s"${fpRow.get(0)}_${fpRow.get(1)}_${fpRow.get(2)}"
+      }
     val marker = Paths.get(path, "_built")
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     if (Files.exists(marker) &&
