@@ -457,6 +457,61 @@ object StreamingQ {
           .select(lit("errors").as("sink"), col("user_mod").cast("string").as("k"),
             col("batch_seq"), col("n"), col("total_cents")))
         .orderBy(col("sink"), col("k"), col("batch_seq"))
+    },
+
+    // B45/B55 streaming upsert: foreachBatch MERGE-INTO dataflow without a
+    // table format — each micro-batch's per-user aggregate full-outer-merges
+    // the previous snapshot version into a NEW version directory (commit =
+    // new version, the table-format pattern; never read+overwrite the same
+    // files). Merging aggregate STATES (sums of sums) is what makes the
+    // per-batch cost O(batch + snapshot) with one key shuffle — the
+    // streaming half of q_incr_agg's economics. The oracle recomputes the
+    // final snapshot from scratch, proving 3 merges ≡ one global aggregate.
+    "q_stream_upsert" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_upsert_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+      if (root.exists()) {
+        def del(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+        }
+        del(root)
+      }
+      root.mkdirs()
+      val q = mbStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val agg = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+            .withColumn("last_batch", lit(id).cast("int"))
+          val prev = new File(root, s"v${id - 1}")
+          val merged =
+            if (!prev.exists()) agg
+            else {
+              val p = batch.sparkSession.read.parquet(prev.getPath)
+                .select(col("user_id"), col("n").as("pn"),
+                  col("cents").as("pc"), col("last_batch").as("pb"))
+              p.join(agg, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("pn"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+                  (coalesce(col("pc"), lit(0L)) + coalesce(col("cents"), lit(0L))).as("cents"),
+                  coalesce(col("last_batch"), col("pb")).as("last_batch"))
+            }
+          merged.write.mode("overwrite").parquet(new File(root, s"v$id").getPath)
+          ()
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_upsert still running after 180 s — refusing to read a partial snapshot")
+      }
+      val last = root.listFiles().filter(_.getName.startsWith("v"))
+        .map(_.getName.drop(1).toInt).max
+      s.read.parquet(new File(root, s"v$last").getPath)
+        .orderBy(col("user_id"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -611,5 +666,15 @@ object StreamingQ {
          |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
          |  FROM e WHERE event_type = 'error' GROUP BY 1, 2, 3)
          |SELECT * FROM bt UNION ALL SELECT * FROM er
-         |ORDER BY sink, k, batch_seq""".stripMargin)
+         |ORDER BY sink, k, batch_seq""".stripMargin,
+
+    // final snapshot recomputed from scratch — the 3 incremental merges
+    // must equal one global aggregate, and last_batch pins which batch
+    // last touched each key
+    "q_stream_upsert" ->
+      s"""SELECT user_id, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         |  CAST(max(CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1
+         |    ELSE 2 END) AS INT) AS last_batch
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
