@@ -233,6 +233,31 @@ object Sources {
         .orderBy(col("mo"))
     },
 
+    // B5/B10 dynamic partition pruning: the fact side is partitioned by
+    // year and carries NO static year filter — the pruning predicate
+    // arrives at runtime from the broadcast dim's `era` filter (Catalyst
+    // injects a dynamicpruning subquery into the scan's PartitionFilters;
+    // PlanSpec asserts it survives). THE mechanism that keeps a
+    // star-schema query from scanning all of a 100 TB fact when the filter
+    // lives on the dimension.
+    "q_dpp_join" -> { (s, d) =>
+      val dir = scratch(d, "dpp")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      // the dim must be a file relation: DPP's benefit estimator works on
+      // scan stats, and a driver-local relation never triggers it
+      s.createDataFrame((1995 to 2001).map(y =>
+        (y, if (y <= 1998) "early" else "late"))).toDF("o_year", "era")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val dim = s.read.parquet(s"$dir-dim")
+      s.read.parquet(dir)
+        .join(broadcast(dim.filter(col("era") === "late")), Seq("o_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), QUtil.moneySum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_year"))
+    },
+
     // B11 co-located bucketed join, end to end: both sides pre-bucketed on
     // the join key (pay the shuffle ONCE at write time), then joined with
     // zero Exchange in the plan (BucketJoinSpec asserts that); this row
@@ -404,6 +429,12 @@ object Sources {
         |FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
         |RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_dpp_join" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+         |  ${QUtil.moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders WHERE year(o_orderdate) >= 1999
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_partition_prune" ->
       s"""SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n,

@@ -135,6 +135,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dpp_join prunes fact partitions with a runtime subquery") {
+    val p = plan("q_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan lost dynamic partition pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_data_mixture broadcasts the weight table ahead of the explode") {
     val p = plan("q_data_mixture")
     assert(p.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$p")
