@@ -363,6 +363,32 @@ object StreamingQ {
         .orderBy(col("user_id"), col("click_id"), col("purch_id"))
     },
 
+    // Stream-stream LEFT SEMI interval join: a click emits (once) as soon
+    // as any purchase lands in its day — the existence-check form, with
+    // interval-bounded state like the inner join but no right-side payload
+    // to retain. Matched rows emit on match, so no final-watermark
+    // holdback applies (that is the OUTER join's null-row concern).
+    "q_stream_join_semi" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val clicks = mbStream(s, d).filter(col("event_type") === "click")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+          col("user_id").as("p_user"))
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purch_ts") >= col("click_ts") &&
+            col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"),
+          "left_semi")
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_us"))
+      runToTable(s, joined, "graft_stream_join_semi", "append")
+        .orderBy(col("user_id"), col("click_id"))
+    },
+
     // B44 arbitrary stateful op: flatMapGroupsWithState in update mode —
     // per-user state (update count, running event count, running cents sum)
     // evolves across the three micro-batches; every state update is emitted,
@@ -648,6 +674,18 @@ object StreamingQ {
          |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
          |  AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY < $sqlFinalWm
          |ORDER BY user_id, click_id, purch_id""".stripMargin,
+
+    "q_stream_join_semi" ->
+      s"""SELECT c.user_id, c.event_id AS click_id,
+         |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us
+         |FROM events c
+         |WHERE c.event_type = 'click' AND NOT ${sqlLateFor("c")}
+         |  AND EXISTS (SELECT 1 FROM events p
+         |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+         |      AND NOT ${sqlLateFor("p")}
+         |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
+         |ORDER BY user_id, click_id""".stripMargin,
 
     "q_stream_stateful" -> statefulOracle,
     "q_stream_tws" -> statefulOracle,
