@@ -27,7 +27,8 @@ object SparkEntry {
       (cat.TypedQ.defs, cat.TypedQ.oracle),
       (cat.Curation.defs, cat.Curation.oracle),
       (cat.Graph.defs, cat.Graph.oracle),
-      (cat.TrainPrep.defs, cat.TrainPrep.oracle)
+      (cat.TrainPrep.defs, cat.TrainPrep.oracle),
+      (cat.Media.defs, cat.Media.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

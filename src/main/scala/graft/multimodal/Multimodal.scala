@@ -46,6 +46,77 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode — `javax.imageio` ships in the standard JDK, so the
+    * PNG path needs no external library: bytes → BufferedImage → width,
+    * height and exact per-channel sums. Headless-safe (ImageIO rasters
+    * never touch a display). This is the production codec shape the
+    * [[StubDecoder]] stands in for on formats whose libraries are absent;
+    * PNG is lossless, so a synthesized fixture's pixel formula survives the
+    * encode/decode round-trip exactly and the DuckDB oracle can recompute
+    * the sums in closed form. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def decodeImage(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: not a decodable image")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(id, img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Image features for `(doc_id, content)` rows via [[decodeImage]] inside
+    * a typed mapPartitions — decode stays in the scan stage, no shuffle. */
+  def imageFeatures(spark: SparkSession, bin: DataFrame): DataFrame = {
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
+      .toDF()
+  }
+
+  /** REAL audio decode: a WAV/RIFF 16-bit-PCM parser over the raw bytes
+    * (pure `java.nio` — WAV is a public byte format, no library needed):
+    * header → sample rate, data chunk → exact |sample| sum. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           sum_abs: Long)
+
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
+      s"doc $id: not a RIFF/WAV payload")
+    val sampleRate = bb.getInt(24)
+    val dataLen = bb.getInt(40)
+    val n = dataLen / 2
+    var sum = 0L
+    var k = 0
+    while (k < n) {
+      sum += math.abs(bb.getShort(44 + 2 * k).toLong)
+      k += 1
+    }
+    AudioFeatures(id, sampleRate, n, sum)
+  }
+
+  /** Audio features for `(doc_id, content)` rows via [[decodeWav]]. */
+  def audioFeatures(spark: SparkSession, bin: DataFrame): DataFrame = {
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+      .toDF()
+  }
+
   /** Decode features for `(doc_id: long, content: binary)` rows. */
   def features(spark: SparkSession, bin: DataFrame,
                decoder: Decoder = StubDecoder): DataFrame = {

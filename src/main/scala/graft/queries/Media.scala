@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Real-codec multimodal queries (SURVEY.md §2 B53): PNG decode via the
+  * JDK's javax.imageio and WAV/PCM parse via java.nio — no external
+  * libraries, no stub. The fixtures are synthesized from closed-form pixel/
+  * sample formulas; PNG is lossless and PCM is raw, so the DuckDB oracle
+  * recomputes the exact channel/sample sums from the same formulas —
+  * hash-proof that a REAL decoder ran, not byte statistics.
+  *
+  * Fixture writers are driver-side loops, hard-capped (50 images / 30
+  * clips) — test fixtures, not a production pattern; a real corpus arrives
+  * as files and is only ever read distributed (binaryFile scan →
+  * mapPartitions decode, no shuffle, no collect).
+  */
+object Media {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NImages = 50
+  private val ImgW = 16
+  private val ImgH = 12
+  private val NClips = 30
+  private val SampleRate = 8000
+
+  private def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private def pxG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  private def pxB(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** 16×12 RGB PNGs, pixel channels from the closed-form formulas above. */
+  private def imageDir(d: String): String = {
+    val dir = new File("target/qscratch/media_png_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    if (!new File(dir, "_done").exists()) {
+      dir.mkdirs()
+      (0 until NImages).foreach { id =>
+        val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until ImgH; x <- 0 until ImgW)
+          img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+        javax.imageio.ImageIO.write(img, "png", new File(dir, f"img$id%03d.png"))
+      }
+      new File(dir, "_done").createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
+  /** Mono 16-bit PCM WAV clips; clip `id` has 400+13·id samples, sample k =
+    * ((id·7919 + k·31) mod 65536) − 32768. */
+  private def audioDir(d: String): String = {
+    val dir = new File("target/qscratch/media_wav_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    if (!new File(dir, "_done").exists()) {
+      dir.mkdirs()
+      (0 until NClips).foreach { id =>
+        val n = 400 + 13 * id
+        val dataLen = 2 * n
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1).putInt(SampleRate)
+          .putInt(SampleRate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        (0 until n).foreach { k =>
+          bb.putShort((((id.toLong * 7919 + k * 31) % 65536) - 32768).toShort)
+        }
+        java.nio.file.Files.write(
+          new File(dir, f"clip$id%03d.wav").toPath, bb.array())
+      }
+      new File(dir, "_done").createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
+  private def binScan(s: SparkSession, dir: String, glob: String, stem: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(regexp_extract(col("path"), stem + "([0-9]+)\\.", 1)
+        .cast("long").as("doc_id"), col("content"))
+
+  val defs: Map[String, Q] = Map(
+    // B53 REAL image decode: binaryFile scan → javax.imageio PNG decode in
+    // mapPartitions → exact per-channel sums. The oracle recomputes the
+    // sums from the pixel formulas — only a real decoder can match it.
+    "q_image_decode" -> { (s, d) =>
+      Multimodal.imageFeatures(s, binScan(s, imageDir(d), "*.png", "img"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B53 REAL audio decode: WAV/RIFF 16-bit PCM header+samples parsed from
+    // raw bytes; exact |sample| sums against the closed-form oracle.
+    "q_audio_decode" -> { (s, d) =>
+      Multimodal.audioFeatures(s, binScan(s, audioDir(d), "*.wav", "clip"))
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_image_decode" ->
+      s"""SELECT d.range AS doc_id, CAST($ImgW AS INT) AS width,
+         |  CAST($ImgH AS INT) AS height,
+         |  CAST(sum((d.range*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((d.range*17 + x.range*11 + y.range*3) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((d.range*23 + x.range*5 + y.range*19) % 256) AS BIGINT) AS sum_b
+         |FROM range($NImages) d CROSS JOIN range($ImgW) x CROSS JOIN range($ImgH) y
+         |GROUP BY d.range ORDER BY doc_id""".stripMargin,
+
+    "q_audio_decode" ->
+      s"""SELECT d.range AS doc_id, CAST($SampleRate AS INT) AS sample_rate,
+         |  CAST(400 + 13 * d.range AS BIGINT) AS n_samples,
+         |  CAST(sum(abs((d.range*7919 + k.range*31) % 65536 - 32768)) AS BIGINT) AS sum_abs
+         |FROM range($NClips) d CROSS JOIN range(400 + 13 * ($NClips - 1)) k
+         |WHERE k.range < 400 + 13 * d.range
+         |GROUP BY d.range ORDER BY doc_id""".stripMargin)
+}
