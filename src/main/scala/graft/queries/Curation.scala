@@ -196,6 +196,24 @@ object Curation {
         .orderBy(col("k"))
     },
 
+    // Equal-width histogram (profiler family): 20 integer-cents bins over
+    // o_totalprice, bin = (cents − min)·20 div (max − min + 1) — exact
+    // integer arithmetic end to end (a double-width bin formula would tie-
+    // break differently across engines at bin edges). Two passes: one
+    // min/max aggregate (broadcast as a 1-row cross join), one binning
+    // aggregate — the standard profiler dataflow at any scale.
+    "q_histogram" -> { (s, d) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val stats = Tables.orders(s, d)
+        .agg(min(cents).as("lo"), max(cents).as("hi"))
+      Tables.orders(s, d)
+        .select(cents.as("c")).crossJoin(broadcast(stats))
+        .select(floor((col("c") - col("lo")) * 20 /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    },
+
     // Column profiler: per-column null count, exact distinct count and
     // min/max over a dynamic column list, in ONE pass (the aggregate row is
     // melted to one output row per column). Multiple exact count(distinct)
@@ -330,6 +348,14 @@ object Curation {
         |      FROM log)
         |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY k""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |st AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+        |SELECT CAST(floor((c - lo) * 20 / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM c, st GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_profile" ->
       """SELECT * FROM (
