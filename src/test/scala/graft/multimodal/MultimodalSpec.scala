@@ -51,4 +51,26 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((0, 5L, 1L)))
   }
+
+  test("image decode round-trips an in-memory PNG exactly and fails loud on garbage") {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (x * 10 << 16) | (y * 20 << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(9L, bos.toByteArray)
+    assert(f == Multimodal.ImageFeatures(9L, 3, 2,
+      sum_r = 2L * (0 + 10 + 20), sum_g = 3L * (0 + 20), sum_b = 6L * 7))
+    // a corrupt payload must throw, never emit fabricated features
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(10L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("wav decode rejects a non-RIFF payload instead of misparsing it") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, Array.fill[Byte](64)(0x41))
+    }
+  }
 }
