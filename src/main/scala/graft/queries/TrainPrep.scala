@@ -152,6 +152,30 @@ object TrainPrep {
         .orderBy(col("lang"))
     },
 
+    // B61 feature hashing (the hashing trick): fixed 16-dim bag-of-words
+    // count vector per doc, dim = 28-bit md5 term hash mod 16 — the
+    // vocabulary-free text vectorizer (no dictionary to build, ship or
+    // broadcast; dimensionality is a constant, collisions are the accepted
+    // trade). ONE partial+final HashAggregate with 16 codegen'd conditional
+    // sums — no pivot, no per-dim shuffle; the vector is md5-pinned.
+    "q_text_hashvec" -> { (s, d) =>
+      val h = conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long")
+      val dims = (0 until 16).map(j =>
+        sum(when(col("hb") === j, 1L).otherwise(0L)).as(s"v$j"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .withColumn("hb", h % 16)
+        .groupBy(col("doc_id"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j => col(s"v$j")).reduce(_ + _).as("l1"),
+          (0 until 16).map(j => when(col(s"v$j") > 0, 1).otherwise(0))
+            .reduce(_ + _).as("nnz"),
+          md5(concat_ws(",", (0 until 16).map(j => col(s"v$j").cast("string")): _*))
+            .as("vec_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // B61 rare-token quality score: fraction of token occurrences whose
     // corpus-wide frequency is below the mean term frequency (cnt * vocab <
     // total — pure integer compare, no division). The term-frequency table
@@ -253,6 +277,27 @@ object TrainPrep {
         |  CAST(floor(count(*) * 1000000
         |    / CAST(count(DISTINCT doc_id) AS DOUBLE)) AS BIGINT) AS ratio_ppm
         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_hashvec" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |hb AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 16 AS b
+         |  FROM tok),
+         |v AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(j =>
+              s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS BIGINT) AS v$j")
+              .mkString(",\n         |    ")}
+         |  FROM hb GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ${(0 until 16).map(j => s"v$j").mkString(" + ")} AS l1,
+         |  ${(0 until 16).map(j => s"CASE WHEN v$j > 0 THEN 1 ELSE 0 END")
+             .mkString(" + ")} AS nnz,
+         |  md5(${(0 until 16).map(j => s"CAST(v$j AS VARCHAR)")
+             .mkString(" || ',' || ")}) AS vec_md5
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_text_rarity" ->
       """WITH tok AS (
