@@ -242,6 +242,26 @@ object LlmOps {
         .orderBy(col("cluster_rep"), col("member"))
     },
 
+    // B49/B50 quality-aware survivor policy: within each near-dup cluster
+    // keep the LONGEST member (ties → smallest id) instead of the min-id —
+    // the "which copy do you keep" rule real pipelines use (longest copy ≈
+    // least-truncated). One max_by(struct(n_chars, -id)) aggregate per
+    // cluster (map-side combined) + a broadcast-sized join back to members;
+    // the policy is a pluggable ORDER, not new dataflow.
+    "q_dedup_survivor" -> { (s, d) =>
+      val labels = NearDup.clusters(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val members = labels.select(col("cluster_rep"), col("member"))
+        .join(Tables.documents(s, d).select(col("doc_id").as("member"), col("n_chars")),
+          "member")
+      val surv = members.groupBy(col("cluster_rep"))
+        .agg(max_by(col("member"), struct(col("n_chars"), -col("member")))
+          .as("survivor_id"))
+      members.join(surv, Seq("cluster_rep"))
+        .select(col("cluster_rep"), col("member"), col("survivor_id"),
+          (col("member") === col("survivor_id")).as("keep"))
+        .orderBy(col("cluster_rep"), col("member"))
+    },
+
     // B49+B50 the full dedup recipe as ONE composed pipeline over the
     // public operator API (README "Deduplicating a corpus"): exact dedup
     // (sha-256 groups, min-id survivor) → MinHash near-dup over the exact
@@ -691,6 +711,46 @@ object LlmOps {
          |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r)
          |SELECT min(r) AS cluster_rep, id AS member
          |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
+
+    "q_dedup_survivor" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |ex AS (SELECT doc_id, ${sqlH28("u.s")} AS h FROM sh, unnest(shingles) u(s)),
+         |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b FROM range(12) r(i)),
+         |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+         |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+         |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |ok AS (SELECT band, mh0, mh1 FROM bands
+         |       GROUP BY 1, 2, 3 HAVING count(*) <= ${MaxBucket}),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN ok z ON z.band = x.band AND z.mh0 = x.mh0 AND z.mh1 = x.mh1
+         |  JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+         |  WHERE $sqlJaccard >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r),
+         |labels AS (SELECT id AS member, min(r) AS cluster_rep FROM walk GROUP BY id),
+         |j AS (SELECT l.member, l.cluster_rep, d.n_chars
+         |      FROM labels l JOIN documents d ON d.doc_id = l.member),
+         |srv AS (SELECT cluster_rep, member AS survivor_id FROM (
+         |    SELECT cluster_rep, member,
+         |      row_number() OVER (PARTITION BY cluster_rep
+         |        ORDER BY n_chars DESC, member ASC) AS rn
+         |    FROM j) WHERE rn = 1)
+         |SELECT j.cluster_rep, j.member, s.survivor_id,
+         |  j.member = s.survivor_id AS keep
+         |FROM j JOIN srv s ON s.cluster_rep = j.cluster_rep
+         |ORDER BY j.cluster_rep, j.member""".stripMargin,
 
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE
