@@ -107,14 +107,18 @@ object Curation {
     // Embedding mean-pool per label class: posexplode dims → (label, dim)
     // aggregate with map-side combine. Float sums are order-dependent, so
     // the mean rides the integer-scaled exact-sum trick (QUtil doc): round
-    // each float to 6 dp as an integer, sum exactly, divide — engine- and
-    // partition-order-exact.
+    // each float to 6 dp as an integer, sum exactly. The mean itself is
+    // floor(sum_micro / n) — an exact integer in micro units. round() on
+    // the quotient is NOT safe: when sum_micro/n lands on a half-integer
+    // (any n divisible by 128, e.g. 192 groups at sf0.1), Spark rounds the
+    // shortest decimal repr HALF_UP while DuckDB rounds the raw double,
+    // and the tie splits — found by the sf0.1 differential run.
     "q_embed_pool" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
-        .agg(round(sum(round(col("v").cast("double") * 1e6)) / 1e6 / count(lit(1)), 6)
-            .as("pooled"),
+        .agg(floor(sum(round(col("v").cast("double") * 1e6)) / count(lit(1)))
+            .cast("long").as("pooled_micro"),
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("dim"))
     },
@@ -304,7 +308,8 @@ object Curation {
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
         |  FROM embeddings)
         |SELECT label, dim,
-        |  round(sum(round(CAST(v AS DOUBLE) * 1e6)) / 1e6 / count(*), 6) AS pooled,
+        |  CAST(floor(sum(round(CAST(v AS DOUBLE) * 1e6)) / count(*)) AS BIGINT)
+        |    AS pooled_micro,
         |  count(*) AS n
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 

@@ -106,7 +106,7 @@ object Events {
       firstSignup.select(count(lit(1)).as("n_signed_up"))
         .crossJoin(converted.select(count(lit(1)).as("n_converted")))
         .withColumn("conversion",
-          round(col("n_converted") / col("n_signed_up").cast("double"), 6))
+          QUtil.round6Exact(col("n_converted") / col("n_signed_up").cast("double")))
     },
 
     // Cohort retention: users who signed up on day X and were active again
@@ -121,7 +121,8 @@ object Events {
         .groupBy(col("day0"))
         .agg(countDistinct(col("user_id")).as("n_cohort"),
           countDistinct(when(col("next_day") === 1, col("user_id"))).as("n_day1"))
-        .withColumn("retention", round(col("n_day1") / col("n_cohort").cast("double"), 6))
+        .withColumn("retention",
+          QUtil.round6Exact(col("n_day1") / col("n_cohort").cast("double")))
         .orderBy(col("day0"))
     },
 
@@ -232,8 +233,8 @@ object Events {
         |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fs.first_signup)
         |SELECT (SELECT count(*) FROM fs) AS n_signed_up,
         |  (SELECT count(*) FROM conv) AS n_converted,
-        |  round((SELECT count(*) FROM conv)
-        |    / CAST((SELECT count(*) FROM fs) AS DOUBLE), 6) AS conversion""".stripMargin,
+        |  floor((SELECT count(*) FROM conv)
+        |    / CAST((SELECT count(*) FROM fs) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conversion""".stripMargin,
 
     "q_events_retention" ->
       """WITH cohort AS (
@@ -245,8 +246,8 @@ object Events {
         |SELECT day0,
         |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_cohort,
         |  CAST(count(DISTINCT CASE WHEN a.day = c.day0 + 1 THEN c.user_id END) AS BIGINT) AS n_day1,
-        |  round(count(DISTINCT CASE WHEN a.day = c.day0 + 1 THEN c.user_id END)
-        |    / CAST(count(DISTINCT c.user_id) AS DOUBLE), 6) AS retention
+        |  floor(count(DISTINCT CASE WHEN a.day = c.day0 + 1 THEN c.user_id END)
+        |    / CAST(count(DISTINCT c.user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS retention
         |FROM cohort c LEFT JOIN activity a ON a.user_id = c.user_id
         |GROUP BY day0 ORDER BY day0""".stripMargin,
 

@@ -472,7 +472,8 @@ object LlmOps {
         .filter(col("rn") === 1)
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
-          round(sum(round(col("quality") * 1e9)) / 1e9 / count(lit(1)), 6).as("avg_quality"))
+          QUtil.round6Exact(sum(round(col("quality") * 1e9)) / 1e9 / count(lit(1)))
+            .as("avg_quality"))
     },
 
     // B52 token statistics per language.
@@ -484,9 +485,11 @@ object LlmOps {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).cast("long").as("total_toks"),
-          round(sum(col("n_toks")) / count(lit(1)).cast("double"), 6).as("avg_toks"),
+          QUtil.round6Exact(sum(col("n_toks")) / count(lit(1)).cast("double"))
+            .as("avg_toks"),
           sum(col("n_chars")).as("total_chars"),
-          round(sum(col("n_distinct")) / sum(col("n_toks")).cast("double"), 6).as("distinct_ratio"))
+          QUtil.round6Exact(sum(col("n_distinct")) / sum(col("n_toks")).cast("double"))
+            .as("distinct_ratio"))
         .orderBy(col("lang"))
     },
 
@@ -1058,16 +1061,17 @@ object LlmOps {
         |    FROM kept) t WHERE rn = 1)
         |SELECT count(*) AS n_docs,
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
-        |  round(sum(round(quality * 1e9)) / 1e9 / count(*), 6) AS avg_quality
+        |  floor(sum(round(quality * 1e9)) / 1e9 / count(*) * 1e6 + 0.5) / 1e6 AS avg_quality
         |FROM dedup""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_toks,
-        |  round(sum(len(string_split(text,' '))) / CAST(count(*) AS DOUBLE), 6) AS avg_toks,
+        |  floor(sum(len(string_split(text,' '))) / CAST(count(*) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS avg_toks,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  round(sum(len(list_distinct(string_split(text,' ')))) /
-        |    CAST(sum(len(string_split(text,' '))) AS DOUBLE), 6) AS distinct_ratio
+        |  floor(sum(len(list_distinct(string_split(text,' ')))) /
+        |    CAST(sum(len(string_split(text,' '))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS distinct_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_langid" ->

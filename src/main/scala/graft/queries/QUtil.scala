@@ -27,14 +27,27 @@ object QUtil {
     s"round(sum(round(($e) * $f)) / $f, $digits)"
   }
 
-  /** Deterministic average: exact integer-scaled sum / exact count. */
+  /** Tie-safe 6-dp rounding of a quotient: `floor(x·1e6 + 0.5) / 1e6`
+    * rounds the DOUBLE half-up — both engines compute the same double, so
+    * the result is engine-exact. `round(x, 6)` is NOT: Spark rounds x's
+    * shortest decimal repr (HALF_UP on the string) while DuckDB rounds the
+    * raw double, and any quotient landing on a half-integer micro value
+    * splits the engines (q_embed_pool hit this at sf0.1 where group size
+    * 192 made sum/192 a .5-micro tie — found by the differential run). */
+  def round6Exact(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** SQL mirror of [[round6Exact]]. */
+  def round6ExactSql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
+  /** Deterministic average: exact integer-scaled sum / exact count,
+    * tie-safe 6-dp presentation. */
   def moneyAvg(c: Column, digits: Int): Column = {
     val f = math.pow(10, digits)
-    round(sum(round(c * f)) / f / count(lit(1)), 6)
+    round6Exact(sum(round(c * f)) / f / count(lit(1)))
   }
 
   def moneyAvgSql(e: String, digits: Int): String = {
     val f = s"1e$digits"
-    s"round(sum(round(($e) * $f)) / $f / count(*), 6)"
+    round6ExactSql(s"sum(round(($e) * $f)) / $f / count(*)")
   }
 }
