@@ -56,7 +56,10 @@ object ConnectedComponents {
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
 
-    val Seq(a, b) = pairs.schema.fieldNames.toSeq
+    // edge endpoints = the first two columns; extra columns (a confirmed
+    // pair's jac/cos measure) are ignored, so NearDup's 3-column outputs
+    // compose directly
+    val Seq(a, b) = pairs.schema.fieldNames.take(2).toSeq
     val edges = cut(
       pairs.select(col(a).as("src"), col(b).as("dst"))
         .unionByName(pairs.select(col(b).as("src"), col(a).as("dst"))))

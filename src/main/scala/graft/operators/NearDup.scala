@@ -118,7 +118,10 @@ object NearDup {
     require(width >= 1, s"shingle width ($width) must be >= 1")
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val tk = text.split(' ')
+        // limit -1 keeps trailing empty tokens — the semantics of Spark
+        // SQL split AND DuckDB string_split; plain split(' ') drops them
+        // and would diverge from every oracle on trailing-space text
+        val tk = text.split(" ", -1)
         val seen = new java.util.LinkedHashSet[String]()
         var i = 0
         while (i <= tk.length - width) {
@@ -130,10 +133,16 @@ object NearDup {
       }.toDF("doc_id", "sh")
   }
 
-  /** Exact Jaccard between two distinct-element array columns. */
+  /** Exact Jaccard between two distinct-element array columns, presented
+    * at 3 dp via tie-safe `floor(x·1e3 + 0.5)/1e3` — Jaccard is a RATIONAL
+    * (|∩|/|∪|) so half-integer milli ties genuinely occur (e.g. 201/400),
+    * and `round(x, 3)` splits them across engines (Spark rounds the
+    * shortest decimal repr, DuckDB the raw double). The cosine measures
+    * keep plain round: they are sums of float products, never exact
+    * half-integer rationals. */
   private[graft] def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - inter), 3)
+    floor(inter / (size(a) + size(b) - inter) * 1e3 + 0.5) / 1e3
   }
 
   /** Explode a capped bucket's member set into ordered candidate pairs. */

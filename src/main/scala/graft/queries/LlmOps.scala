@@ -162,9 +162,12 @@ object LlmOps {
        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
        |  WHERE $sqlJaccard >= 0.8)""".stripMargin
   private def sqlH28(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
+  // tie-safe milli presentation, mirroring NearDup.jaccard (Jaccard is a
+  // rational — round()'s repr-vs-double tie split is real here)
   private val sqlJaccard =
-    "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
-      "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 3)"
+    "floor(len(list_intersect(a.shingles, b.shingles))::DOUBLE / " +
+      "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))" +
+      " * 1e3 + 0.5) / 1e3"
 
   val defs: Map[String, Q] = Map(
     // B49 exact dedup by content hash: canonical row per hash + dup count.

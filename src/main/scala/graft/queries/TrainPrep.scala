@@ -43,11 +43,17 @@ object TrainPrep {
     "q_contamination" -> { (s, d) =>
       // Typed-flatMap shingle generator (graft.operators.NearDup) — the
       // codegen-friendly path; a transform-under-explode HOF would run in
-      // CodegenFallback ~8x slower on the 100 TB side of this join.
-      val sh = graft.operators.NearDup.shingles(Tables.documents(s, d), width = 4)
-      val bench = sh.filter(col("doc_id") % BenchMod === 0)
+      // CodegenFallback ~8x slower on the 100 TB side of this join. The
+      // doc_id split happens BEFORE the generator: a filter above a typed
+      // flatMap cannot push through DeserializeToObject, so filtering
+      // first is what keeps the benchmark branch a 1/19-of-corpus scan
+      // instead of a second full shingle pass.
+      val docs = Tables.documents(s, d)
+      val bench = graft.operators.NearDup
+        .shingles(docs.filter(col("doc_id") % BenchMod === 0), width = 4)
         .select(col("sh")).distinct().withColumn("hit", lit(1L))
-      sh.filter(col("doc_id") % BenchMod =!= 0)
+      graft.operators.NearDup
+        .shingles(docs.filter(col("doc_id") % BenchMod =!= 0), width = 4)
         .join(broadcast(bench), Seq("sh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
@@ -59,22 +65,26 @@ object TrainPrep {
     },
 
     // B60 chunking: fixed 64-token windows at stride 48 (16-token overlap)
-    // — the sequence-prep step before tokenization. One generate-and-slice
-    // pass per doc (sequence → transform → explode), no shuffle until the
-    // final order; the chunk text travels as md5 so the oracle proves the
-    // exact byte content of every window.
+    // — the sequence-prep step before tokenization. A trailing window
+    // whose content is a strict subset of the previous one (start + overlap
+    // ≥ n_toks) is skipped: emitting it would silently duplicate up to 16
+    // tokens per doc in the training corpus. The chunk text travels as md5
+    // so the oracle proves the exact byte content of every window.
     "q_doc_chunks" -> { (s, d) =>
       // Typed flatMap generator (not transform-under-explode — HOFs under
       // Generate run in CodegenFallback); md5 stays a codegen'd built-in.
+      // split(" ", -1) keeps trailing empties = Spark SQL / DuckDB split.
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
-          val tk = text.split(' ')
-          Iterator.range(0, tk.length, 48).map { st =>
-            val ch = tk.slice(st, st + 64)
-            (id, st, ch.length, ch.mkString(" "))
-          }
+          val tk = text.split(" ", -1)
+          Iterator.range(0, tk.length, 48)
+            .filter(st => st == 0 || tk.length > st + 16)
+            .map { st =>
+              val ch = tk.slice(st, st + 64)
+              (id, st, ch.length, ch.mkString(" "))
+            }
         }
         .toDF("doc_id", "start", "n_chunk_toks", "chunk_text")
         .select(col("doc_id"), col("start"), col("n_chunk_toks"),
@@ -114,6 +124,10 @@ object TrainPrep {
       Tables.embeddings(s, d)
         .withColumn("scale",
           array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+        // an all-zero vector has scale 0 → v/scale is NaN, which Spark
+        // would silently floor to 0 while DuckDB errors casting to BIGINT;
+        // zero vectors carry no signal and are excluded on BOTH sides
+        .filter(col("scale") > 0)
         .withColumn("qv", transform(col("embedding"),
           v => floor(v.cast("double") / col("scale") * 127 + 0.5).cast("long")))
         .select(col("vec_id"), size(col("embedding")).as("n_dims"),
@@ -136,9 +150,7 @@ object TrainPrep {
         ("en", 1, 0), ("de", 2, 500), ("fr", 2, 500), ("es", 3, 250),
         ("zh", 4, 0))).toDF("lang", "wf", "ft")
       Tables.documents(s, d)
-        .withColumn("h",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-            .cast("long"))
+        .withColumn("h", graft.operators.NearDup.h28(col("doc_id").cast("string")))
         .join(broadcast(weights), Seq("lang"))
         .withColumn("copies",
           col("wf") + when(col("h") % 1000 < col("ft"), 1).otherwise(0))
@@ -159,7 +171,7 @@ object TrainPrep {
     // trade). ONE partial+final HashAggregate with 16 codegen'd conditional
     // sums — no pivot, no per-dim shuffle; the vector is md5-pinned.
     "q_text_hashvec" -> { (s, d) =>
-      val h = conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long")
+      val h = graft.operators.NearDup.h28(col("term"))
       val dims = (0 until 16).map(j =>
         sum(when(col("hb") === j, 1L).otherwise(0L)).as(s"v$j"))
       Tables.documents(s, d)
@@ -221,6 +233,7 @@ object TrainPrep {
         |  CAST(len(toks[i+1 : least(i + 64, len(toks))]) AS INT) AS n_chunk_toks,
         |  md5(array_to_string(toks[i+1 : least(i + 64, len(toks))], ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(0, len(toks) - 1, 48)) AS g(i)
+        |WHERE i = 0 OR len(toks) > i + 16
         |ORDER BY doc_id, start""".stripMargin,
 
     "q_seq_pack" ->
@@ -244,10 +257,11 @@ object TrainPrep {
          |FROM b GROUP BY pack_group, bin ORDER BY pack_group, bin""".stripMargin,
 
     "q_embed_quant" ->
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
         |  FROM embeddings),
+        |e AS (SELECT * FROM e0 WHERE scale > 0),
         |q AS (
         |  SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
         |    list_transform(embedding,

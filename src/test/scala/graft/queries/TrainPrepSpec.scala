@@ -24,10 +24,11 @@ class TrainPrepSpec extends SparkSpecBase {
       .join(docs, "doc_id")
     assert(byDoc.filter(col("covered") < col("n_toks")).count() == 0)
     assert(chunks.filter(col("start") % 48 =!= 0).count() == 0)
-    // Each doc produces ceil(max(n_toks - 16, 1) / 48) windows (stride 48
-    // starts at 0 while start < n_toks).
+    // Each doc produces 1 + floor((n_toks - 17)/48) windows (clamped at 1):
+    // a start s > 0 is emitted only when n_toks > s + 16, i.e. the window
+    // adds content beyond the previous one's coverage.
     assert(byDoc.filter(col("n_chunks") =!=
-      floor((col("n_toks") - 1) / 48) + 1).count() == 0)
+      greatest(floor((col("n_toks") - 17) / 48) + 1, lit(1))).count() == 0)
   }
 
   test("q_seq_pack: bins stay within budget except the straddling doc") {
