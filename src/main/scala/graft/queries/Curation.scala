@@ -152,6 +152,36 @@ object Curation {
       v1.unionByName(v2).orderBy(col("k"), col("version"))
     },
 
+    // SCD2 point-in-time lookup: reconstruct the snapshot AS OF version 1
+    // from the versioned rows q_scd2_merge produces — for each key, the
+    // highest version ≤ the asked-for version wins (one max_by aggregate,
+    // map-side combined). The read half of the SCD2 story: a time-travel
+    // query without a table format.
+    "q_scd2_asof" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 100 < 90)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("o_orderstatus").as("status"), lit(1).as("version"))
+      val changes = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 110).cast("long").as("price_cents"),
+          lit("U").as("status"))
+        .join(base.select(col("k"), lit(1).as("had")), Seq("k"), "left")
+        .select(col("k"), col("price_cents"), col("status"),
+          when(col("had").isNotNull, 2).otherwise(1).as("version"))
+      // AS OF version 1: batch-1 inserts (version 1, including new keys
+      // from the change batch) visible, version-2 updates not yet applied
+      base.unionByName(changes)
+        .filter(col("version") <= 1)
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("price_cents"), col("status")), col("version"))
+          .as("v"))
+        .select(col("k"), col("v.price_cents").as("price_cents"),
+          col("v.status").as("status"))
+        .orderBy(col("k"))
+    },
+
     // Incremental aggregate maintenance: the base partition's aggregate
     // state (count + exact integer-cents sum) merged with a delta
     // partition's state must equal the full-table aggregate — the
@@ -333,6 +363,23 @@ object Curation {
         |  TRUE AS is_current
         |FROM changes c LEFT JOIN base b ON b.k = c.k
         |ORDER BY k, version""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 100 < 90),
+        |news AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 110) AS BIGINT) AS price_cents,
+        |    'U' AS status
+        |  FROM orders c WHERE o_orderkey % 10 = 3
+        |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.k = c.o_orderkey))
+        |SELECT k, price_cents, status FROM base
+        |UNION ALL
+        |SELECT k, price_cents, status FROM news
+        |ORDER BY k""".stripMargin,
 
     "q_incr_agg" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt,

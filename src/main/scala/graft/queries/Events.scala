@@ -126,6 +126,25 @@ object Events {
         .orderBy(col("day0"))
     },
 
+    // B25 strict-sequence pattern match (MATCH_RECOGNIZE semantics without
+    // the syntax): three CONSECUTIVE events of one user forming
+    // view → click → purchase, found with two leads over the per-user
+    // time order — one window pass, no self-join (the naive 3-way
+    // self-join is quadratic in events-per-user; the lead chain is
+    // linear and stays in one shuffle).
+    "q_events_pattern" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("event_id")).as("first_match_event"))
+        .orderBy(col("user_id"))
+    },
+
     // B25 sessionization via lag: inter-event gap seconds per user.
     "q_events_gaps" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -250,6 +269,19 @@ object Events {
         |    / CAST(count(DISTINCT c.user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS retention
         |FROM cohort c LEFT JOIN activity a ON a.user_id = c.user_id
         |GROUP BY day0 ORDER BY day0""".stripMargin,
+
+    "q_events_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_matches,
+        |  CAST(min(event_id) AS BIGINT) AS first_match_event
+        |FROM seq
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_gaps" ->
       """SELECT user_id, event_id,
