@@ -119,6 +119,24 @@ object Sql {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, t.c_name""".stripMargin
 
+  /** Ordered string aggregation — the one place the two frontends need
+    * different spellings for the same ANSI feature: Spark 4 ships
+    * `listagg(x, sep) WITHIN GROUP (ORDER BY ...)`, DuckDB spells it
+    * `string_agg(x, sep ORDER BY ...)`. The explicit order makes the
+    * concatenation deterministic (unordered listagg is nondeterministic by
+    * spec and would never hash-match). */
+  private val listaggSpark =
+    """SELECT n_regionkey,
+      |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  private val listaggOracle =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -132,7 +150,8 @@ object Sql {
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
     "q_sql_lateral" -> run(lateral),
-    "q_sql_udf_isbn" -> run(isbnSparkSql))
+    "q_sql_udf_isbn" -> run(isbnSparkSql),
+    "q_sql_listagg" -> run(listaggSpark))
 
   val oracle: Map[String, String] = Map(
     "q_sql_tpch3" -> tpch3,
@@ -141,5 +160,6 @@ object Sql {
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,
     "q_sql_lateral" -> lateral,
-    "q_sql_udf_isbn" -> isbnOracleSql)
+    "q_sql_udf_isbn" -> isbnOracleSql,
+    "q_sql_listagg" -> listaggOracle)
 }
