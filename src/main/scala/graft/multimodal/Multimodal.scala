@@ -94,16 +94,40 @@ object Multimodal {
   def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bytes.length > 44 &&
-      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
-      s"doc $id: not a RIFF/WAV payload")
-    val sampleRate = bb.getInt(24)
-    val dataLen = bb.getInt(40)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: not a RIFF/WAVE payload")
+    // Walk the chunk list — a conforming writer may place LIST/fact/etc.
+    // chunks before 'data', so 'fmt ' and 'data' are located by tag, never
+    // by fixed offset. Chunk payloads are padded to even length.
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val t = tag(off)
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"doc $id: chunk '$t' declares $len bytes past end of payload")
+      if (t == "fmt ") fmtOff = off + 8
+      else if (t == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0,
+      s"doc $id: WAV missing ${if (fmtOff < 0) "'fmt '" else "'data'"} chunk")
+    val audioFormat = bb.getShort(fmtOff).toInt
+    val channels = bb.getShort(fmtOff + 2).toInt
+    val sampleRate = bb.getInt(fmtOff + 4)
+    val bitsPerSample = bb.getShort(fmtOff + 14).toInt
+    require(audioFormat == 1 && bitsPerSample == 16 && channels == 1,
+      s"doc $id: unsupported WAV (format=$audioFormat bits=$bitsPerSample " +
+        s"channels=$channels); only 16-bit mono PCM is decodable here")
     val n = dataLen / 2
     var sum = 0L
     var k = 0
     while (k < n) {
-      sum += math.abs(bb.getShort(44 + 2 * k).toLong)
+      sum += math.abs(bb.getShort(dataOff + 2 * k).toLong)
       k += 1
     }
     AudioFeatures(id, sampleRate, n, sum)

@@ -660,8 +660,11 @@ object LlmOps {
          |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
          |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
          |  FROM mh GROUP BY doc_id, i // 2),
+         |ok AS (SELECT band, mh0, mh1 FROM bands
+         |       GROUP BY 1, 2, 3 HAVING count(*) <= ${MaxBucket}),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |  FROM bands x JOIN ok z ON z.band = x.band AND z.mh0 = x.mh0 AND z.mh1 = x.mh1
+         |  JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
          |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, $sqlJaccard AS jac
          |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
@@ -680,8 +683,11 @@ object LlmOps {
          |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
          |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
          |  FROM mh GROUP BY doc_id, i // 2),
+         |ok AS (SELECT band, mh0, mh1 FROM bands
+         |       GROUP BY 1, 2, 3 HAVING count(*) <= ${MaxBucket}),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+         |  FROM bands x JOIN ok z ON z.band = x.band AND z.mh0 = x.mh0 AND z.mh1 = x.mh1
+         |  JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
          |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, $sqlJaccard AS jac
          |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b

@@ -75,11 +75,16 @@ object Sources {
     val fp =
       if (files.nonEmpty) {
         val conf = s.sparkContext.hadoopConfiguration
-        files.sorted.map { f =>
+        // SHA-256 of the full listing, not String.hashCode: a 32-bit hash
+        // leaves a collision window where a regenerated source would
+        // silently serve stale buckets.
+        val listing = files.sorted.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val st = p.getFileSystem(conf).getFileStatus(p)
           s"$f:${st.getLen}:${st.getModificationTime}"
-        }.mkString("|").hashCode.toString
+        }.mkString("|")
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
       } else {
         // decimal sum: ANSI mode would throw on a bigint overflow; the hash
         // sum is commutative, so partitioning/order can't move it

@@ -27,10 +27,16 @@ object TrainPrep {
     * 4096/8192. */
   private val PackBudget = 512
 
-  /** Docs with doc_id % 19 == 0 act as the held-out benchmark set for
-    * q_contamination — at 100 TB the benchmark side (MMLU-sized eval sets)
-    * is tiny, which is exactly why the broadcast below is the right join. */
-  private val BenchMod = 19
+  /** Docs with doc_id < 25 act as the held-out benchmark set for
+    * q_contamination. The split is CONSTANT-SIZED by construction (25 docs
+    * at every scale factor), matching the real workload shape: an eval
+    * suite (MMLU etc.) is a fixed few-thousand-document set that does not
+    * grow with the training corpus, which is exactly what makes the
+    * broadcast join below correct at 100 TB. A benchmark set that did
+    * scale with the corpus (a percentage split) would exceed the broadcast
+    * threshold — production would then switch to a shuffle join with a
+    * bloom prefilter on the shingle hash. */
+  private val BenchCount = 25
 
   val defs: Map[String, Q] = Map(
     // B60 contamination: 4-token shingle overlap between the training split
@@ -46,14 +52,14 @@ object TrainPrep {
       // CodegenFallback ~8x slower on the 100 TB side of this join. The
       // doc_id split happens BEFORE the generator: a filter above a typed
       // flatMap cannot push through DeserializeToObject, so filtering
-      // first is what keeps the benchmark branch a 1/19-of-corpus scan
+      // first is what keeps the benchmark branch a constant-sized scan
       // instead of a second full shingle pass.
       val docs = Tables.documents(s, d)
       val bench = graft.operators.NearDup
-        .shingles(docs.filter(col("doc_id") % BenchMod === 0), width = 4)
+        .shingles(docs.filter(col("doc_id") < BenchCount), width = 4)
         .select(col("sh")).distinct().withColumn("hit", lit(1L))
       graft.operators.NearDup
-        .shingles(docs.filter(col("doc_id") % BenchMod =!= 0), width = 4)
+        .shingles(docs.filter(col("doc_id") >= BenchCount), width = 4)
         .join(broadcast(bench), Seq("sh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
@@ -189,17 +195,23 @@ object TrainPrep {
     },
 
     // B61 rare-token quality score: fraction of token occurrences whose
-    // corpus-wide frequency is below the mean term frequency (cnt * vocab <
-    // total — pure integer compare, no division). The term-frequency table
-    // is vocabulary-sized (≪ corpus, broadcast); one exploded-token join +
-    // one per-doc aggregate. The OOV/rarity heuristic quality filters use.
+    // corpus-wide frequency is below the mean term frequency. The compare
+    // is `cnt <= (total-1) div vocab` — algebraically `cnt * vocab < total`
+    // (for integer cnt: cnt*vocab < total ⟺ cnt ≤ floor((total-1)/vocab))
+    // but product-free: at 100 TB (total ~1e13 tokens × vocab ~1e8 terms)
+    // the product overflows BIGINT, where Spark (non-ANSI) wraps and DuckDB
+    // raises; integer division keeps both engines exact at any scale. The
+    // term-frequency table is vocabulary-sized (≪ corpus, broadcast); one
+    // exploded-token join + one per-doc aggregate. The OOV/rarity heuristic
+    // quality filters use.
     "q_text_rarity" -> { (s, d) =>
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val stats = tf.agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("total"))
       val rare = tf.crossJoin(broadcast(stats))
-        .select(col("term"), (col("cnt") * col("vocab") < col("total")).as("rare"))
+        .select(col("term"),
+          (col("cnt") <= expr("(total - 1) div vocab")).as("rare"))
       tok.join(broadcast(rare), Seq("term"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"),
@@ -218,11 +230,11 @@ object TrainPrep {
          |sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
          |  FROM base, unnest(generate_series(1, len(t) - 3)) AS g(i)),
-         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $BenchMod = 0),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $BenchCount),
          |tr AS (
          |  SELECT doc_id, count(*) AS n_shingles,
          |    count(*) FILTER (WHERE sh IN (SELECT sh FROM bench)) AS n_hit
-         |  FROM sh WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id)
+         |  FROM sh WHERE doc_id >= $BenchCount GROUP BY doc_id)
          |SELECT doc_id, n_shingles, n_hit,
          |  CAST(floor(n_hit * 1000000 / CAST(n_shingles AS DOUBLE)) AS BIGINT) AS hit_ppm
          |FROM tr WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
@@ -318,7 +330,7 @@ object TrainPrep {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
         |st AS (SELECT count(*) AS vocab, sum(cnt) AS total FROM tf),
-        |r AS (SELECT term, (cnt * vocab < total) AS rare FROM tf, st)
+        |r AS (SELECT term, (cnt <= (total - 1) // vocab) AS rare FROM tf, st)
         |SELECT t.doc_id, count(*) AS n_toks,
         |  CAST(count(*) FILTER (WHERE r.rare) AS BIGINT) AS n_rare,
         |  CAST(floor(count(*) FILTER (WHERE r.rare) * 1000000

@@ -73,4 +73,45 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.decodeWav(1L, Array.fill[Byte](64)(0x41))
     }
   }
+
+  private def wavBytes(samples: Array[Short], extraChunk: Boolean = false,
+                       format: Short = 1, channels: Short = 1,
+                       bits: Short = 16): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val listLen = if (extraChunk) 8 + 6 else 0 // odd payload → pad byte
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + listLen + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(bb.capacity - 8)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(format).putShort(channels).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(bits)
+    if (extraChunk) // a 5-byte LIST chunk (odd → 1 pad byte) before 'data'
+      bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+        .put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("wav decode walks the chunk list: LIST chunk before data parses identically") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val plain = Multimodal.decodeWav(1L, wavBytes(samples))
+    val listed = Multimodal.decodeWav(1L, wavBytes(samples, extraChunk = true))
+    assert(plain == Multimodal.AudioFeatures(1L, 8000, 4, 1000L))
+    assert(listed == plain.copy()) // header bytes must never be summed as samples
+  }
+
+  test("wav decode rejects non-PCM, multi-channel, and truncated-data payloads") {
+    val s = Array[Short](1, 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, wavBytes(s, format = 3)) // IEEE float
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, wavBytes(s, channels = 2))
+    }
+    val truncated = wavBytes(s).dropRight(2) // data chunk declares 4 bytes, has 2
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, truncated)
+    }
+  }
 }

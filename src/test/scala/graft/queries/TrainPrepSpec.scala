@@ -58,7 +58,8 @@ class TrainPrepSpec extends SparkSpecBase {
 
   test("q_contamination: benchmark docs are excluded and ppm is consistent") {
     val c = TrainPrep.defs("q_contamination")(spark, sf)
-    assert(c.filter(col("doc_id") % 19 === 0).count() == 0)
+    assert(c.count() > 0, "contamination must flag at least one train doc")
+    assert(c.filter(col("doc_id") < 25).count() == 0)
     assert(c.filter(col("n_hit") > col("n_shingles")).count() == 0)
     assert(c.filter(
       col("hit_ppm") =!= floor(col("n_hit") * 1000000 / col("n_shingles").cast("double")).cast("long"))
