@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression,
   ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType,
+  DoubleType, IntegerType, LongType}
+import org.apache.spark.util.sketch
 
 /** Native Catalyst expression for the embedding dot product (SURVEY.md B51).
   *
@@ -285,6 +287,61 @@ case class VecBestCell(vec: Expression, cents: Expression)
     copy(vec = newLeft, cents = newRight)
 }
 
+/** Codegen'd bloom-filter membership probe (SURVEY.md B58 — the semi-join
+  * reduction's hot path): `bloom_might_contain(key, sketchBytes)` where
+  * `sketchBytes` is a foldable binary literal holding the serialized
+  * `org.apache.spark.util.sketch.BloomFilter`.
+  *
+  * Why an expression and not `udf(k => bf.mightContainLong(k))`: the probe
+  * runs once per FACT row — by construction the full-scan side the
+  * prefilter exists to cheapen — and a Scala UDF boxes every key and breaks
+  * the whole-stage-codegen span around the scan. Here the deserialized
+  * sketch rides along as a codegen reference object (same mechanism as
+  * [[VecBestCell]]'s centroid matrix) and the generated code is a direct
+  * `mightContainLong` call on an unboxed long.
+  *
+  * The sketch is a constructor PARAMETER, not a child Literal: the builder
+  * folds the binary literal away at resolution time. A ~1.2 MB literal left
+  * in the tree hex-prints into every plan string (explain, SQL-tab UI,
+  * event logs — measured 468 KB of explain for one probe); as a parameter
+  * it still java-serializes to executors with the expression but renders as
+  * an elided placeholder. Deserialized once per expression instance, never
+  * per row. No false negatives (prefilter + join ≡ join) — the guarantee
+  * BloomJoinSpec pins.
+  */
+case class BloomMightContain(key: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+  require(sketchBytes != null && sketchBytes.nonEmpty,
+    "bloom_might_contain: empty sketch payload")
+
+  override def child: Expression = key
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  // keep the megabyte payload out of every plan/tree rendering
+  override def flatArguments: Iterator[Any] =
+    Iterator(key, s"sketch[${sketchBytes.length}B]")
+  override def stringArgs: Iterator[Any] = flatArguments
+
+  @transient private lazy val filter: sketch.BloomFilter =
+    sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+
+  override protected def nullSafeEval(k: Any): Any =
+    filter.mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // BloomFilterImpl is java-Serializable, so the DESERIALIZED sketch is
+    // the reference object — executors don't re-parse the bytes per codegen
+    // instance.
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = $bf.mightContainLong($k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(key = newChild)
+}
+
 object VectorExprs {
   private val toVec: Expression => Expression = {
     case e if e.dataType == ArrayType(DoubleType, containsNull = false) => e
@@ -321,5 +378,19 @@ object VectorExprs {
       new ExpressionInfo(classOf[VecBestCell].getName, "vec_best_cell"),
       (children: Seq[Expression]) => VecBestCell(toVec(children.head),
         toMat(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(
+        children.head.dataType match {
+          case LongType => children.head
+          case _ => Cast(children.head, LongType)
+        },
+        children(1) match {
+          case l @ Literal(_, BinaryType) => l.value.asInstanceOf[Array[Byte]]
+          case other => throw new IllegalArgumentException(
+            "bloom_might_contain: sketch operand must be a binary literal, " +
+              s"got $other")
+        })))
   }
 }

@@ -432,22 +432,27 @@ object Relational {
 
     // Runtime bloom-filter join reduction: build an exact-membership sketch
     // over the small side's keys (distributed aggregate, ~1.2 MB sketch to
-    // the driver), broadcast it, and discard non-joining fact rows BEFORE
-    // the join's shuffle. No false negatives, so prefilter + join ≡ plain
-    // join (which is exactly what the oracle checks); false positives are
-    // eliminated by the join itself. At 100 TB this is the semi-join
-    // reduction that turns a 10%-selective dimension join from a full fact
-    // shuffle into a tenth of one — what AQE's InjectRuntimeFilter does
-    // automatically, made explicit and testable (BloomJoinSpec).
+    // the driver), ship it as a binary literal, and discard non-joining
+    // fact rows BEFORE the join's shuffle. No false negatives, so prefilter
+    // + join ≡ plain join (which is exactly what the oracle checks); false
+    // positives are eliminated by the join itself. At 100 TB this is the
+    // semi-join reduction that turns a 10%-selective dimension join from a
+    // full fact shuffle into a tenth of one — what AQE's InjectRuntimeFilter
+    // does automatically, made explicit and testable (BloomJoinSpec). The
+    // probe is the codegen `bloom_might_contain` kernel, NOT a Scala UDF:
+    // it runs once per fact row, and a UDF would box every key and split
+    // the whole-stage-codegen span around the scan.
     "q_bloom_join" -> { (s, d) =>
       val cust = Tables.customer(s, d)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val mightContain = call_function("bloom_might_contain",
+        col("o_custkey"), lit(bos.toByteArray))
       Tables.orders(s, d)
-        .filter(col("o_custkey").isNotNull && mightContain(col("o_custkey")))
+        .filter(col("o_custkey").isNotNull && mightContain)
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"),
