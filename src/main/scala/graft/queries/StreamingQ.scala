@@ -93,6 +93,19 @@ object StreamingQ {
   private val sqlFinalWm =
     "(SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)"
 
+  /** Final watermark of the stream-stream JOIN queries. Each join side
+    * applies withWatermark AFTER filtering to its event_type, so each side
+    * tracks its own max event time and the global watermark is the MIN of
+    * the two sides — measurably different from `sqlFinalWm` (the all-events
+    * form): at sf0.01 the last click lands ~19 min after the last purchase,
+    * and two unmatched purchases fall in that gap (held as open state by
+    * Spark, so the oracle must hold them back too). */
+  private val sqlJoinFinalWm =
+    """(SELECT least(
+      |   max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+      |   max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+      |  - INTERVAL 1 HOUR FROM events)""".stripMargin
+
   private def lateCond = col("ts") < lit(LATE_CUT).cast("timestamp") &&
     col("user_id") % 10 === 7
   private def batch0Cond = col("ts") < lit(T1).cast("timestamp") && !lateCond
@@ -389,6 +402,43 @@ object StreamingQ {
         .orderBy(col("user_id"), col("click_id"))
     },
 
+    // Stream-stream FULL OUTER interval join: both sides emit null-padded
+    // rows on watermark expiry. A click with no purchase in its day emits
+    // once the watermark passes click_ts + 1 day (left eviction, as in
+    // q_stream_join_left); a purchase with no click in [purch_ts − 1 day,
+    // purch_ts] emits once the watermark passes purch_ts itself — the right
+    // state watermark comes from `purch_ts >= click_ts`, so a purchase is
+    // provably unmatched as soon as no on-time click can still precede it.
+    // Rows still open at the final watermark never emit their null form;
+    // the oracle bounds each side with its own eviction arithmetic. The
+    // output user_id is COALESCEd across sides (a right-null row has no
+    // click-side user), and ordering pins NULLS LAST explicitly — Spark
+    // defaults nulls-first, DuckDB nulls-last, and full-outer is the first
+    // member of the family where both id columns can be null.
+    "q_stream_join_full" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val clicks = mbStream(s, d).filter(col("event_type") === "click")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+          col("user_id").as("p_user"))
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purch_ts") >= col("click_ts") &&
+            col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("click_id"), col("purch_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purch_ts")).as("purch_us"))
+      runToTable(s, joined, "graft_stream_join_full", "append")
+        .orderBy(col("user_id"), col("click_id").asc_nulls_last,
+          col("purch_id").asc_nulls_last)
+    },
+
     // B44 arbitrary stateful op: flatMapGroupsWithState in update mode —
     // per-user state (update count, running event count, running cents sum)
     // evolves across the three micro-batches; every state update is emitted,
@@ -672,7 +722,7 @@ object StreamingQ {
          |      AND NOT ${sqlLateFor("p")}
          |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
          |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
-         |  AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY < $sqlFinalWm
+         |  AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY < $sqlJoinFinalWm
          |ORDER BY user_id, click_id, purch_id""".stripMargin,
 
     "q_stream_join_semi" ->
@@ -686,6 +736,46 @@ object StreamingQ {
          |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
          |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
          |ORDER BY user_id, click_id""".stripMargin,
+
+    // matched rows ∪ left-evicted nulls (window end < final wm, as in
+    // join_left) ∪ right-evicted nulls (purch_ts itself < final wm: the
+    // right state watermark derives from purch_ts >= click_ts)
+    "q_stream_join_full" ->
+      s"""WITH m AS (
+         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+         |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+         |    epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |  FROM events c JOIN events p
+         |    ON p.user_id = c.user_id
+         |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |   AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+         |  WHERE NOT ${sqlLateFor("c")} AND NOT ${sqlLateFor("p")}),
+         |lnull AS (
+         |  SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purch_id,
+         |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us, CAST(NULL AS BIGINT) AS purch_us
+         |  FROM events c
+         |  WHERE c.event_type = 'click' AND NOT ${sqlLateFor("c")}
+         |    AND NOT EXISTS (SELECT 1 FROM events p
+         |      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+         |        AND NOT ${sqlLateFor("p")}
+         |        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
+         |    AND CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY < $sqlJoinFinalWm),
+         |rnull AS (
+         |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.event_id AS purch_id,
+         |    CAST(NULL AS BIGINT) AS click_us, epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |  FROM events p
+         |  WHERE p.event_type = 'purchase' AND NOT ${sqlLateFor("p")}
+         |    AND NOT EXISTS (SELECT 1 FROM events c
+         |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+         |        AND NOT ${sqlLateFor("c")}
+         |        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
+         |    AND CAST(p.ts AS TIMESTAMP) < $sqlJoinFinalWm)
+         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM lnull
+         |               UNION ALL SELECT * FROM rnull)
+         |ORDER BY user_id, click_id NULLS LAST, purch_id NULLS LAST""".stripMargin,
 
     "q_stream_stateful" -> statefulOracle,
     "q_stream_tws" -> statefulOracle,
