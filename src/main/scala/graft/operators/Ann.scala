@@ -123,10 +123,77 @@ object EmbedLshConfig {
 }
 
 /** IVF index shape: `numCentroids` coarse cells (deterministic "training" =
-  * the first `numCentroids` vectors by id), each vector assigned to its
-  * max-cosine cell; queries probe their `nprobe` nearest cells. */
+  * the first `numCentroids` vectors by id, or a [[Ann.kmeansFit]] model),
+  * each vector assigned to its max-cosine cell; queries probe their
+  * `nprobe` nearest cells.
+  *
+  * Use [[IvfConfig.derive]] (pure sizing math, unit-testable) or
+  * [[IvfConfig.forCorpus]] (sniffs the corpus cardinality) instead of
+  * hand-picking numbers — the same contract as [[EmbedLshConfig]]. */
 final case class IvfConfig(numCentroids: Int = 16, nprobe: Int = 2) {
   require(numCentroids >= 1 && nprobe >= 1 && nprobe <= numCentroids)
+
+  /** Expected cell occupancy at corpus size n (balanced quantizer). */
+  def expectedCell(corpusSize: Long): Double =
+    corpusSize.toDouble / numCentroids
+}
+
+object IvfConfig {
+  /** Pure sizing math for the coarse quantizer, mirroring
+    * [[EmbedLshConfig.derive]]'s refuse-to-lie contract:
+    *
+    *  - `nprobe = ceil(ln(1 − recallTarget) / ln(1 − cellHitRate))` — under
+    *    the standard multi-probe model the true neighbor lands in the
+    *    query's j-th-ranked cell with geometrically decaying probability
+    *    (`cellHitRate` per rank), so recall ≥ target costs that many
+    *    probes. `cellHitRate` is corpus-dependent: ~0.6 is the clustered
+    *    regime a TRAINED quantizer produces; weak-similarity corpora sit
+    *    lower — measure with AnnRecallSpec's method before trusting it;
+    *  - ideal `k = sqrt(n · nprobe)` minimizes per-query work
+    *    `k + nprobe · n/k` (rank k centroids, then scan nprobe cells of
+    *    ~n/k vectors) — the classic IVF balance point;
+    *  - `k` is CAPPED at `n / minCell`: cells below ~`minCell` vectors make
+    *    the coarse quantizer noise-dominated (assignment flips on rounding,
+    *    recall collapses without the cost going down);
+    *  - REFUSES when the result degenerates: `nprobe > maxProbeFraction·k`
+    *    means the "index" scans most of the corpus per query — brute-force
+    *    [[Ann.exactTopK]] is then strictly better, and returning a config
+    *    anyway would lie about the speedup. Tiny corpora refuse the same
+    *    way (k capped to n/minCell falls below nprobe/maxProbeFraction).
+    */
+  def derive(corpusSize: Long,
+             recallTarget: Double = 0.9,
+             cellHitRate: Double = 0.6,
+             minCell: Int = 32,
+             maxProbeFraction: Double = 0.25): IvfConfig = {
+    require(corpusSize > 0 && minCell >= 1)
+    require(recallTarget > 0 && recallTarget < 1)
+    require(cellHitRate > 0 && cellHitRate < 1)
+    require(maxProbeFraction > 0 && maxProbeFraction <= 1)
+    val nprobe = math.ceil(
+      math.log1p(-recallTarget) / math.log1p(-cellHitRate)).toInt.max(1)
+    val idealK = math.round(math.sqrt(corpusSize.toDouble * nprobe)).toInt
+    val k = math.min(idealK.toLong, corpusSize / minCell).toInt
+    if (k < math.ceil(nprobe / maxProbeFraction))
+      throw new IllegalArgumentException(
+        s"IVF degenerates at corpus $corpusSize: recall $recallTarget at " +
+          s"cell-hit $cellHitRate needs $nprobe probes, but only $k cells " +
+          s"of >= $minCell vectors exist — probing that much of the index " +
+          "is brute force with extra steps: use Ann.exactTopK, lower " +
+          "recallTarget, or accept smaller cells (minCell)")
+    IvfConfig(k, nprobe)
+  }
+
+  /** Derive from the corpus itself: cardinality via `approx_count_distinct`
+    * (one cheap aggregate job), mirroring [[EmbedLshConfig.forCorpus]]. */
+  def forCorpus(emb: DataFrame,
+                recallTarget: Double = 0.9,
+                cellHitRate: Double = 0.6,
+                minCell: Int = 32): IvfConfig = {
+    val n = emb.agg(approx_count_distinct(col("vec_id")).as("n"))
+      .head().getLong(0)
+    derive(n, recallTarget, cellHitRate, minCell)
+  }
 }
 
 /** Similarity search over an embedding column (SURVEY.md §2 B51): exact
@@ -264,9 +331,15 @@ object Ann {
     * the data never leaves the cluster.
     *
     * @return exploded centroids (cent_id, j, c_val), c_val rounded to 6. */
-  def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
+  def kmeansFit(emb0: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb0.sparkSession
     import spark.implicits._
+    // 1 init + `iters` update jobs each scan the corpus: persist it once
+    // (MEMORY_AND_DISK — spills instead of OOMing at scale) for the
+    // duration of training, the standard iterative-ML shape. The returned
+    // model is driver state, so unpersisting before returning is safe.
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents: IndexedSeq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("e")) // by name: the contract promises the
       .orderBy(col("vec_id")).collect() // columns, not their position
@@ -295,6 +368,7 @@ object Ann {
       .select(col("cent_id"), posexplode(col("ce")))
       .select(col("cent_id"), col("pos").as("j"),
         round(col("col"), 6).as("c_val"))
+    } finally emb.unpersist(blocking = false)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =

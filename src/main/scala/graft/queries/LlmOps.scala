@@ -74,6 +74,21 @@ object LlmOps {
     EmbedLshConfig(bands = 24, bits = 6, prime = 149, dim = 64,
       maxBucket = MaxBucket, cosineConfirm = 0.45)
 
+  /** IVF geometry DERIVED for the sf0.01 fixture corpus (500 vectors):
+    * recall target 0.8 (the floor AnnRecallSpec pins) at cell-hit 0.6 costs
+    * nprobe=2; ideal k = √(n·nprobe) ≈ 32 is capped by the 30-vector
+    * minimum cell to k=16 — i.e. exactly the hand-picked (16, 2) of rounds
+    * 3–6, now produced by the sizing math instead of asserted. The oracle
+    * SQL interpolates the same values. Pinned (not forCorpus) because
+    * oracle strings are static; at another corpus size call
+    * [[IvfConfig.forCorpus]] — AnnRecallSpec measures the derived config at
+    * sf0.1 (n=2000 ⇒ k=63) as well. */
+  private[graft] val IvfCfg =
+    IvfConfig.derive(corpusSize = 500, recallTarget = 0.8,
+      cellHitRate = 0.6, minCell = 30)
+  require(IvfCfg == IvfConfig(numCentroids = 16, nprobe = 2),
+    s"oracle SQL interpolates the derived IVF config; got $IvfCfg")
+
   private val MOD = 1000000007L
   private val STOPWORDS = Seq("the", "a", "of", "and", "to")
 
@@ -404,8 +419,7 @@ object LlmOps {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
           x => x.getField("c_val")).as("ce"))
-      Ann.ivfTopK(emb, col("vec_id") < 10, k = 3,
-        IvfConfig(numCentroids = 16, nprobe = 2), cents)
+      Ann.ivfTopK(emb, col("vec_id") < 10, k = 3, IvfCfg, cents)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -416,8 +430,7 @@ object LlmOps {
     // near-boundary misses single-probe loses; AnnRecallSpec documents the
     // measured recall vs the exact top-k). Exact top-3 over the probed cells.
     "q_embed_ann_ivf" -> { (s, d) =>
-      Ann.ivfTopK(embedVecs(s, d), col("vec_id") < 10, k = 3,
-        IvfConfig(numCentroids = 16, nprobe = 2))
+      Ann.ivfTopK(embedVecs(s, d), col("vec_id") < 10, k = 3, IvfCfg)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -844,7 +857,7 @@ object LlmOps {
          |         PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq),
          |assigned AS (SELECT vec_id, cent_id AS cell FROM rk WHERE arn = 1),
          |probes AS (SELECT vec_id AS qid, cent_id AS qcell FROM rk
-         |           WHERE arn <= 2 AND vec_id < 10),
+         |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
          |outp AS (SELECT p.qid, a.vec_id AS cid FROM probes p
          |         JOIN assigned a ON a.cell = p.qcell AND a.vec_id != p.qid),
          |dd AS (SELECT o.qid, o.cid, sum(eq.x * ec.x) AS dp
@@ -996,14 +1009,14 @@ object LlmOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_embed_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |norms AS (
         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
         |cdots AS (
         |  SELECT v.vec_id, c.vec_id AS cent_id,
         |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
-        |  FROM e v JOIN e c ON c.vec_id < 16
+        |  FROM e v JOIN e c ON c.vec_id < ${IvfCfg.numCentroids}
         |  CROSS JOIN range(64) r(i)
         |  GROUP BY 1, 2),
         |ranked AS (
@@ -1015,7 +1028,7 @@ object LlmOps {
         |  JOIN norms nc ON nc.vec_id = cd.cent_id),
         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
         |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
-        |           WHERE arn <= 2 AND vec_id < 10),
+        |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
         |dots AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp

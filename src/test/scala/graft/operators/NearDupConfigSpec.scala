@@ -86,6 +86,33 @@ class NearDupConfigSpec extends SparkSpecBase {
     assert(NearDup.minhashPairs(dup, MinHashConfig(shingleWidth = 3)).count() === 0)
   }
 
+  test("IvfConfig.derive sizes cells to corpus and refuses degenerate shapes") {
+    // the sf0.01 fixture inputs reproduce the catalog's (16, 2) — see
+    // LlmOps.IvfCfg: ideal k = sqrt(500*2) ~ 32 capped by 30-vector cells
+    assert(IvfConfig.derive(500, recallTarget = 0.8, cellHitRate = 0.6,
+      minCell = 30) === IvfConfig(16, 2))
+    // uncapped regime: k tracks sqrt(n * nprobe), nprobe tracks the recall
+    // target through the geometric cell-hit model
+    val mid = IvfConfig.derive(100000, recallTarget = 0.8, cellHitRate = 0.6)
+    assert(mid.nprobe === 2)
+    assert(mid.numCentroids === math.round(math.sqrt(100000.0 * 2)).toInt)
+    val strict = IvfConfig.derive(100000, recallTarget = 0.95, cellHitRate = 0.6)
+    assert(strict.nprobe > mid.nprobe)
+    assert(strict.numCentroids > mid.numCentroids)
+    // 4x corpus => ~2x cells at equal recall
+    val big = IvfConfig.derive(400000, recallTarget = 0.8, cellHitRate = 0.6)
+    assert(math.abs(big.numCentroids - 2 * mid.numCentroids) <= 1)
+    // refuse-to-lie: a tiny corpus cannot host enough >= minCell cells for
+    // the probes the recall target demands — probing most of the index is
+    // brute force with extra steps, so derive throws instead of returning it
+    intercept[IllegalArgumentException](
+      IvfConfig.derive(64, recallTarget = 0.9, cellHitRate = 0.6))
+    // and a recall target the cell-hit rate can't amplify to stays honest:
+    // nprobe grows instead of silently under-delivering
+    assert(IvfConfig.derive(1000000, recallTarget = 0.99,
+      cellHitRate = 0.3).nprobe === math.ceil(math.log(0.01) / math.log(0.7)).toInt)
+  }
+
   test("forCorpus derives geometry from the live corpus cardinality") {
     val s = spark
     import s.implicits._

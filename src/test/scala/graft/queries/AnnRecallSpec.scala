@@ -46,4 +46,27 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(ivfRecall >= 0.8, f"IVF nprobe=2 recall degraded: $ivfRecall%.2f")
     assert(trainedRecall >= 0.8, f"trained-IVF recall degraded: $trainedRecall%.2f")
   }
+
+  test("forCorpus-derived IVF config holds recall at a second corpus size (sf0.1)") {
+    import graft.operators.{Ann, IvfConfig}
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    // same knobs as the catalog's pinned sf0.01 config (LlmOps.IvfCfg);
+    // 2000 vectors derive k ~ sqrt(2000*2) ~ 63 uncapped, nprobe 2
+    val cfg = IvfConfig.forCorpus(emb, recallTarget = 0.8,
+      cellHitRate = 0.6, minCell = 30)
+    info(s"derived at sf0.1: $cfg")
+    assert(cfg.nprobe === 2 && cfg.numCentroids > 50,
+      s"sf0.1 derivation regressed: $cfg")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = pairs(Ann.exactTopK(emb, col("vec_id") < 10, 3))
+    val ivf = pairs(Ann.ivfTopK(emb, col("vec_id") < 10, 3, cfg))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // measured 0.97 — the floor is the derivation's recallTarget itself
+    info(f"derived-IVF top-3 recall at sf0.1: $recall%.2f (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.8, f"derived-IVF sf0.1 recall degraded: $recall%.2f")
+  }
 }
