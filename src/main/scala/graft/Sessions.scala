@@ -28,6 +28,12 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // pinned explicitly: hive jars ARE on the unmanaged classpath, and a
+      // hive catalog would put a Derby metastore lock under the repo root —
+      // making two concurrent JVMs (Bench alongside Verify) mutually
+      // exclusive. The engine needs no persistent catalog: bucketed-table
+      // DDL re-registers per session from the _built fixture markers.
+      .config("spark.sql.catalogImplementation", "in-memory")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 
