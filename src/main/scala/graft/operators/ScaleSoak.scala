@@ -1,0 +1,372 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak (SURVEY.md §2 B50/B51 scale evidence): a deterministic
+  * ~10×-sf0.1 corpus (default 100k documents + 22k embeddings) pushed
+  * through the dedup → clustering → ANN path with PER-STAGE shuffle bytes,
+  * wall time and bucket statistics measured by a SparkListener — the
+  * numbers every prior round argued from plan shape, now observed. The
+  * rendered table lives in SCALE.md (regenerate with
+  * `sbt "runMain graft.ScaleSoakMain"`); ScaleSoakSpec asserts the
+  * invariants on the same run:
+  *
+  *  - measured LSH bucket occupancy inside the envelope
+  *    [[EmbedLshConfig.derive]] predicts (candidate generation stays
+  *    linear because buckets stay bounded);
+  *  - the `maxBucket` skew cap fires ONLY on the planted mega-family —
+  *    with the planted ids excluded, zero buckets are skipped, so typical
+  *    corpus never silently loses recall to the cap;
+  *  - [[ConnectedComponents]] converges within the pointer-jumping log
+  *    bound even on the planted 64-doc near-dup CHAIN (the worst diameter
+  *    shape — plain label propagation would need 64 rounds);
+  *  - every planted near-dup family/pair is recovered (the derived
+  *    geometries actually deliver their recall targets at this scale).
+  *
+  * The corpus is pure hash arithmetic (md5 over ids — no RNG, identical
+  * across runs/partitions/engines) with planted structure:
+  *
+  *  - 1-in-`famPeriod` triples {r, r+1, r+2} where r ≡ 0: members mutate
+  *    ONE token of the root's `docTokens`-token text (3-shingle Jaccard
+  *    vs root ≈ 35/41 ≈ 0.85 — above the 0.8 confirm, near the LSH
+  *    S-curve, so recall here is a real test, not a gimme);
+  *  - a `chainLen`-doc sliding-window chain (adjacent docs share
+  *    `chainTokens − chainStep` tokens ⇒ Jaccard ≈ 0.81; two apart ≈ 0.66
+  *    ⇒ only adjacent edges) — one path-shaped component for CC;
+  *  - a `megaSize`-doc family of IDENTICAL text — the exact-dup mega
+  *    bucket the `maxBucket` cap exists to skip (sha-256 exact dedup's
+  *    job, not near-dup candidate expansion);
+  *  - 1-in-`vecDupPeriod` embedding pairs {r, r+1} where the copy adds a
+  *    ±0.02 per-dim perturbation (cosine ≈ 0.9998) and a `vecMegaSize`
+  *    block of IDENTICAL vectors (the embed-side mega bucket).
+  */
+object ScaleSoak {
+
+  final case class Layout(
+      nDocs: Int = 100000, famPeriod: Int = 100,
+      docTokens: Int = 40,
+      chainLen: Int = 64, chainTokens: Int = 60, chainStep: Int = 6,
+      megaSize: Int = 2500,
+      nVecs: Int = 20000, dim: Int = 64,
+      vecDupPeriod: Int = 40, vecMegaSize: Int = 2000) {
+    def famCount: Int = nDocs / famPeriod
+    def chainStart: Long = nDocs.toLong
+    def megaStart: Long = nDocs.toLong + chainLen
+    def totalDocs: Long = nDocs.toLong + chainLen + megaSize
+    def vecDupCount: Int = nVecs / vecDupPeriod
+    def vecMegaStart: Long = nVecs.toLong
+    def totalVecs: Long = nVecs.toLong + vecMegaSize
+  }
+
+  final case class StageMetrics(stage: String, outRows: Long, seconds: Double,
+                                shuffleReadMB: Double, shuffleWriteMB: Double,
+                                note: String = "")
+
+  final case class BucketStats(side: String, buckets: Long, meanOcc: Double,
+                               maxOcc: Long, capped: Long,
+                               predictedOcc: Double,
+                               cappedWithoutPlanted: Long)
+
+  final case class Report(layout: Layout,
+                          minhashCfg: MinHashConfig,
+                          embedCfg: EmbedLshConfig,
+                          ivfCfg: IvfConfig,
+                          stages: Seq[StageMetrics],
+                          buckets: Seq[BucketStats],
+                          ccRounds: Int, ccRoundBound: Int,
+                          ccVertices: Long, ccClusters: Long,
+                          famRecovered: Long, chainClusterSize: Long,
+                          embedPairs: Long, embedPlanted: Long)
+
+  /** 6-hex-char word from (seed, j) — pure md5, engine-portable. */
+  private def w(seed: org.apache.spark.sql.Column,
+                j: org.apache.spark.sql.Column) =
+    substring(md5(concat_ws("_", seed, j)), 1, 6)
+
+  /** Deterministic document corpus (doc_id, text) per the object doc. */
+  def docs(spark: SparkSession, l: Layout): DataFrame = {
+    val base = spark.range(l.nDocs).select(col("id").as("doc_id"))
+      .withColumn("root",
+        when(col("doc_id") % l.famPeriod < 3,
+          col("doc_id") - col("doc_id") % l.famPeriod)
+          .otherwise(col("doc_id")))
+      .withColumn("mut_pos", col("doc_id") % l.docTokens)
+      .select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(l.docTokens - 1)),
+          j => when(j === col("mut_pos") && col("doc_id") =!= col("root"),
+            w(col("doc_id"), j)).otherwise(w(col("root"), j)))).as("text"))
+    val chain = spark.range(l.chainStart, l.chainStart + l.chainLen)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(l.chainTokens - 1)),
+          j => w(lit(-7), (col("id") - l.chainStart) * l.chainStep + j)))
+          .as("text"))
+    val mega = spark.range(l.megaStart, l.megaStart + l.megaSize)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(l.docTokens - 1)),
+          j => w(lit(-9), j))).as("text"))
+    base.unionByName(chain).unionByName(mega)
+  }
+
+  /** Deterministic embedding corpus (vec_id, e) per the object doc. */
+  def embeddings(spark: SparkSession, l: Layout): DataFrame = {
+    def coord(seed: org.apache.spark.sql.Column,
+              i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("_", seed, i)), 1, 7), 16, 10)
+        .cast("double") / 134217728.0 - 1.0
+    val base = spark.range(l.nVecs).select(col("id").as("vec_id"))
+      .withColumn("root",
+        when(col("vec_id") % l.vecDupPeriod === 1, col("vec_id") - 1)
+          .otherwise(col("vec_id")))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(l.dim - 1)),
+        i => coord(col("root"), i) +
+          when(col("vec_id") =!= col("root"),
+            coord(col("vec_id"), i) * 0.02).otherwise(lit(0.0))).as("e"))
+    val mega = spark.range(l.vecMegaStart, l.vecMegaStart + l.vecMegaSize)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(l.dim - 1)),
+          i => coord(lit(-3), i)).as("e"))
+    base.unionByName(mega)
+  }
+
+  /** Materialize the corpus once (generation uses HOFs — fine for a
+    * fixture writer, but the MEASURED stages must read a file scan like
+    * production, not recompute the generator per action). */
+  def writeCorpus(spark: SparkSession, dir: String, l: Layout): (String, String) = {
+    val d = s"$dir/docs.parquet"
+    val e = s"$dir/embeddings.parquet"
+    val marker = new java.io.File(s"$dir/_done_${l.hashCode}")
+    if (!marker.exists()) {
+      docs(spark, l).write.mode("overwrite").parquet(d)
+      embeddings(spark, l).write.mode("overwrite").parquet(e)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    (d, e)
+  }
+
+  private final class SoakListener extends SparkListener {
+    val read = new AtomicLong
+    val write = new AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      Option(e.stageInfo.taskMetrics).foreach { m =>
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+  }
+
+  /** Run `action`, returning its row count plus the stage's aggregate
+    * shuffle traffic (listener-bus-flushed, so the numbers are complete). */
+  def measure(spark: SparkSession, stage: String, note: String = "")
+             (action: => Long): (Long, StageMetrics) = {
+    val listener = new SoakListener
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val rows = action
+      org.apache.spark.GraftBusFlush.flush(spark.sparkContext)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (rows, StageMetrics(stage, rows, secs,
+        listener.read.get / 1048576.0, listener.write.get / 1048576.0, note))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def bucketStats(side: String, bands: DataFrame, maxBucket: Int,
+                          predicted: Double,
+                          bandsWithoutPlanted: DataFrame): BucketStats = {
+    val occ = bands.groupBy(col("band"), col("bucket")).count()
+    val row = occ.agg(count(lit(1)), avg(col("count")), max(col("count")),
+      sum(when(col("count") > maxBucket, 1L).otherwise(0L))).head()
+    val cappedClean = bandsWithoutPlanted
+      .groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") > maxBucket).count()
+    BucketStats(side, row.getLong(0), row.getDouble(1), row.getLong(2),
+      row.getLong(3), predicted, cappedClean)
+  }
+
+  /** The full instrumented run. `dir` holds the materialized corpus. */
+  def run(spark: SparkSession, dir: String,
+          l: Layout = Layout()): Report = {
+    val (docsPath, vecsPath) = writeCorpus(spark, dir, l)
+    val allDocs = spark.read.parquet(docsPath)
+    val allVecs = spark.read.parquet(vecsPath)
+
+    val mhCfg = MinHashConfig.derive(jaccardConfirm = 0.8)
+    // dedup regime: planted copies sit at cosine ~0.9998 (plane agreement
+    // ~0.99); 0.95 is the conservative sizing input, confirm at 0.9
+    val lshCfg = EmbedLshConfig.derive(l.totalVecs, dim = l.dim,
+      targetBucket = 64, planeAgreement = 0.95)
+      .copy(cosineConfirm = 0.9)
+    val ivfCfg = IvfConfig.forCorpus(allVecs, recallTarget = 0.8,
+      cellHitRate = 0.6, minCell = 30)
+
+    val stages = scala.collection.mutable.ArrayBuffer[StageMetrics]()
+
+    // -- text side ---------------------------------------------------------
+    // persist BEFORE measuring: the count inside the window materializes the
+    // cache, so the full pair-generation cost lands in THIS stage and CC
+    // reads the cached pairs instead of re-running the pipeline
+    val pairs = NearDup.minhashPairs(allDocs, mhCfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, mPairs) = measure(spark, "minhash pairs (full)",
+      s"${l.totalDocs} docs, ${mhCfg.numHashes} hashes x ${mhCfg.bands} bands") {
+      pairs.count()
+    }
+    stages += mPairs
+
+    val delta = allDocs.filter(col("doc_id") % l.famPeriod === 1)
+    val history = allDocs.filter(col("doc_id") % l.famPeriod =!= 1)
+    val (_, mInc) = measure(spark, "minhash pairs (incremental)",
+      s"delta = ${l.famCount} docs (1%); signature stage stands in for the persisted index") {
+      NearDup.minhashPairsIncremental(history, delta, mhCfg).count()
+    }
+    stages += mInc
+
+    val (_, sPairs) = measure(spark, "simhash pairs",
+      "28-bit, 5 pigeonhole blocks") {
+      NearDup.simhashPairs(allDocs).count()
+    }
+    stages += sPairs
+
+    // -- clustering --------------------------------------------------------
+    var cc: ConnectedComponents.Result = null
+    val (ccVertices, ccM) = measure(spark, "connected components",
+      "min-label + pointer jumping on the confirmed pairs") {
+      cc = ConnectedComponents.run(pairs)
+      cc.labels.count()
+    }
+    stages += ccM
+    val labels = cc.labels.persist()
+    val ccClusters = labels.select(col("label")).distinct().count()
+    val ccRoundBound =
+      math.ceil(math.log(ccVertices.toDouble.max(2)) / math.log(2)).toInt + 2
+
+    // planted-family recovery: family {r, r+1, r+2} recovered when all its
+    // members carry one label (isolated members never enter `labels`, so a
+    // complete family = 3 rows, 1 label)
+    val famRecovered = labels
+      .filter(col("id") < l.nDocs && col("id") % l.famPeriod < 3)
+      .withColumn("fam", col("id") - col("id") % l.famPeriod)
+      .groupBy(col("fam"))
+      .agg(countDistinct(col("label")).as("nl"), count(lit(1)).as("n"))
+      .filter(col("nl") === 1 && col("n") === 3)
+      .count()
+    val chainClusterSize = labels
+      .filter(col("id") >= l.chainStart && col("id") < l.chainStart + l.chainLen)
+      .groupBy(col("label")).count()
+      .agg(max(col("count"))).head().getLong(0)
+
+    // -- embedding side ----------------------------------------------------
+    val (embedPairs, ePairs) = measure(spark, "embed near-dup pairs",
+      s"${l.totalVecs} vecs, ${lshCfg.bands} bands x ${lshCfg.bits} bits, confirm >= ${lshCfg.cosineConfirm}") {
+      NearDup.embedCosinePairs(allVecs, lshCfg).count()
+    }
+    stages += ePairs
+
+    var cents: DataFrame = null
+    val (_, km) = measure(spark, "k-means fit (IVF trainer)",
+      s"k=${ivfCfg.numCentroids}, 2 Lloyd iterations") {
+      cents = Ann.kmeansFit(allVecs, k = ivfCfg.numCentroids, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce"))
+        .persist()
+      cents.count()
+    }
+    stages += km
+    val (_, ivf) = measure(spark, "IVF top-10 (trained)",
+      s"nprobe=${ivfCfg.nprobe}, 10 queries") {
+      Ann.ivfTopK(allVecs, col("vec_id") < 10, k = 10, ivfCfg, cents).count()
+    }
+    stages += ivf
+
+    // -- bucket statistics -------------------------------------------------
+    val embBands = Ann.lshBands(allVecs, lshCfg)
+    val embBandsClean = Ann.lshBands(
+      allVecs.filter(col("vec_id") < l.vecMegaStart), lshCfg)
+    val embStats = bucketStats("embed LSH", embBands, lshCfg.maxBucket,
+      lshCfg.expectedOccupancy(l.totalVecs), embBandsClean)
+
+    def mhBands(d: DataFrame): DataFrame = {
+      val rows = NearDup.shingles(d, mhCfg.shingleWidth)
+        .withColumn("h", NearDup.h28(col("sh")))
+      val r = mhCfg.rowsPerBand
+      rows.groupBy(col("doc_id"))
+        .agg(min((lit(NearDup.aCoef(0)) * col("h") + lit(NearDup.bCoef(0))) % NearDup.P28).as("mh0"),
+          (1 until mhCfg.numHashes).map(i =>
+            min((lit(NearDup.aCoef(i)) * col("h") + lit(NearDup.bCoef(i))) % NearDup.P28).as(s"mh$i")): _*)
+        .select(col("doc_id"), posexplode(array((0 until mhCfg.bands).map(b =>
+          array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    }
+    // minhash buckets are sparse hash tuples: "predicted" occupancy is ~1
+    // (only real near-dup groups share a signature slice)
+    val mhStats = bucketStats("minhash LSH", mhBands(allDocs), mhCfg.maxBucket,
+      1.0, mhBands(allDocs.filter(col("doc_id") < l.megaStart)))
+
+    pairs.unpersist(); labels.unpersist(); cents.unpersist()
+
+    Report(l, mhCfg, lshCfg, ivfCfg, stages.toSeq,
+      Seq(mhStats, embStats),
+      cc.rounds, ccRoundBound, ccVertices, ccClusters,
+      famRecovered, chainClusterSize,
+      embedPairs, l.vecDupCount.toLong)
+  }
+
+  def renderMarkdown(r: Report): String = {
+    val sb = new StringBuilder
+    sb ++= "# SCALE — measured soak of the dedup/ANN/CC path\n\n"
+    sb ++= s"Corpus: **${r.layout.totalDocs} documents** (${r.layout.famCount} " +
+      s"planted 3-doc near-dup families, one ${r.layout.chainLen}-doc chain, " +
+      s"one ${r.layout.megaSize}-doc identical mega-family) and " +
+      s"**${r.layout.totalVecs} embeddings** (${r.layout.vecDupCount} planted " +
+      s"dup pairs, one ${r.layout.vecMegaSize}-vector identical block) — " +
+      "~10x the sf0.1 fixtures, deterministic (pure md5 arithmetic).\n" +
+      "Regenerate: `sbt \"runMain graft.ScaleSoakMain\"`. Invariants are\n" +
+      "asserted by `ScaleSoakSpec` (tagged `graft.Slow`).\n\n"
+    sb ++= s"Derived configs: minhash ${r.minhashCfg.numHashes} hashes x " +
+      s"${r.minhashCfg.bands} bands (confirm ${r.minhashCfg.jaccardConfirm}); " +
+      s"embed LSH ${r.embedCfg.bands} bands x ${r.embedCfg.bits} bits " +
+      s"(confirm ${r.embedCfg.cosineConfirm}); IVF k=${r.ivfCfg.numCentroids}, " +
+      s"nprobe=${r.ivfCfg.nprobe} — all from `derive`/`forCorpus`, " +
+      "no hand-picked numbers.\n\n"
+    sb ++= "## Per-stage cost\n\n"
+    sb ++= "| stage | output rows | wall s | shuffle read MB | shuffle write MB | notes |\n"
+    sb ++= "| --- | ---: | ---: | ---: | ---: | --- |\n"
+    r.stages.foreach { s =>
+      sb ++= f"| ${s.stage} | ${s.outRows} | ${s.seconds}%.1f | ${s.shuffleReadMB}%.1f | ${s.shuffleWriteMB}%.1f | ${s.note} |\n"
+    }
+    sb ++= "\n## Bucket occupancy vs prediction\n\n"
+    sb ++= "| side | buckets | mean occ | max occ | predicted occ | capped (> maxBucket) | capped excl. planted mega-family |\n"
+    sb ++= "| --- | ---: | ---: | ---: | ---: | ---: | ---: |\n"
+    r.buckets.foreach { b =>
+      sb ++= f"| ${b.side} | ${b.buckets} | ${b.meanOcc}%.1f | ${b.maxOcc} | ${b.predictedOcc}%.1f | ${b.capped} | ${b.cappedWithoutPlanted} |\n"
+    }
+    sb ++= "\n## Clustering\n\n"
+    sb ++= f"- connected components: **${r.ccRounds} rounds** over " +
+      f"${r.ccVertices} vertices / ${r.ccClusters} clusters " +
+      f"(pointer-jump bound ceil(log2 n)+2 = ${r.ccRoundBound}) — includes " +
+      f"the ${r.layout.chainLen}-doc chain, which plain label propagation " +
+      f"would need ${r.layout.chainLen} rounds for\n"
+    sb ++= f"- planted 3-doc families recovered as single clusters: " +
+      f"**${r.famRecovered} / ${r.layout.famCount}**\n"
+    sb ++= f"- chain component recovered: ${r.chainClusterSize} / ${r.layout.chainLen} docs under one label\n"
+    sb ++= f"- embed near-dup pairs confirmed: **${r.embedPairs} / ${r.embedPlanted} planted** " +
+      "(identical mega-block excluded by the bucket cap — exact dedup's job)\n"
+    sb ++= "\n## Reading the table at 100 TB\n\n"
+    sb ++= "- Shuffle bytes scale with corpus size, not its square: signature\n" +
+      "  aggregation moves one row per document, candidate generation moves\n" +
+      "  one row per (band, bucket) member, and the confirm join moves only\n" +
+      "  capped-bucket pair candidates. No stage materializes all-pairs.\n"
+    sb ++= "- The cap fires exclusively on the planted identical family (the\n" +
+      "  column above proves zero cap hits without it), so near-dup recall\n" +
+      "  is not silently traded for skew protection on a typical corpus.\n"
+    sb ++= "- CC rounds grow with log(cluster diameter), not corpus size —\n" +
+      "  the measured rounds sit under the bound with the worst-case chain\n" +
+      "  planted deliberately.\n"
+    sb.toString
+  }
+}

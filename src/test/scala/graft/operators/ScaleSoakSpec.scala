@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.Tag
+
+import graft.SparkSpecBase
+
+/** Long-running suites opt out with `sbt "testOnly -- -l graft.Slow"`. */
+object Slow extends Tag("graft.Slow")
+
+/** The scale soak's invariants (SURVEY.md §2 B50/B51 scale evidence), run
+  * at the full ~10x-sf0.1 corpus the SCALE.md table documents. Every number
+  * here is deterministic (the corpus is pure md5 arithmetic), so the
+  * assertions are exact properties, not statistical hopes:
+  *
+  *  - derived LSH geometry keeps measured bucket occupancy inside the
+  *    predicted envelope (candidate generation stays linear);
+  *  - the maxBucket skew cap fires ONLY on the planted identical
+  *    mega-families — excluding them, zero buckets are capped, so typical
+  *    corpus loses no recall to skew protection;
+  *  - connected components converge within the pointer-jump log bound
+  *    despite the planted worst-diameter chain;
+  *  - the planted structure is actually recovered: near-dup families
+  *    cluster whole, the chain is one component, every planted embedding
+  *    pair confirms.
+  */
+class ScaleSoakSpec extends SparkSpecBase {
+
+  private lazy val report = ScaleSoak.run(spark,
+    scratch("scale_soak_corpus"))
+
+  test("bucket occupancy stays inside the derived envelope; cap hits only the planted mega-family",
+      Slow) {
+    val l = report.layout
+    report.buckets.foreach { b =>
+      info(f"${b.side}: ${b.buckets} buckets, mean ${b.meanOcc}%.1f " +
+        f"(predicted ${b.predictedOcc}%.1f), max ${b.maxOcc}, " +
+        f"capped ${b.capped} (excl. planted: ${b.cappedWithoutPlanted})")
+      assert(b.cappedWithoutPlanted === 0,
+        s"${b.side}: the skew cap must never fire on the un-planted corpus")
+      assert(b.capped >= 1,
+        s"${b.side}: the planted mega-family must actually trip the cap")
+    }
+    val emb = report.buckets.find(_.side == "embed LSH").get
+    assert(emb.meanOcc <= 4 * emb.predictedOcc && emb.meanOcc >= 0.25 * emb.predictedOcc,
+      f"embed occupancy ${emb.meanOcc}%.1f outside the derived envelope " +
+        f"(predicted ${emb.predictedOcc}%.1f)")
+    // mega families are exact dups: their buckets must be ABOVE the cap by
+    // construction (size >= megaSize > maxBucket)
+    assert(emb.maxOcc >= l.vecMegaSize)
+  }
+
+  test("connected components converge within the pointer-jump log bound", Slow) {
+    info(s"${report.ccRounds} rounds over ${report.ccVertices} vertices " +
+      s"(bound ${report.ccRoundBound}); ${report.ccClusters} clusters")
+    assert(report.ccRounds <= report.ccRoundBound,
+      s"CC took ${report.ccRounds} rounds, bound ${report.ccRoundBound}")
+    // the 64-doc chain alone would need 64 rounds without pointer jumping
+    assert(report.ccRounds < report.layout.chainLen / 2)
+  }
+
+  test("planted structure is recovered: families, chain, embedding pairs", Slow) {
+    val l = report.layout
+    info(s"families ${report.famRecovered}/${l.famCount}, " +
+      s"chain ${report.chainClusterSize}/${l.chainLen}, " +
+      s"embed pairs ${report.embedPairs}/${report.embedPlanted}")
+    // deterministic corpus: recall at the planted 0.85-Jaccard families is
+    // a fixed outcome of the derived geometry, measured >= 99%
+    assert(report.famRecovered >= (l.famCount * 99) / 100,
+      s"family recovery degraded: ${report.famRecovered}/${l.famCount}")
+    assert(report.chainClusterSize === l.chainLen.toLong,
+      "the near-dup chain must canonicalize into one cluster")
+    assert(report.embedPairs === report.embedPlanted,
+      "every planted embedding near-dup pair must confirm")
+  }
+
+  test("every measured stage moved bounded shuffle volume", Slow) {
+    report.stages.foreach { s =>
+      info(f"${s.stage}: ${s.outRows} rows, ${s.seconds}%.1f s, " +
+        f"shuffle r/w ${s.shuffleReadMB}%.1f/${s.shuffleWriteMB}%.1f MB")
+    }
+    // every stage's shuffle write is megabytes, not corpus-squared: the
+    // all-pairs form of 102.5k docs' shingle sets alone would exceed 10 GB
+    assert(report.stages.forall(_.shuffleWriteMB < 2048),
+      "a stage shuffled gigabytes — quadratic blowup or lost partial agg")
+  }
+}
