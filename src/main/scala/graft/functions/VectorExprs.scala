@@ -325,6 +325,18 @@ case class BloomMightContain(key: Expression, sketchBytes: Array[Byte])
   @transient private lazy val filter: sketch.BloomFilter =
     sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
 
+  // case-class equality on Array[Byte] is reference-based — two probes
+  // built from equal sketches would never semanticEquals, defeating
+  // common-subexpression elimination (each instance would then probe its
+  // own deserialized copy); compare contents like Literal does
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      key == b.key && java.util.Arrays.equals(sketchBytes, b.sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * key.hashCode + java.util.Arrays.hashCode(sketchBytes)
+
   override protected def nullSafeEval(k: Any): Any =
     filter.mightContainLong(k.asInstanceOf[Long])
 
@@ -381,7 +393,11 @@ object VectorExprs {
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (children: Seq[Expression]) => BloomMightContain(
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"bloom_might_contain expects (key, sketch), got ${children.length} argument(s)")
+        BloomMightContain(
         children.head.dataType match {
           case LongType => children.head
           case _ => Cast(children.head, LongType)
@@ -391,6 +407,7 @@ object VectorExprs {
           case other => throw new IllegalArgumentException(
             "bloom_might_contain: sketch operand must be a binary literal, " +
               s"got $other")
-        })))
+        })
+      }))
   }
 }

@@ -103,19 +103,24 @@ object Multimodal {
     // by fixed offset. Chunk payloads are padded to even length.
     var off = 12
     var fmtOff = -1
+    var fmtLen = -1
     var dataOff = -1
     var dataLen = -1
     while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
       val t = tag(off)
       val len = bb.getInt(off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
+      // compare in Long: a crafted len near Int.MaxValue would wrap the
+      // Int sum negative, pass the check, and read out of bounds
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length,
         s"doc $id: chunk '$t' declares $len bytes past end of payload")
-      if (t == "fmt ") fmtOff = off + 8
+      if (t == "fmt ") { fmtOff = off + 8; fmtLen = len }
       else if (t == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1)
     }
     require(fmtOff >= 0 && dataOff >= 0,
       s"doc $id: WAV missing ${if (fmtOff < 0) "'fmt '" else "'data'"} chunk")
+    require(fmtLen >= 16,
+      s"doc $id: 'fmt ' chunk too short ($fmtLen bytes) to hold PCM fields")
     val audioFormat = bb.getShort(fmtOff).toInt
     val channels = bb.getShort(fmtOff + 2).toInt
     val sampleRate = bb.getInt(fmtOff + 4)

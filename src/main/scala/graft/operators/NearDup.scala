@@ -166,20 +166,29 @@ object NearDup {
     * Candidate pairs come from a groupBy on (band, signature-slice) —
     * the signature pipeline is evaluated once, not twice as a self-join
     * would. */
-  def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val rows = shingles(docs, cfg.shingleWidth)
-    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+  /** The signature→bands stage of [[minhashPairs]]: one (doc_id, band, sig)
+    * row per band per doc. Exposed so diagnostics (ScaleSoak's bucket
+    * statistics) measure the EXACT geometry the operator pairs on — a
+    * re-implementation would silently drift. */
+  private[operators] def minhashBands(docs: DataFrame,
+                                      cfg: MinHashConfig): DataFrame = {
     // duplicate shingles don't affect a min — no dedup shuffle needed here
-    val mh = rows
+    val mh = shingles(docs, cfg.shingleWidth)
       .withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))
       .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
         (1 until cfg.numHashes).map(i =>
           min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
     val r = cfg.rowsPerBand
-    val bands = mh.select(col("doc_id"), posexplode(array((0 until cfg.bands).map(b =>
+    mh.select(col("doc_id"), posexplode(array((0 until cfg.bands).map(b =>
         array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+  }
+
+  def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = shingles(docs, cfg.shingleWidth)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    val bands = minhashBands(docs, cfg)
     val cand = bucketPairs(
       bands.groupBy(col("band"), col("sig"))
         .agg(collect_set(col("doc_id")).as("ids")),

@@ -136,10 +136,16 @@ object ScaleSoak {
     * fixture writer, but the MEASURED stages must read a file scan like
     * production, not recompute the generator per action). */
   def writeCorpus(spark: SparkSession, dir: String, l: Layout): (String, String) = {
-    val d = s"$dir/docs.parquet"
-    val e = s"$dir/embeddings.parquet"
+    // the LAYOUT keys the paths, not just the marker: a marker-only key
+    // would let an old layout's marker validate a different layout's
+    // overwritten parquet (stale-corpus aliasing)
+    val d = s"$dir/docs_${l.hashCode}.parquet"
+    val e = s"$dir/embeddings_${l.hashCode}.parquet"
     val marker = new java.io.File(s"$dir/_done_${l.hashCode}")
-    if (!marker.exists()) {
+    def built = marker.exists() &&
+      new java.io.File(d, "_SUCCESS").exists() &&
+      new java.io.File(e, "_SUCCESS").exists()
+    if (!built) {
       docs(spark, l).write.mode("overwrite").parquet(d)
       embeddings(spark, l).write.mode("overwrite").parquet(e)
       marker.getParentFile.mkdirs()
@@ -217,8 +223,12 @@ object ScaleSoak {
     }
     stages += mPairs
 
-    val delta = allDocs.filter(col("doc_id") % l.famPeriod === 1)
-    val history = allDocs.filter(col("doc_id") % l.famPeriod =!= 1)
+    // delta = the middle member of every planted family (exactly famCount
+    // docs — bounded to the base range so no chain/mega doc slips in and
+    // the published count is the measured count)
+    val deltaCond = col("doc_id") < l.nDocs && col("doc_id") % l.famPeriod === 1
+    val delta = allDocs.filter(deltaCond)
+    val history = allDocs.filter(!deltaCond)
     val (_, mInc) = measure(spark, "minhash pairs (incremental)",
       s"delta = ${l.famCount} docs (1%); signature stage stands in for the persisted index") {
       NearDup.minhashPairsIncremental(history, delta, mhCfg).count()
@@ -290,18 +300,10 @@ object ScaleSoak {
     val embStats = bucketStats("embed LSH", embBands, lshCfg.maxBucket,
       lshCfg.expectedOccupancy(l.totalVecs), embBandsClean)
 
-    def mhBands(d: DataFrame): DataFrame = {
-      val rows = NearDup.shingles(d, mhCfg.shingleWidth)
-        .withColumn("h", NearDup.h28(col("sh")))
-      val r = mhCfg.rowsPerBand
-      rows.groupBy(col("doc_id"))
-        .agg(min((lit(NearDup.aCoef(0)) * col("h") + lit(NearDup.bCoef(0))) % NearDup.P28).as("mh0"),
-          (1 until mhCfg.numHashes).map(i =>
-            min((lit(NearDup.aCoef(i)) * col("h") + lit(NearDup.bCoef(i))) % NearDup.P28).as(s"mh$i")): _*)
-        .select(col("doc_id"), posexplode(array((0 until mhCfg.bands).map(b =>
-          array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    }
+    // the operator's OWN banding stage (NearDup.minhashBands), so the
+    // statistics measure exactly the geometry minhashPairs pairs on
+    def mhBands(d: DataFrame): DataFrame =
+      NearDup.minhashBands(d, mhCfg).withColumnRenamed("sig", "bucket")
     // minhash buckets are sparse hash tuples: "predicted" occupancy is ~1
     // (only real near-dup groups share a signature slice)
     val mhStats = bucketStats("minhash LSH", mhBands(allDocs), mhCfg.maxBucket,

@@ -114,4 +114,26 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.decodeWav(1L, truncated)
     }
   }
+
+  test("wav decode rejects overflow-crafted chunk lengths and short fmt chunks") {
+    // a chunk length near Int.MaxValue would wrap `off + 8 + len` negative
+    // in Int arithmetic and sail past the bounds check
+    val crafted = wavBytes(Array[Short](1, 2))
+    val bb = java.nio.ByteBuffer.wrap(crafted)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 4) // fmt chunk declares ~2^31 bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, crafted)
+    }
+    // fmt chunk too short to hold the PCM fields read at fmtOff+0..15
+    val shortFmt = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes("US-ASCII")).putInt(28)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(4).putShort(1).putShort(1)
+      .put("data".getBytes("US-ASCII")).putInt(4).putShort(5).putShort(6)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, shortFmt.array())
+    }
+  }
 }

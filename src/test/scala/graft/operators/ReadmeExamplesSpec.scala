@@ -73,8 +73,9 @@ class ReadmeExamplesSpec extends SparkSpecBase {
     // a 2-dim box predicate now touches few files (row-group stats are
     // tight on BOTH keys); ZOrderSpec measures the actual pruning
     val hits = spark.read.parquet(dir)
-      .filter(col("x").between(100, 120) && col("y").between(100, 120))
-    assert(hits.count() >= 0 && new java.io.File(dir).listFiles()
+      .filter(col("x").between(100, 120) && col("y").between(700, 840))
+    assert(hits.count() === 21) // x in [100,120] all have y = 7x in [700,840]
+    assert(new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet")) === 8)
   }
 
