@@ -407,6 +407,41 @@ object LlmOps {
         .orderBy(col("cent_id"), col("j"))
     },
 
+    // B50 SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): k-means
+    // cells make within-cell all-pairs tractable — assign every vector to
+    // its trained cell (the codegen vec_best_cell kernel, zero shuffle),
+    // self-join WITHIN cells only, and drop every vector with a smaller-id
+    // neighbor at cosine ≥ the threshold. This is the third dedup axis
+    // next to lexical (minhash) and embedding-LSH: LSH finds NEAR-COPIES
+    // (high cosine anywhere); SemDeDup prunes semantic redundancy inside
+    // semantic clusters. At 100 TB the quadratic term is Σ|cell|² with
+    // |cell| ≈ n/k — the design point of the paper — and the cell
+    // self-join shuffles on the cell key only.
+    "q_dedup_semantic" -> { (s, d) =>
+      val emb = embedVecs(s, d)
+      val cents: Seq[Seq[Double]] = Ann.kmeansFit(emb, k = 16, iters = 2)
+        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      val assigned = emb
+        .withColumn("cell", call_function("vec_best_cell", col("e"),
+          typedLit(cents)))
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+      val x = assigned.select(col("cell"), col("vec_id").as("ka"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val y = assigned.select(col("cell"), col("vec_id").as("kb"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      val dropped = x.join(y, Seq("cell")).filter(col("ka") < col("kb"))
+        .withColumn("cos", round(call_function("vec_dot", col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= EmbedCfg.cosineConfirm)
+        .select(col("kb").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("is_dropped").isNull.as("keep"))
+        .orderBy(col("vec_id"))
+    },
+
     // B51 the composed train→index→query path: kmeansFit's centroids feed
     // ivfTopK's explicit-centroid overload, all under ONE oracle — the SQL
     // replays the training CTEs, re-assigns every vector against the
@@ -587,6 +622,43 @@ object LlmOps {
         .filter(col("rn") === 1 && col("doc_id") < 100)
         .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
         .orderBy(col("doc_id"))
+    },
+
+    // B52 BM25 (Robertson–Spärck Jones, the standard lexical retrieval
+    // scorer): idf(t)·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) summed over a
+    // fixed query-term set, top-20 docs. Cross-engine determinism: every
+    // constant is the SAME decimal literal on both sides (a Scala-computed
+    // k1+1 lands on a round-to-even tie vs the SQL literal 2.2), per-term
+    // contributions are added in WRITTEN order (never a float SUM over an
+    // unordered group), and dl/avgdl is spelled dl·N/total identically.
+    // Shape at 100 TB: one scan → per-doc conditional-sum tf columns
+    // (partial+final, exact ints), two single-row broadcasts (df, corpus
+    // stats), top-k via TakeOrdered — no full sort, no second scan.
+    "q_text_bm25" -> { (s, d) =>
+      val qterms = Seq("spark", "vector", "stream")
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(qterms: _*))
+      val tfCols = qterms.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tf = toks.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+      val dfCols = qterms.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"df_$t"))
+      val dfs = toks.distinct().agg(dfCols.head, dfCols.tail: _*)
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      def idf(t: String) = log(
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1))
+      def frac(t: String) = col(s"tf_$t") * lit(2.2) /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") * col("n_docs") / col("tot_dl"))))
+      tf.join(dl, "doc_id").crossJoin(broadcast(dfs)).crossJoin(broadcast(stats))
+        .select(col("doc_id") +: qterms.map(t => col(s"tf_$t")) :+
+          round(qterms.map(t => idf(t) * frac(t)).reduce(_ + _), 6).as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     },
 
     // B53 multimodal binary columns: REAL file bytes from the binaryFile
@@ -843,6 +915,36 @@ object LlmOps {
       s"""WITH $sqlKmeansCtes
          |SELECT cent_id, i AS j, round(c, 6) AS c_val FROM c2
          |ORDER BY cent_id, j""".stripMargin,
+
+    // SemDeDup: replay the kmeans CTEs, assign on ROUNDED centroids at
+    // round-6 (the vec_best_cell contract), within-cell pairs only
+    "q_dedup_semantic" ->
+      s"""WITH $sqlKmeansCtes,
+         |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
+         |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
+         |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
+         |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
+         |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 6) AS ccos
+         |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
+         |         JOIN crn ON crn.cent_id = dq.cent_id),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT vec_id, cent_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sq) t
+         |  WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dd AS (SELECT p.ka, p.kb, sum(xa.x * xb.x) AS dp
+         |       FROM pairs p JOIN ex xa ON xa.vec_id = p.ka
+         |         JOIN ex xb ON xb.vec_id = p.kb AND xb.i = xa.i
+         |       GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT dd.kb AS vec_id
+         |  FROM dd JOIN vn va ON va.vec_id = dd.ka
+         |    JOIN vn vb ON vb.vec_id = dd.kb
+         |  WHERE round(dd.dp / (va.nrm * vb.nrm), 6) >= ${EmbedCfg.cosineConfirm})
+         |SELECT a.vec_id, a.cell,
+         |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+         |FROM assigned a ORDER BY a.vec_id""".stripMargin,
 
     "q_embed_ann_ivf_trained" ->
       s"""WITH $sqlKmeansCtes,
@@ -1139,6 +1241,40 @@ object LlmOps {
         |  FROM scored)
         |SELECT doc_id, top_term, tfidf FROM top
         |WHERE rn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // same decimal literals, same written-order term sum as the Spark side
+    "q_text_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |qt AS (SELECT doc_id, tok FROM tok
+        |       WHERE tok IN ('spark', 'vector', 'stream')),
+        |tf AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |    CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+        |    CAST(sum(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
+        |  FROM qt GROUP BY doc_id),
+        |dfs AS (SELECT
+        |    CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        |    CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+        |    CAST(sum(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+        |  FROM (SELECT DISTINCT doc_id, tok FROM qt) t),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl)
+        |SELECT doc_id, tf_spark, tf_vector, tf_stream,
+        |  round(
+        |    ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1)
+        |      * (tf_spark * 2.2 / (tf_spark + 1.2 * (0.25
+        |          + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_dl))))
+        |  + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1)
+        |      * (tf_vector * 2.2 / (tf_vector + 1.2 * (0.25
+        |          + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_dl))))
+        |  + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1)
+        |      * (tf_stream * 2.2 / (tf_stream + 1.2 * (0.25
+        |          + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_dl)))), 6) AS score
+        |FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN st
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
