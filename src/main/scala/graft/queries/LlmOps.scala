@@ -661,6 +661,44 @@ object LlmOps {
         .limit(20)
     },
 
+    // B52 n-gram LM quality scoring (the CCNet/KenLM perplexity-filter
+    // shape): a bigram LM with add-one smoothing trained ON the corpus
+    // scores every document by average negative log-likelihood — the
+    // model-based quality filter next to q_text_quality's heuristics.
+    // Determinism: per-token log-probs are QUANTIZED to integer micro-nats
+    // (floor(ln(p)·1e6 + 0.5)) BEFORE the per-doc sum — an integer sum is
+    // order-free, where a float sum over an unordered group would differ
+    // between engines; ln's input is a quotient of exact integers
+    // (identical doubles both engines, the q_text_tfidf precedent). Shape
+    // at 100 TB: bigrams via a typed flatMap in the scan stage (keeps
+    // multiplicities — shingles() is distinct-per-doc, an LM must not be);
+    // the count tables are vocabulary²-bounded (≪ corpus) and join on w1 —
+    // in production they'd be a persisted model read as a dimension.
+    "q_text_lm_score" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bi = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val tk = text.split(" ", -1)
+          (0 until tk.length - 1).iterator.map(i => (id, tk(i), tk(i + 1)))
+        }.toDF("doc_id", "w1", "w2")
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("vocab"))
+      bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("ll_micro",
+          floor(log((col("c12") + lit(1)).cast("double") / (col("c1") + col("vocab")))
+            * lit(1000000) + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ll_micro")).as("sum_ll_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_ll_micro"),
+          floor(-col("sum_ll_micro").cast("double") / col("n_bigrams"))
+            .cast("long").as("nll_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // B53 multimodal binary columns: REAL file bytes from the binaryFile
     // source (Sources.binaryDocs) + typed metadata joined from the catalog
     // table — the payload is opaque binary, the metadata is columnar.
@@ -1275,6 +1313,26 @@ object LlmOps {
         |          + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_dl)))), 6) AS score
         |FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // integer micro-nat quantization BEFORE the per-doc sum — see the
+    // Spark-side comment: float sums over unordered groups are not
+    // engine-stable, integer sums are
+    "q_text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |       FROM t, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) s),
+        |ll AS (SELECT bi.doc_id,
+        |    CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vocab))
+        |      * 1000000 + 0.5) AS BIGINT) AS ll_micro
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON c1.w1 = bi.w1 CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(ll_micro) AS BIGINT) AS sum_ll_micro,
+        |  CAST(floor(-CAST(sum(ll_micro) AS DOUBLE) / count(*)) AS BIGINT) AS nll_micro
+        |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
