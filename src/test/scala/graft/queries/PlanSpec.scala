@@ -163,4 +163,28 @@ class PlanSpec extends SparkSpecBase {
       s"forward-fill window lost its user partitioning:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_semantic assigns cells in codegen and self-joins WITHIN cells only") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("vec_best_cell"),
+      s"cell assignment must be the codegen kernel, not a join:\n$p")
+    // the within-cell pair join must be an equi-join on the cell key — a
+    // cartesian here is the all-pairs blowup SemDeDup exists to avoid
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_bm25 broadcasts the corpus stats and takes top-k without a full sort") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort + limit:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p) // the two 1-row stat joins are broadcast, never a shuffled cartesian
+  }
+
+  test("q_text_lm_score contains no cartesian and reduces bigrams partial+final") {
+    val p = plan("q_text_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bigram counting lost its map-side combine:\n$p")
+  }
 }
