@@ -402,6 +402,35 @@ object StreamingQ {
         .orderBy(col("user_id"), col("click_id"))
     },
 
+    // Stream-stream RIGHT OUTER interval join: the mirror of join_left —
+    // a purchase with no click in [purch_ts − 1 day, purch_ts] emits a
+    // null-padded row once the watermark passes purch_ts (the right state
+    // watermark derives from purch_ts >= click_ts; see join_full for the
+    // two-sided watermark arithmetic both outer oracles share).
+    "q_stream_join_right" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val clicks = mbStream(s, d).filter(col("event_type") === "click")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+        .withWatermark("ts", DELAY)
+        .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+          col("user_id").as("p_user"))
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purch_ts") >= col("click_ts") &&
+            col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"),
+          "right_outer")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("click_id"), col("purch_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purch_ts")).as("purch_us"))
+      runToTable(s, joined, "graft_stream_join_right", "append")
+        .orderBy(col("user_id"), col("click_id").asc_nulls_last,
+          col("purch_id"))
+    },
+
     // Stream-stream FULL OUTER interval join: both sides emit null-padded
     // rows on watermark expiry. A click with no purchase in its day emits
     // once the watermark passes click_ts + 1 day (left eviction, as in
@@ -736,6 +765,32 @@ object StreamingQ {
          |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
          |      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
          |ORDER BY user_id, click_id""".stripMargin,
+
+    // matched rows ∪ right-evicted nulls (purch_ts < final two-sided wm)
+    "q_stream_join_right" ->
+      s"""WITH m AS (
+         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+         |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+         |    epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |  FROM events c JOIN events p
+         |    ON p.user_id = c.user_id
+         |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |   AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+         |  WHERE NOT ${sqlLateFor("c")} AND NOT ${sqlLateFor("p")}),
+         |rnull AS (
+         |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.event_id AS purch_id,
+         |    CAST(NULL AS BIGINT) AS click_us, epoch_us(CAST(p.ts AS TIMESTAMP)) AS purch_us
+         |  FROM events p
+         |  WHERE p.event_type = 'purchase' AND NOT ${sqlLateFor("p")}
+         |    AND NOT EXISTS (SELECT 1 FROM events c
+         |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+         |        AND NOT ${sqlLateFor("c")}
+         |        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY)
+         |    AND CAST(p.ts AS TIMESTAMP) < $sqlJoinFinalWm)
+         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM rnull)
+         |ORDER BY user_id, click_id NULLS LAST, purch_id""".stripMargin,
 
     // matched rows ∪ left-evicted nulls (window end < final wm, as in
     // join_left) ∪ right-evicted nulls (purch_ts itself < final wm: the
