@@ -661,6 +661,37 @@ object LlmOps {
         .limit(20)
     },
 
+    // B52/B54 corpus-wide paragraph (boilerplate) dedup — the CCNet
+    // paragraph-dedup shape: cut every doc into disjoint 16-token windows
+    // (the paragraph proxy), hash each, and mark windows whose hash occurs
+    // in ≥ 3 DISTINCT documents as boilerplate (headers, footers,
+    // navigation chrome — the text that survives document-level dedup
+    // because the surrounding doc differs). Exact integer arithmetic end
+    // to end. Shape at 100 TB: windows from a typed flatMap in the scan
+    // stage; ONE (hash → distinct-doc count) aggregate bounded by the
+    // distinct-window count; per-doc rollup partial+final.
+    "q_text_boilerplate" -> { (s, d) =>
+      import s.implicits._
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val tk = text.split(" ", -1)
+          Iterator.range(0, tk.length, 16)
+            .map(st => (id, st, tk.slice(st, st + 16).mkString(" ")))
+        }.toDF("doc_id", "start", "w")
+        .withColumn("h", md5(col("w")))
+      val freq = win.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      win.join(freq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_windows"), col("n_boiler"),
+          floor(col("n_boiler") * 1000000 / col("n_windows").cast("double"))
+            .cast("long").as("boiler_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // B52 n-gram LM quality scoring (the CCNet/KenLM perplexity-filter
     // shape): a bigram LM with add-one smoothing trained ON the corpus
     // scores every document by average negative log-likelihood — the
@@ -1313,6 +1344,19 @@ object LlmOps {
         |          + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_dl)))), 6) AS score
         |FROM tf JOIN dl USING (doc_id) CROSS JOIN dfs CROSS JOIN st
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (SELECT doc_id, i AS start,
+        |    md5(array_to_string(tk[i+1 : least(i + 16, len(tk))], ' ')) AS h
+        |  FROM t, unnest(generate_series(0, len(tk) - 1, 16)) g(i)),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM win GROUP BY h)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(floor(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) * 1000000
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS boiler_ppm
+        |FROM win JOIN freq USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // integer micro-nat quantization BEFORE the per-doc sum — see the
     // Spark-side comment: float sums over unordered groups are not
