@@ -276,6 +276,34 @@ object ScaleSoak {
     }
     stages += ePairs
 
+    // SemDeDup on the POST-EXACT-DEDUP corpus — the identical mega-block
+    // is the exact pass's catch (q_dedup_semantic documents the
+    // precondition: a byte-identical family all lands in one cell and
+    // would pay |family|²/2 pairs there); cells bound the within-cell
+    // quadratic at ~(n/k)² each
+    val cleanVecs = allVecs.filter(col("vec_id") < l.vecMegaStart)
+    val (_, sem) = measure(spark, "semantic dedup (SemDeDup)",
+      s"k=${ivfCfg.numCentroids} trained cells bound within-cell pairs; post-exact-dedup corpus") {
+      val matrix = Ann.kmeansFit(cleanVecs, k = ivfCfg.numCentroids, iters = 2)
+        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      val a = cleanVecs
+        .withColumn("cell",
+          call_function("vec_best_cell", col("e"), typedLit(matrix)))
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+      val x = a.select(col("cell"), col("vec_id").as("ka"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val y = a.select(col("cell"), col("vec_id").as("kb"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      x.join(y, Seq("cell")).filter(col("ka") < col("kb"))
+        .withColumn("cos",
+          round(call_function("vec_dot", col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.9)
+        .count()
+    }
+    stages += sem
+
     var cents: DataFrame = null
     val (_, km) = measure(spark, "k-means fit (IVF trainer)",
       s"k=${ivfCfg.numCentroids}, 2 Lloyd iterations") {
@@ -369,6 +397,12 @@ object ScaleSoak {
     sb ++= "- CC rounds grow with log(cluster diameter), not corpus size —\n" +
       "  the measured rounds sit under the bound with the worst-case chain\n" +
       "  planted deliberately.\n"
+    sb ++= "- The SemDeDup stage recovers slightly fewer planted pairs than\n" +
+      "  the LSH stage (cells are HARD partitions — a pair straddling a\n" +
+      "  cell boundary is invisible to the within-cell join; banded LSH\n" +
+      "  has no such boundary). That is the method's documented recall\n" +
+      "  trade for bounding the quadratic, measured here instead of\n" +
+      "  asserted away.\n"
     sb.toString
   }
 }

@@ -416,7 +416,12 @@ object LlmOps {
     // (high cosine anywhere); SemDeDup prunes semantic redundancy inside
     // semantic clusters. At 100 TB the quadratic term is Σ|cell|² with
     // |cell| ≈ n/k — the design point of the paper — and the cell
-    // self-join shuffles on the cell key only.
+    // self-join shuffles on the cell key only. PRECONDITION (as in the
+    // paper): exact dedup runs FIRST — a family of byte-identical
+    // vectors all lands in one cell and would pay |family|²/2 pairs
+    // there; the linear sha/hash pass removes it for free (the same
+    // reason the LSH shapes cap mega-buckets). ScaleSoak measures this
+    // operator on the post-exact-dedup corpus.
     "q_dedup_semantic" -> { (s, d) =>
       val emb = embedVecs(s, d)
       val cents: Seq[Seq[Double]] = Ann.kmeansFit(emb, k = 16, iters = 2)
