@@ -10,8 +10,17 @@ package graft
   *  - each query is driven by a `noop`-format write, which fully evaluates
   *    every output column (a `.count()` would let Catalyst prune all
   *    projections that don't affect row count and measure only the scan);
+  *  - the catalog is swept SPARK_GRAFT_BENCH_RUNS times (default 3) in
+  *    round-robin order and each query reports its per-run MEDIAN: the
+  *    single-run swing on this box is ±25% (measured r7 — GC pauses, JIT
+  *    recompiles, page cache), which swallowed real 20% regressions; the
+  *    median-of-3 cuts the swing to a few percent so a regression is a
+  *    signal, not noise. Round-robin (sweep 1 all queries, then sweep 2…)
+  *    rather than back-to-back repeats, so a slow phase of the JVM lands on
+  *    every query a little instead of one query three times;
   *  - failures are recorded per query (`"failed"` list + nonzero exit), never
-  *    silently folded into a timing;
+  *    silently folded into a timing — a query's median is over its
+  *    SUCCESSFUL runs, and it is failed only if every run failed;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -19,8 +28,16 @@ package graft
 object Bench {
   private val excluded = Set("q_dedup_ngram_jaccard")
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runsN = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val spark = Sessions.get()
     // Warm up the JVM (codegen compiler, parquet readers, shuffle machinery)
     // so the first measured query doesn't absorb ~10 s of one-time cost.
@@ -29,9 +46,14 @@ object Bench {
       SparkEntry.queries("q_agg_pricing")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
-      .map { case (name, fn) =>
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val fails = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val runTotals = (1 to runsN).map { _ =>
+      catalog.map { case (name, fn) =>
         // collect the previous query's garbage OUTSIDE the timed window so
         // a stop-the-world pause doesn't land on a random victim query
         System.gc()
@@ -41,18 +63,27 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) times(name) = dt :: times(name) else fails(name) += 1
+        dt
+      }.sum
+    }
+    // (name, median-of-successes, everFailed) in stable catalog order
+    val results = catalog.map { case (name, _) =>
+      val ts = times(name)
+      (name, if (ts.isEmpty) 0.0 else median(ts), ts.isEmpty)
+    }
     // 4-decimal timings keep the whole line ~3x shorter — the r2 driver log
     // tail truncated the head of the full-precision line, losing the JSON.
     def sec(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runsN,"run_totals":$totalsArr,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -66,7 +97,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"runs":$runsN,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.
@@ -78,6 +109,6 @@ object Bench {
     println(compact)
     System.err.println(compact)
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (results.exists(_._3)) sys.exit(1)
   }
 }

@@ -337,8 +337,16 @@ object Ann {
     // 1 init + `iters` update jobs each scan the corpus: persist it once
     // (MEMORY_AND_DISK — spills instead of OOMing at scale) for the
     // duration of training, the standard iterative-ML shape. The returned
-    // model is driver state, so unpersisting before returning is safe.
-    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // model is driver state, so unpersisting before returning is safe —
+    // but only if WE created the cache: persisting an already-persisted
+    // DataFrame is a no-op, and unpersisting it in finally would silently
+    // evict the CALLER's cache (r7 advice), so both sides are skipped when
+    // the input arrives cached.
+    val callerCached =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val emb =
+      if (callerCached) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     var cents: IndexedSeq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("e")) // by name: the contract promises the
@@ -368,8 +376,75 @@ object Ann {
       .select(col("cent_id"), posexplode(col("ce")))
       .select(col("cent_id"), col("pos").as("j"),
         round(col("col"), 6).as("c_val"))
-    } finally emb.unpersist(blocking = false)
+    } finally if (!callerCached) emb.unpersist(blocking = false)
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): k-means cells make
+    * within-cell all-pairs cosine dedup tractable — the third dedup axis
+    * next to lexical minhash (near-COPIES) and embedding-LSH (high cosine
+    * anywhere): it prunes semantic redundancy INSIDE semantic clusters.
+    *
+    * Scale posture (100 TB): the quadratic term is Σ|cell|² with |cell| ≈
+    * n/k — the paper's design point — and the within-cell self-join
+    * shuffles on the cell key only. Two guards make that hold under skew:
+    *
+    *  - PRECONDITION (as in the paper): exact dedup runs FIRST. A family
+    *    of byte-identical vectors all lands in one cell and would pay
+    *    |family|²/2 pairs there; the linear sha/hash pass removes it for
+    *    free.
+    *  - `maxCell`: any cell the trained quantizer still leaves larger than
+    *    the cap is SKIPPED for pair generation (members kept), exactly the
+    *    LSH mega-bucket refusal ([[graft.operators.NearDup]] caps, oracle
+    *    HAVING). A capped cell is either residual exact-dup mass (the
+    *    precondition's catch) or a quantizer failure — both are the linear
+    *    pass's job, not a |cell|² one. ScaleSoak plants an identical
+    *    mega-block and measures the cap firing on exactly its cell.
+    *
+    * Size `k` with [[IvfConfig.derive]]/[[IvfConfig.forCorpus]] — k =
+    * √(n·nprobe) keeps |cell| ≈ n/k near the minCell floor.
+    *
+    * @param matrix trained centroids (row-major, from [[kmeansFit]])
+    * @return (vec_id, cell, keep) — keep=false iff a smaller-id neighbor
+    *         in the same (un-capped) cell has cosine ≥ `cosineConfirm`. */
+  def semDedup(emb: DataFrame, matrix: Seq[Seq[Double]],
+               cosineConfirm: Double, maxCell: Int = 1000): DataFrame = {
+    val assigned = emb
+      .withColumn("cell",
+        call_function("vec_best_cell", col("e"), typedLit(matrix)))
+      .withColumn("nrm", sqrt(vdot(col("e"), col("e"))))
+    // ≤ k rows survive this aggregate — broadcast keeps the gate off the
+    // shuffle path (k = O(√n) stays broadcastable far past 100 TB)
+    val okCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn")).filter(col("cn") <= maxCell)
+      .select(col("cell"))
+    val inCap = assigned.join(broadcast(okCells), Seq("cell"))
+    val x = inCap.select(col("cell"), col("vec_id").as("ka"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val y = inCap.select(col("cell"), col("vec_id").as("kb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = x.join(y, Seq("cell")).filter(col("ka") < col("kb"))
+      .withColumn("cos", round(vdot(col("ea"), col("eb"))
+        / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= cosineConfirm)
+      .select(col("kb").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("is_dropped").isNull.as("keep"))
+  }
+
+  /** [[semDedup]] with the quantizer trained in-line ([[kmeansFit]]). */
+  def semDedup(emb: DataFrame, k: Int, iters: Int,
+               cosineConfirm: Double, maxCell: Int): DataFrame =
+    semDedup(emb, collectCentroids(kmeansFit(emb, k, iters)),
+      cosineConfirm, maxCell)
+
+  /** Collect an exploded (cent_id, j, c_val) model to a row-major driver
+    * matrix — O(k·d), the only thing that ever leaves the cluster. */
+  def collectCentroids(model: DataFrame): Seq[Seq[Double]] =
+    model.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(

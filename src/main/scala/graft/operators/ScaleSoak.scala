@@ -80,7 +80,10 @@ object ScaleSoak {
                           ccRounds: Int, ccRoundBound: Int,
                           ccVertices: Long, ccClusters: Long,
                           famRecovered: Long, chainClusterSize: Long,
-                          embedPairs: Long, embedPlanted: Long)
+                          embedPairs: Long, embedPlanted: Long,
+                          semDrops: Long, semCappedClean: Long,
+                          semCappedRaw: Long, semMegaCellCapped: Boolean,
+                          semMaxCell: Int)
 
   /** 6-hex-char word from (seed, j) — pure md5, engine-portable. */
   private def w(seed: org.apache.spark.sql.Column,
@@ -145,11 +148,12 @@ object ScaleSoak {
     def built = marker.exists() &&
       new java.io.File(d, "_SUCCESS").exists() &&
       new java.io.File(e, "_SUCCESS").exists()
-    if (!built) {
-      docs(spark, l).write.mode("overwrite").parquet(d)
-      embeddings(spark, l).write.mode("overwrite").parquet(e)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+    if (!built) graft.BuildOnce.locked(new java.io.File(dir)) {
+      if (!built) { // re-check: the race loser finds the winner's corpus
+        docs(spark, l).write.mode("overwrite").parquet(d)
+        embeddings(spark, l).write.mode("overwrite").parquet(e)
+        marker.createNewFile()
+      }
     }
     (d, e)
   }
@@ -276,33 +280,56 @@ object ScaleSoak {
     }
     stages += ePairs
 
-    // SemDeDup on the POST-EXACT-DEDUP corpus — the identical mega-block
-    // is the exact pass's catch (q_dedup_semantic documents the
-    // precondition: a byte-identical family all lands in one cell and
-    // would pay |family|²/2 pairs there); cells bound the within-cell
-    // quadratic at ~(n/k)² each
+    // SemDeDup ([[Ann.semDedup]]) on the POST-EXACT-DEDUP corpus — the
+    // identical mega-block is the exact pass's catch (the operator doc
+    // states the precondition: a byte-identical family all lands in one
+    // cell and would pay |family|²/2 pairs there); cells bound the
+    // within-cell quadratic at ~(n/k)² each. Stage output = dropped
+    // vectors (one per recovered planted pair that shares a cell).
+    val semMaxCell = lshCfg.maxBucket
     val cleanVecs = allVecs.filter(col("vec_id") < l.vecMegaStart)
-    val (_, sem) = measure(spark, "semantic dedup (SemDeDup)",
+    var semCappedClean = -1L
+    val (semDrops, sem) = measure(spark, "semantic dedup (SemDeDup)",
       s"k=${ivfCfg.numCentroids} trained cells bound within-cell pairs; post-exact-dedup corpus") {
-      val matrix = Ann.kmeansFit(cleanVecs, k = ivfCfg.numCentroids, iters = 2)
-        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      val a = cleanVecs
-        .withColumn("cell",
-          call_function("vec_best_cell", col("e"), typedLit(matrix)))
-        .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
-      val x = a.select(col("cell"), col("vec_id").as("ka"),
-        col("e").as("ea"), col("nrm").as("na"))
-      val y = a.select(col("cell"), col("vec_id").as("kb"),
-        col("e").as("eb"), col("nrm").as("nb"))
-      x.join(y, Seq("cell")).filter(col("ka") < col("kb"))
-        .withColumn("cos",
-          round(call_function("vec_dot", col("ea"), col("eb"))
-            / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.9)
-        .count()
+      val matrix = Ann.collectCentroids(
+        Ann.kmeansFit(cleanVecs, k = ivfCfg.numCentroids, iters = 2))
+      val assigned = cleanVecs.withColumn("cell",
+        call_function("vec_best_cell", col("e"), typedLit(matrix)))
+      semCappedClean = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn")).filter(col("cn") > semMaxCell).count()
+      Ann.semDedup(cleanVecs, matrix, cosineConfirm = 0.9,
+        maxCell = semMaxCell).filter(!col("keep")).count()
     }
     stages += sem
+
+    // The skew refusal, measured: run the CAPPED operator on the RAW
+    // corpus (exact-dedup precondition deliberately violated). The planted
+    // identical block lands in ONE cell, that cell alone exceeds maxCell,
+    // and the operator completes with the cell skipped instead of paying
+    // |block|²/2 ≈ 2M pairs on one reducer.
+    var semCappedRaw = 0L
+    var semMegaCellCapped = false
+    val (_, semRaw) = measure(spark, "semantic dedup (capped, raw corpus)",
+      s"maxCell=$semMaxCell refuses the ${l.vecMegaSize}-vector identical cell") {
+      val matrixRaw = Ann.collectCentroids(
+        Ann.kmeansFit(allVecs, k = ivfCfg.numCentroids, iters = 2))
+      val assignedRaw = allVecs.withColumn("cell",
+        call_function("vec_best_cell", col("e"), typedLit(matrixRaw)))
+      val counts = assignedRaw.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      semCappedRaw = counts.filter(col("cn") > semMaxCell).count()
+      val megaCell = assignedRaw
+        .filter(col("vec_id") === l.vecMegaStart)
+        .select(col("cell")).head().getLong(0)
+      semMegaCellCapped = counts
+        .filter(col("cell") === megaCell && col("cn") > semMaxCell)
+        .count() == 1L
+      counts.unpersist()
+      Ann.semDedup(allVecs, matrixRaw, cosineConfirm = 0.9,
+        maxCell = semMaxCell).filter(!col("keep")).count()
+    }
+    stages += semRaw
 
     var cents: DataFrame = null
     val (_, km) = measure(spark, "k-means fit (IVF trainer)",
@@ -343,7 +370,9 @@ object ScaleSoak {
       Seq(mhStats, embStats),
       cc.rounds, ccRoundBound, ccVertices, ccClusters,
       famRecovered, chainClusterSize,
-      embedPairs, l.vecDupCount.toLong)
+      embedPairs, l.vecDupCount.toLong,
+      semDrops, semCappedClean, semCappedRaw, semMegaCellCapped,
+      semMaxCell)
   }
 
   def renderMarkdown(r: Report): String = {
@@ -386,6 +415,15 @@ object ScaleSoak {
     sb ++= f"- chain component recovered: ${r.chainClusterSize} / ${r.layout.chainLen} docs under one label\n"
     sb ++= f"- embed near-dup pairs confirmed: **${r.embedPairs} / ${r.embedPlanted} planted** " +
       "(identical mega-block excluded by the bucket cap — exact dedup's job)\n"
+    sb ++= f"- SemDeDup drops on the post-exact-dedup corpus: " +
+      f"**${r.semDrops} / ${r.embedPlanted} planted pairs** with " +
+      f"**${r.semCappedClean} cells capped** (maxCell=${r.semMaxCell}); on " +
+      f"the RAW corpus (precondition violated) the cap fires on " +
+      f"**${r.semCappedRaw} cell(s)** — " +
+      (if (r.semMegaCellCapped) "exactly the planted identical block's cell"
+       else "NOT the mega cell (invariant violated)") +
+      " — so the |cell|² term stays bounded instead of paying " +
+      f"~${r.layout.vecMegaSize.toLong * (r.layout.vecMegaSize - 1) / 2} pairs on one reducer\n"
     sb ++= "\n## Reading the table at 100 TB\n\n"
     sb ++= "- Shuffle bytes scale with corpus size, not its square: signature\n" +
       "  aggregation moves one row per document, candidate generation moves\n" +

@@ -140,7 +140,8 @@ object LlmOps {
        |  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
        |  FROM embeddings CROSS JOIN range(64) r(i)),
        |vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
-       |c0 AS (SELECT vec_id AS cent_id, i, x AS c FROM ex WHERE vec_id < 16),
+       |c0 AS (SELECT vec_id AS cent_id, i, x AS c FROM ex
+       |       WHERE vec_id < ${IvfCfg.numCentroids}),
        |${sqlKmeansIter(1)},
        |${sqlKmeansIter(2)}""".stripMargin
 
@@ -403,47 +404,21 @@ object LlmOps {
     // exploded vectors — every mean and every assignment tie-break must
     // agree across engines for the 16×64 centroid matrix to hash-match.
     "q_embed_kmeans" -> { (s, d) =>
-      Ann.kmeansFit(embedVecs(s, d), k = 16, iters = 2)
+      Ann.kmeansFit(embedVecs(s, d), k = IvfCfg.numCentroids, iters = 2)
         .orderBy(col("cent_id"), col("j"))
     },
 
-    // B50 SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): k-means
-    // cells make within-cell all-pairs tractable — assign every vector to
-    // its trained cell (the codegen vec_best_cell kernel, zero shuffle),
-    // self-join WITHIN cells only, and drop every vector with a smaller-id
-    // neighbor at cosine ≥ the threshold. This is the third dedup axis
-    // next to lexical (minhash) and embedding-LSH: LSH finds NEAR-COPIES
-    // (high cosine anywhere); SemDeDup prunes semantic redundancy inside
-    // semantic clusters. At 100 TB the quadratic term is Σ|cell|² with
-    // |cell| ≈ n/k — the design point of the paper — and the cell
-    // self-join shuffles on the cell key only. PRECONDITION (as in the
-    // paper): exact dedup runs FIRST — a family of byte-identical
-    // vectors all lands in one cell and would pay |family|²/2 pairs
-    // there; the linear sha/hash pass removes it for free (the same
-    // reason the LSH shapes cap mega-buckets). ScaleSoak measures this
-    // operator on the post-exact-dedup corpus.
+    // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
+    // recipe, Abbas et al. 2023; full scale posture + the exact-dedup-first
+    // precondition + the maxCell skew refusal documented on the operator).
+    // k is the IvfConfig.derive-sized quantizer (same derived geometry as
+    // the IVF rows — cells ARE a coarse quantizer), the cap is the same
+    // MaxBucket every LSH shape enforces, and the oracle mirrors it as a
+    // HAVING CTE. ScaleSoak measures the capped operator with a planted
+    // identical mega-block.
     "q_dedup_semantic" -> { (s, d) =>
-      val emb = embedVecs(s, d)
-      val cents: Seq[Seq[Double]] = Ann.kmeansFit(emb, k = 16, iters = 2)
-        .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      val assigned = emb
-        .withColumn("cell", call_function("vec_best_cell", col("e"),
-          typedLit(cents)))
-        .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
-      val x = assigned.select(col("cell"), col("vec_id").as("ka"),
-        col("e").as("ea"), col("nrm").as("na"))
-      val y = assigned.select(col("cell"), col("vec_id").as("kb"),
-        col("e").as("eb"), col("nrm").as("nb"))
-      val dropped = x.join(y, Seq("cell")).filter(col("ka") < col("kb"))
-        .withColumn("cos", round(call_function("vec_dot", col("ea"), col("eb"))
-          / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= EmbedCfg.cosineConfirm)
-        .select(col("kb").as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(1))
-      assigned.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          col("is_dropped").isNull.as("keep"))
+      Ann.semDedup(embedVecs(s, d), k = IvfCfg.numCentroids, iters = 2,
+        cosineConfirm = EmbedCfg.cosineConfirm, maxCell = MaxBucket)
         .orderBy(col("vec_id"))
     },
 
@@ -455,7 +430,7 @@ object LlmOps {
     // the probed cells exactly like the untrained IVF row.
     "q_embed_ann_ivf_trained" -> { (s, d) =>
       val emb = embedVecs(s, d)
-      val cents = Ann.kmeansFit(emb, k = 16, iters = 2)
+      val cents = Ann.kmeansFit(emb, k = IvfCfg.numCentroids, iters = 2)
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
           x => x.getField("c_val")).as("ce"))
@@ -705,7 +680,18 @@ object LlmOps {
     // (floor(ln(p)·1e6 + 0.5)) BEFORE the per-doc sum — an integer sum is
     // order-free, where a float sum over an unordered group would differ
     // between engines; ln's input is a quotient of exact integers
-    // (identical doubles both engines, the q_text_tfidf precedent). Shape
+    // (identical doubles both engines, the q_text_tfidf precedent).
+    // ULP CAVEAT (r7 advice): the quantization itself assumes Spark's
+    // Math.log and DuckDB's libm ln round identically on those identical
+    // inputs — empirically bit-exact here and in the tfidf/bm25
+    // precedents, but NOT an IEEE guarantee (ln is not correctly-rounded
+    // in either library). A 1-ulp divergence would only surface when
+    // ln(p)·1e6 lands within ~1e-10 of a .5 boundary — probability ~1e-10
+    // per distinct bigram, and the blast radius is ±1 micro-nat in one
+    // doc's sum. If a corpus ever trips it, coarsen the quantum (1e4
+    // drops the odds another 100×) or precompute the log-prob table with
+    // one engine and join it as a dimension — do NOT "fix" it by summing
+    // raw doubles, which reintroduces order-dependence everywhere. Shape
     // at 100 TB: bigrams via a typed flatMap in the scan stage (keeps
     // multiplicities — shingles() is distinct-per-doc, an LM must not be);
     // the count tables are vocabulary²-bounded (≪ corpus) and join on w1 —
@@ -991,7 +977,9 @@ object LlmOps {
          |ORDER BY cent_id, j""".stripMargin,
 
     // SemDeDup: replay the kmeans CTEs, assign on ROUNDED centroids at
-    // round-6 (the vec_best_cell contract), within-cell pairs only
+    // round-6 (the vec_best_cell contract), within-cell pairs only —
+    // cells over the MaxBucket cap skipped for pair generation (okc),
+    // mirroring Ann.semDedup's skew refusal
     "q_dedup_semantic" ->
       s"""WITH $sqlKmeansCtes,
          |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
@@ -1005,8 +993,11 @@ object LlmOps {
          |  SELECT vec_id, cent_id, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sq) t
          |  WHERE rn = 1),
+         |okc AS (SELECT cell FROM assigned
+         |        GROUP BY cell HAVING count(*) <= ${MaxBucket}),
          |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb
-         |  FROM assigned a JOIN assigned b
+         |  FROM assigned a JOIN okc z ON z.cell = a.cell
+         |  JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |dd AS (SELECT p.ka, p.kb, sum(xa.x * xb.x) AS dp
          |       FROM pairs p JOIN ex xa ON xa.vec_id = p.ka

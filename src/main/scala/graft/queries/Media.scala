@@ -35,8 +35,7 @@ object Media {
   private def imageDir(d: String): String = {
     val dir = new File("target/qscratch/media_png_" +
       d.replaceAll("[^a-zA-Z0-9.]", "_"))
-    if (!new File(dir, "_done").exists()) {
-      dir.mkdirs()
+    graft.BuildOnce(dir) {
       (0 until NImages).foreach { id =>
         val img = new java.awt.image.BufferedImage(ImgW, ImgH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -44,7 +43,6 @@ object Media {
           img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
         javax.imageio.ImageIO.write(img, "png", new File(dir, f"img$id%03d.png"))
       }
-      new File(dir, "_done").createNewFile()
     }
     dir.getAbsolutePath
   }
@@ -54,8 +52,7 @@ object Media {
   private def audioDir(d: String): String = {
     val dir = new File("target/qscratch/media_wav_" +
       d.replaceAll("[^a-zA-Z0-9.]", "_"))
-    if (!new File(dir, "_done").exists()) {
-      dir.mkdirs()
+    graft.BuildOnce(dir) {
       (0 until NClips).foreach { id =>
         val n = 400 + 13 * id
         val dataLen = 2 * n
@@ -72,7 +69,6 @@ object Media {
         java.nio.file.Files.write(
           new File(dir, f"clip$id%03d.wav").toPath, bb.array())
       }
-      new File(dir, "_done").createNewFile()
     }
     dir.getAbsolutePath
   }

@@ -28,8 +28,13 @@ object PipelineQ {
   private val TsUs = 1767225600000000L
   private val cfg = M.IngestionConfig(inputDir = "unused", warehouseDir = "unused")
 
-  private lazy val corpusDir: String =
-    F.writeCorpus(new java.io.File("target/qscratch/pipeline_in").getAbsolutePath)
+  private lazy val corpusDir: String = {
+    val dir = new java.io.File("target/qscratch/pipeline_in")
+    // fixed-byte corpus, but a concurrent cold reader could still observe a
+    // half-written zip — build under the cross-JVM lock like every fixture
+    graft.BuildOnce(dir) { F.writeCorpus(dir.getAbsolutePath) }
+    dir.getAbsolutePath
+  }
 
   private def gateBook(i: String): F.Book = F.books.find(_.isbn == i).get
 

@@ -134,15 +134,13 @@ object StreamingQ {
   private def splitDir(s: SparkSession, d: String): String = {
     val dir = new File("target/qscratch/stream_mb3_" +
       d.replaceAll("[^a-zA-Z0-9.]", "_"))
-    if (!new File(dir, "_done").exists()) {
-      dir.mkdirs()
+    graft.BuildOnce(dir) {
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       writeSplit(ev.filter(batch0Cond), dir, "batch0.parquet", 1000000L)
       writeSplit(ev.filter(batch1Cond), dir, "batch1.parquet", 2000000L)
       writeSplit(ev.filter(!batch0Cond && !batch1Cond), dir, "batch2.parquet", 3000000L)
-      Files.write(Paths.get(dir.getPath, "_done"), Array.emptyByteArray)
     }
     dir.getAbsolutePath
   }
@@ -522,8 +520,13 @@ object StreamingQ {
     // per-batch append semantics are what the oracle hashes.
     "q_stream_multisink" -> { (s0, d) =>
       val s = mbSession(s0)
+      // pid-scoped: this root is DELETED and rebuilt per invocation (the
+      // sink is the query's output), so unlike the build-once fixtures it
+      // can never be shared — a concurrent Bench ∥ Verify pair would
+      // delete each other's in-flight sink. Dirs die with `sbt clean`.
       val root = new File("target/qscratch/stream_sink_" +
-        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
       if (root.exists()) {
         def del(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(del); f.delete()
@@ -574,8 +577,10 @@ object StreamingQ {
     // final snapshot from scratch, proving 3 merges ≡ one global aggregate.
     "q_stream_upsert" -> { (s0, d) =>
       val s = mbSession(s0)
+      // pid-scoped for the same reason as q_stream_multisink's root
       val root = new File("target/qscratch/stream_upsert_" +
-        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
       if (root.exists()) {
         def del(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(del); f.delete()

@@ -73,6 +73,26 @@ class ScaleSoakSpec extends SparkSpecBase {
       "every planted embedding near-dup pair must confirm")
   }
 
+  test("SemDeDup maxCell cap fires on exactly the planted mega-cell and nowhere else", Slow) {
+    info(s"clean capped cells ${report.semCappedClean}, raw capped cells " +
+      s"${report.semCappedRaw} (megaCellCapped=${report.semMegaCellCapped}), " +
+      s"drops ${report.semDrops}/${report.embedPlanted}")
+    // post-exact-dedup corpus: the trained quantizer leaves no cell over
+    // the cap, so zero recall is traded for skew protection
+    assert(report.semCappedClean === 0L,
+      "the maxCell cap must never fire on the post-exact-dedup corpus")
+    // raw corpus (precondition violated): the identical block lands in ONE
+    // cell, that cell alone is refused, and the run completes
+    assert(report.semCappedRaw === 1L,
+      s"expected exactly the mega-block cell capped, got ${report.semCappedRaw}")
+    assert(report.semMegaCellCapped,
+      "the capped cell must be the planted identical block's cell")
+    // cells are hard partitions, so a pair straddling a boundary is the
+    // method's documented recall trade — still >= 95% of planted pairs drop
+    assert(report.semDrops >= (report.embedPlanted * 95) / 100,
+      s"SemDeDup recall degraded: ${report.semDrops}/${report.embedPlanted}")
+  }
+
   test("every measured stage moved bounded shuffle volume", Slow) {
     report.stages.foreach { s =>
       info(f"${s.stage}: ${s.outRows} rows, ${s.seconds}%.1f s, " +

@@ -177,8 +177,10 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_text_bm25")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must be TakeOrdered, not a global sort + limit:\n$p")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      p) // the two 1-row stat joins are broadcast, never a shuffled cartesian
+    // the 1-row stat joins plan as BroadcastNestedLoopJoin; a shuffled
+    // CartesianProduct must never appear (the r6 form of this assert was
+    // vacuously true whenever BNLJ was present — r7 advice)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_text_lm_score contains no cartesian and reduces bigrams partial+final") {

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.operators.Slow
+
+/** Catalog-WIDE physical-plan sweep (r7 verdict #6): PlanSpec pins ~20
+  * hand-picked shapes; this spec walks EVERY `SparkEntry.queries` entry and
+  * asserts the three properties no query may silently regress on:
+  *
+  *  1. no `CartesianProduct` — outside the two DECLARED quadratic/cross
+  *     shapes — because an accidental cartesian is the canonical
+  *     works-at-sf0.01-dies-at-100TB failure;
+  *  2. no `ScalaUDF` outside the declared B46 UDF queries — a boxed UDF in
+  *     a hot path breaks whole-stage codegen around it (the r6→r7 bloom
+  *     probe migration exists precisely because of this);
+  *  3. no shuffled join (SortMergeJoin / ShuffledHashJoin) where the build
+  *     side is broadcastable — at sf0.001 every file relation is far under
+  *     `autoBroadcastJoinThreshold`, so a shuffled join in the STATIC plan
+  *     means a join lost its size stats (the regression this catches) or is
+  *     deliberate (the declared SMJ demos; FullOuter, which Spark cannot
+  *     broadcast, is allowed per-line).
+  *
+  * Streaming/pipeline harness entries run their full harness when invoked —
+  * the sweep still walks them (their returned read-back plan must satisfy
+  * the same three rules), which is why the suite is tagged Slow.
+  */
+class PlanSweepSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Declared quadratic/cross shapes (each documented at its definition):
+    * q_dedup_ngram_jaccard is the all-pairs correctness baseline for the
+    * LSH family; q_join_cross IS the cross-join operator (B16). */
+  private val cartesianOk = Set("q_dedup_ngram_jaccard", "q_join_cross")
+
+  /** The declared B46 scalar-UDF surface: the registered SQL UDF row and
+    * the ingestion-pipeline rows built on `udfs.parse_properties` /
+    * `udfs.isbn13_valid` (A2/A5 — exact `Properties.load` semantics are
+    * the contract; a codegen reimplementation would be a second parser to
+    * keep equal to the first). */
+  private val scalaUdfOk = Set("q_sql_udf_isbn", "q_pipe_workflow",
+    "q_pipe_dead_letter", "q_pipe_raw", "q_pipe_skipped")
+
+  /** Legitimate shuffled joins:
+    *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
+    *    zero-Exchange bucketed SMJ IS the operator;
+    *  - q_dedup_survivor / q_dedup_pipeline / q_dedup_semantic join two
+    *    CORPUS-derived sides (labels/survivor-reps/drop-lists back onto
+    *    the corpus) — neither side is a dimension, so at 100 TB the
+    *    shuffled join is the only correct plan; the static planner can't
+    *    know the toy-SF sizes (intermediate stats are estimates) and AQE
+    *    converts to broadcast at runtime when a side turns out small.
+    *    Forcing `broadcast()` there would be the scale bug. */
+  private val shuffleJoinOk = Set("q_join_sortmerge", "q_bucket_join",
+    "q_dedup_survivor", "q_dedup_pipeline", "q_dedup_semantic")
+
+  private lazy val plans: Map[String, String] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val p =
+        try fn(spark, sf).queryExecution.executedPlan.toString()
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan at $sf: $e")
+        }
+      name -> p
+    }.toMap
+
+  test("no query plans a CartesianProduct outside the declared baselines", Slow) {
+    val bad = plans.collect {
+      case (name, p)
+        if p.contains("CartesianProduct") && !cartesianOk(name) => name
+    }
+    assert(bad.isEmpty, s"accidental cartesian in: ${bad.toSeq.sorted}")
+    // the declared ones must actually BE cartesian — else the exclusion
+    // list has drifted and hides nothing
+    cartesianOk.foreach { name =>
+      assert(plans(name).contains("CartesianProduct") ||
+        plans(name).contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans its declared cartesian — drop the exclusion")
+    }
+  }
+
+  test("no query plans a ScalaUDF outside the declared B46 surface", Slow) {
+    val bad = plans.collect {
+      case (name, p) if p.contains("ScalaUDF") && !scalaUdfOk(name) => name
+    }
+    assert(bad.isEmpty, s"boxed ScalaUDF crept into: ${bad.toSeq.sorted}")
+  }
+
+  test("no broadcastable join ships as a shuffled join", Slow) {
+    val bad = plans.toSeq.flatMap { case (name, p) =>
+      if (shuffleJoinOk(name)) Nil
+      else p.linesIterator
+        .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        // Spark cannot broadcast a full-outer hash join — SMJ is the only
+        // plan for it, so those lines are legitimate everywhere
+        .filterNot(_.contains("FullOuter"))
+        .map(l => s"$name: ${l.trim.take(120)}")
+        .toSeq
+    }
+    assert(bad.isEmpty,
+      s"shuffled joins below the broadcast threshold:\n${bad.mkString("\n")}")
+  }
+}
