@@ -16,13 +16,17 @@ import java.util.concurrent.ConcurrentHashMap
   *  - an intra-JVM monitor per canonical path (`FileChannel.lock` throws
   *    `OverlappingFileLockException` if the SAME JVM re-enters, so threads
   *    must serialize before touching the file lock);
-  *  - an OS advisory file lock (`_lock` inside the directory) serializing
-  *    across JVMs, with the marker re-checked after acquisition
-  *    (double-checked: the loser of the race finds the winner's marker and
-  *    skips the build).
+  *  - an OS advisory file lock serializing across JVMs, with the marker
+  *    re-checked after acquisition (double-checked: the loser of the race
+  *    finds the winner's marker and skips the build).
   *
-  * The `_lock` file is permanent and empty; every fixture reader either
-  * globs a concrete extension or reads named files, so it is never scanned.
+  * The lock file is a SIBLING (`<dir>.lock`), never inside `dir`: builders
+  * that overwrite the directory (`saveAsTable(Overwrite)` deletes it
+  * wholesale) would delete an in-dir lock file's inode MID-BUILD, and the
+  * next JVM's open(CREATE) would lock a fresh inode with no conflict —
+  * mutual exclusion silently gone (observed: a cold concurrent pair
+  * double-built a bucketed table into one directory). A sibling survives
+  * any rewrite of the directory it guards.
   */
 object BuildOnce {
   private val inJvm = new ConcurrentHashMap[String, Object]()
@@ -31,14 +35,16 @@ object BuildOnce {
     * For builders with their own staleness logic (fingerprint markers):
     * the caller re-checks its condition inside `body`. */
   def locked[T](dir: File)(body: => T): T = {
-    val mon = inJvm.computeIfAbsent(dir.getCanonicalPath, _ => new Object)
+    val parent = dir.getAbsoluteFile.getParentFile
+    parent.mkdirs()
+    val lockFile = new File(parent, dir.getName + ".lock")
+    val mon = inJvm.computeIfAbsent(lockFile.getCanonicalPath, _ => new Object)
     mon.synchronized {
-      dir.mkdirs()
-      val ch = FileChannel.open(new File(dir, "_lock").toPath,
+      val ch = FileChannel.open(lockFile.toPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val lk = ch.lock()
-        try body finally lk.release()
+        try { dir.mkdirs(); body } finally lk.release()
       } finally ch.close()
     }
   }
