@@ -422,6 +422,107 @@ object LlmOps {
         .orderBy(col("vec_id"))
     },
 
+    // B50 CONTAINMENT dedup — the subset-duplicate detector Jaccard-based
+    // near-dup structurally misses: a short doc quoted whole inside a long
+    // one has Jaccard |∩|/|∪| ≈ |short|/|long| (arbitrarily low) but
+    // containment |∩|/min(|A|,|B|) = 1. The pretraining case is embedded
+    // articles / quoted posts surviving document-level dedup. Shape at
+    // 100 TB: candidates from the shingle INVERTED INDEX restricted to
+    // rare shingles (df ≤ MaxBucket — one shared rare shingle proposes a
+    // pair, the same skew refusal as every LSH shape, mirrored in the
+    // oracle HAVING), then EXACT intersection counted only for candidate
+    // pairs. Containment is a rational, so it ships as exact integer ppm
+    // (inter·1e6 DIV min-size) — no float quotient crosses engines.
+    "q_dedup_containment" -> { (s, d) =>
+      val ex = shingleRows(s, d)
+      val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxBucket).select(col("sh"))
+      val candEx = ex.join(rare, Seq("sh"))
+      val cand = candEx.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(candEx.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val inter = cand
+        .join(ex.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("cont_ppm",
+          expr("(inter * 1000000) DIV least(na, nb)"))
+        .filter(col("cont_ppm") >= 900000)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("cont_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B50 boundary (suffix↔prefix) dedup — the SPLIT-document detector:
+    // one source document sharded into parts shares a k-token boundary
+    // (part i's tail = part i+1's head). Near-dup misses it (the parts
+    // have near-zero overlap); this finds exactly the seam. Shape: one
+    // projection computes both boundary hashes in the scan stage, one
+    // hash equi-join, hot boundary values capped at MaxBucket on BOTH
+    // sides (a boilerplate header shared by millions of docs is a skew
+    // bomb here exactly like an LSH mega-bucket).
+    "q_dedup_suffix_prefix" -> { (s, d) =>
+      val k = 4
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= k)
+      val hp = t.select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), 1, k))).as("head_h"),
+        md5(concat_ws(" ", slice(col("toks"), -k, k))).as("tail_h"))
+      val okTail = hp.groupBy(col("tail_h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= MaxBucket).select(col("tail_h"))
+      val okHead = hp.groupBy(col("head_h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= MaxBucket).select(col("head_h"))
+      hp.join(okTail, Seq("tail_h"))
+        .select(col("doc_id").as("doc_a"), col("tail_h").as("boundary_h"))
+        .join(hp.join(okHead, Seq("head_h"))
+          .select(col("doc_id").as("doc_b"), col("head_h").as("boundary_h")),
+          Seq("boundary_h"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("boundary_h"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B52 vocabulary extraction — the tokenizer-training first pass (BPE
+    // and friends start from a corpus token-frequency table): token counts
+    // with a min-count floor, top-100 by (count, token). Shape at 100 TB:
+    // ONE partial+final aggregate (map-side combine collapses each
+    // partition's counts before the shuffle — the exchange carries
+    // ~|vocab| rows per partition, not ~|corpus| tokens) and the top-k is
+    // TakeOrdered, never a global sort.
+    "q_text_vocab" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(100)
+    },
+
+    // B51 embedding L2-normalization — the preprocessing step every
+    // cosine-metric ANN index assumes (normalized vectors turn cosine into
+    // dot product, halving the per-pair work everywhere downstream). One
+    // projection through the vec_dot kernel computes the norm; output is
+    // the exploded (vec_id, j, val) form at round-6, query side bounded to
+    // vec_id < 20 (the differential surface — the op itself is per-row,
+    // zero shuffle, linear at any scale).
+    "q_embed_norm" -> { (s, d) =>
+      embedVecs(s, d).filter(col("vec_id") < 20)
+        .withColumn("nrm",
+          sqrt(call_function("vec_dot", col("e"), col("e"))))
+        .select(col("vec_id"), col("nrm"), posexplode(col("e")))
+        .select(col("vec_id"), col("pos").as("j"),
+          // tie-safe rounding: e_j/||e|| is an arbitrary-divisor quotient,
+          // where plain round(x, 6) splits half-ulp ties across engines
+          QUtil.round6Exact(col("col") / col("nrm")).as("nval"))
+        .orderBy(col("vec_id"), col("j"))
+    },
+
     // B51 the composed train→index→query path: kmeansFit's centroids feed
     // ivfTopK's explicit-centroid overload, all under ONE oracle — the SQL
     // replays the training CTEs, re-assigns every vector against the
@@ -1010,6 +1111,57 @@ object LlmOps {
          |SELECT a.vec_id, a.cell,
          |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
          |FROM assigned a ORDER BY a.vec_id""".stripMargin,
+
+    // containment: rare-shingle candidates (HAVING = the engine's df cap),
+    // exact intersection per candidate pair, integer-ppm containment
+    "q_dedup_containment" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, u.s AS sh FROM sh, unnest(shingles) u(s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= ${MaxBucket}),
+         |cex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON rare.sh = ex.sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cex a JOIN cex b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN ex xa ON xa.doc_id = c.doc_a
+         |  JOIN ex xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  (i.inter * 1000000) // least(sa.n, sb.n) AS cont_ppm
+         |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+         |JOIN sz sb ON sb.doc_id = i.doc_b
+         |WHERE (i.inter * 1000000) // least(sa.n, sb.n) >= 900000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_suffix_prefix" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE len(string_split(text, ' ')) >= 4),
+         |hp AS (SELECT doc_id,
+         |  md5(array_to_string(toks[1:4], ' ')) AS head_h,
+         |  md5(array_to_string(toks[-4:], ' ')) AS tail_h FROM t),
+         |okt AS (SELECT tail_h FROM hp GROUP BY 1 HAVING count(*) <= ${MaxBucket}),
+         |okh AS (SELECT head_h FROM hp GROUP BY 1 HAVING count(*) <= ${MaxBucket})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_h AS boundary_h
+         |FROM hp a JOIN okt ON okt.tail_h = a.tail_h
+         |JOIN hp b ON b.head_h = a.tail_h AND b.doc_id != a.doc_id
+         |JOIN okh ON okh.head_h = b.head_h
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT tok, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok HAVING count(*) >= 5
+        |ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+
+    "q_embed_norm" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i AS j, embedding[i+1]::DOUBLE AS x
+        |  FROM embeddings CROSS JOIN range(64) r(i) WHERE vec_id < 20),
+        |vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id)
+        |SELECT ex.vec_id, ex.j,
+        |  floor((ex.x / vn.nrm) * 1e6 + 0.5) / 1e6 AS nval
+        |FROM ex JOIN vn ON vn.vec_id = ex.vec_id
+        |ORDER BY ex.vec_id, ex.j""".stripMargin,
 
     "q_embed_ann_ivf_trained" ->
       s"""WITH $sqlKmeansCtes,

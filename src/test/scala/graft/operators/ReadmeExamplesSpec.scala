@@ -50,6 +50,30 @@ class ReadmeExamplesSpec extends SparkSpecBase {
     assert(ivfCfg.nprobe >= 1 && ivfCfg.numCentroids >= ivfCfg.nprobe)
   }
 
+  test("README: SemDeDup inside trained cells with the maxCell refusal") {
+    // 100 base vectors + 10 near-copies of vector 0 (tiny perturbation)
+    val base = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        conv(substring(md5(concat(col("id"), lit("_"), i)), 1, 7), 16, 10)
+          .cast("double") / 134217728.0 - 1.0).as("e"))
+    val dups = spark.range(100, 110).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        conv(substring(md5(concat(lit(0L), lit("_"), i)), 1, 7), 16, 10)
+          .cast("double") / 134217728.0 - 1.0 + lit(0.001)).as("e"))
+    val emb = base.unionByName(dups)
+
+    val semCfg = IvfConfig.forCorpus(emb, recallTarget = 0.8, minCell = 10)
+    val keep = Ann.semDedup(emb, k = semCfg.numCentroids, iters = 2,
+      cosineConfirm = 0.9, maxCell = 1000) // (vec_id, cell, keep)
+
+    // the near-copies land in vector 0's cell and all drop; with an
+    // absurdly small cap every cell is refused and everything is kept
+    assert(keep.filter(col("vec_id") >= 100 && !col("keep")).count() === 10)
+    val capped = Ann.semDedup(emb, k = semCfg.numCentroids, iters = 2,
+      cosineConfirm = 0.9, maxCell = 1)
+    assert(capped.filter(!col("keep")).count() === 0)
+  }
+
   test("README: ConnectedComponents with the rounds receipt") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val cc = ConnectedComponents.run(edges) // fails loudly if unconverged

@@ -93,6 +93,52 @@ class ScaleSoakSpec extends SparkSpecBase {
       s"SemDeDup recall degraded: ${report.semDrops}/${report.embedPlanted}")
   }
 
+  test("text curation: boilerplate flags exactly the planted structure; LM ranks repetition as probable", Slow) {
+    val l = report.layout
+    info(s"mega fully-boiler ${report.boilerMegaFull}/${l.megaSize}, " +
+      s"un-planted flagged ${report.boilerNonPlantedFlagged}, " +
+      s"LM mega distinct ${report.lmMegaDistinct} @ ${report.lmMegaAvgMicro} " +
+      s"vs base ${report.lmBaseAvgMicro} micro-nats")
+    assert(report.boilerMegaFull === l.megaSize.toLong,
+      "every identical mega doc must be 100% boilerplate windows")
+    assert(report.boilerNonPlantedFlagged === 0L,
+      "boilerplate must never flag organic (un-planted) text")
+    // 2500 byte-identical docs: one NLL, and markedly more probable than
+    // the organic average (their bigrams occur 2500x each)
+    assert(report.lmMegaDistinct === 1L)
+    assert(report.lmMegaAvgMicro < report.lmBaseAvgMicro,
+      "repeated text must score as more probable than organic text")
+  }
+
+  test("streaming legs: state is watermark-bound and late events are dropped, never buffered", Slow) {
+    val l = report.layout
+    report.streamLegs.foreach { s =>
+      info(f"${s.op}: ${s.batches} batches, in ${s.totalIn}, max state " +
+        f"${s.maxStateRows} (final ${s.finalStateRows}), late ${s.droppedLate}, " +
+        f"emitted ${s.emitted}, ${s.maxStateMB}%.1f MB, ${s.seconds}%.1f s")
+      // the 100 TB property: state tracks the watermark WINDOW (~2 of the
+      // 6 batch files), never the whole input
+      assert(s.maxStateRows < s.totalIn / 2,
+        s"${s.op}: state grew input-bound (${s.maxStateRows} rows) — eviction lost")
+      assert(s.droppedLate > 0,
+        s"${s.op}: planted late events were not dropped by the watermark")
+      assert(s.emitted > 0)
+    }
+    // exact oracles from the deterministic generator: every planted late
+    // event is watermark-dropped, and dedup emits one row per distinct
+    // on-time key
+    val ev = ScaleSoak.streamEvents(spark, l)
+    val expectedLate = ev.filter(ScaleSoak.isLate(l)).count()
+    val dedup = report.streamLegs.find(_.op.contains("dedup")).get
+    assert(dedup.droppedLate === expectedLate,
+      s"dedup late-drop ${dedup.droppedLate} != planted $expectedLate")
+    val expectedKeys = ev.filter(!ScaleSoak.isLate(l))
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .distinct().count()
+    assert(dedup.emitted === expectedKeys,
+      s"dedup emitted ${dedup.emitted} != distinct on-time keys $expectedKeys")
+  }
+
   test("every measured stage moved bounded shuffle volume", Slow) {
     report.stages.foreach { s =>
       info(f"${s.stage}: ${s.outRows} rows, ${s.seconds}%.1f s, " +

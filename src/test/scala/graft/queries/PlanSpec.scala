@@ -189,4 +189,27 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"bigram counting lost its map-side combine:\n$p")
   }
+
+  test("q_dedup_containment generates candidates from capped rare shingles, never all-pairs") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    // the df cap is a partial+final aggregate feeding the candidate join
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"shingle df cap lost its map-side combine:\n$p")
+  }
+
+  test("q_text_vocab is one partial+final aggregate with TakeOrdered top-k") {
+    val p = plan("q_text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not a global sort + limit:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"token counting lost its map-side combine:\n$p")
+  }
+
+  test("q_embed_norm normalizes through the codegen kernel with no join and no shuffle before the sort") {
+    val p = plan("q_embed_norm")
+    assert(p.contains("vec_dot"),
+      s"the norm must come from the codegen kernel:\n$p")
+    assert(!p.contains("Join"), s"per-row normalization must not join:\n$p")
+  }
 }
