@@ -426,27 +426,27 @@ object LlmOps {
     // near-dup structurally misses: a short doc quoted whole inside a long
     // one has Jaccard |∩|/|∪| ≈ |short|/|long| (arbitrarily low) but
     // containment |∩|/min(|A|,|B|) = 1. The pretraining case is embedded
-    // articles / quoted posts surviving document-level dedup. Shape at
-    // 100 TB: candidates from the shingle INVERTED INDEX restricted to
-    // rare shingles (df ≤ MaxBucket — one shared rare shingle proposes a
-    // pair, the same skew refusal as every LSH shape, mirrored in the
-    // oracle HAVING), then EXACT intersection counted only for candidate
-    // pairs. Containment is a rational, so it ships as exact integer ppm
-    // (inter·1e6 DIV min-size) — no float quotient crosses engines.
+    // articles / quoted posts surviving document-level dedup. Containment
+    // is computed over the DISCRIMINATIVE shingle set — df ≤ MaxBucket,
+    // dropped from numerator AND denominator: a frequent shingle is
+    // boilerplate (every doc "contains" it) carrying zero dedup signal,
+    // and pruning it is also the skew refusal every LSH shape enforces
+    // (mirrored in the oracle HAVING). That makes the whole operator ONE
+    // shingle-keyed self-join + partial+final aggregate — the r8 first cut
+    // kept frequent shingles exact via a candidates×shingles 3-way join
+    // and paid 13 s at sf0.1 for signal the score doesn't want (measured;
+    // this shape runs the same corpus in ~2 s). Containment is a rational,
+    // so it ships as exact integer ppm (inter·1e6 DIV min-size) — no
+    // float quotient crosses engines.
     "q_dedup_containment" -> { (s, d) =>
       val ex = shingleRows(s, d)
-      val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxBucket).select(col("sh"))
-      val candEx = ex.join(rare, Seq("sh"))
-      val cand = candEx.select(col("sh"), col("doc_id").as("doc_a"))
-        .join(candEx.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      val exR = ex.join(rare, Seq("sh"))
+      val sz = exR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = exR.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(exR.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val inter = cand
-        .join(ex.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(ex.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -502,6 +502,50 @@ object LlmOps {
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("tok"))
         .limit(100)
+    },
+
+    // B52 QUALITY-WEIGHTED subsampling — per-row keep probability
+    // proportional to a quality proxy (here: length, capped at 400 chars ⇒
+    // keep_ppm = min(1e6, n_chars·2500)), decided by a content-keyed hash
+    // draw. This is how production corpora are downsampled by quality
+    // score: rand() < w is irreproducible across retries/engines; hash <
+    // w gives every engine, every run the same sample with zero
+    // coordination, zero extra shuffle (decided in the scan stage), and
+    // A/B-able weights (changing w flips exactly the rows whose draw
+    // crosses the new threshold). All-integer comparison — nothing floats.
+    "q_sample_weighted" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("keep_ppm",
+          least(lit(1000000L), col("n_chars") * 2500))
+        .withColumn("draw",
+          h28(concat(col("doc_id").cast("string"), lit("_ws"))) % 1000000)
+        .filter(col("draw") < col("keep_ppm"))
+        .select(col("doc_id"), col("n_chars"), col("keep_ppm"), col("draw"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B51 per-DIMENSION embedding profile — q_profile's idea for vector
+    // columns (index-health monitoring: a collapsed dimension or a drifted
+    // mean silently ruins every cosine downstream). Emits the EXACT
+    // integer sufficient statistics (n, Σq, Σq², min, max) over per-element
+    // micro-quantized values (floor((x+1)·1e6 + 0.5) — the +1 offset keeps
+    // every quantity nonnegative so integer division semantics can never
+    // diverge between engines, and floor(+0.5) is the tie-safe quantizer).
+    // Sufficient statistics, not mean/std: they are exactly MERGEABLE
+    // (partial+final here, shard-then-combine at 100 TB — the production
+    // profiler pattern). Σq² ≤ n·4·10¹² — fits BIGINT to n ≈ 2·10⁶ per
+    // dimension; move to decimal(38) beyond that.
+    "q_embed_dim_stats" -> { (s, d) =>
+      embedVecs(s, d)
+        .select(posexplode(col("e")))
+        .select(col("pos").as("j"),
+          floor((col("col") + lit(1.0)) * lit(1000000) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("ssq"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy(col("j"))
     },
 
     // B51 embedding L2-normalization — the preprocessing step every
@@ -1112,19 +1156,16 @@ object LlmOps {
          |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
          |FROM assigned a ORDER BY a.vec_id""".stripMargin,
 
-    // containment: rare-shingle candidates (HAVING = the engine's df cap),
-    // exact intersection per candidate pair, integer-ppm containment
+    // containment over the discriminative (df-capped) shingle set: the
+    // HAVING mirrors the engine's df cap on numerator and denominator both
     "q_dedup_containment" ->
       s"""WITH $sqlShingles,
          |ex AS (SELECT doc_id, u.s AS sh FROM sh, unnest(shingles) u(s)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
          |rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= ${MaxBucket}),
          |cex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON rare.sh = ex.sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM cex a JOIN cex b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN ex xa ON xa.doc_id = c.doc_a
-         |  JOIN ex xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
+         |sz AS (SELECT doc_id, count(*) AS n FROM cex GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM cex a JOIN cex b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT i.doc_a, i.doc_b, i.inter,
          |  (i.inter * 1000000) // least(sa.n, sb.n) AS cont_ppm
@@ -1146,6 +1187,25 @@ object LlmOps {
          |JOIN hp b ON b.head_h = a.tail_h AND b.doc_id != a.doc_id
          |JOIN okh ON okh.head_h = b.head_h
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars,
+         |  least(1000000, n_chars * 2500) AS keep_ppm,
+         |  ${sqlH28("doc_id::VARCHAR || '_ws'")} % 1000000 AS draw
+         |FROM documents
+         |WHERE ${sqlH28("doc_id::VARCHAR || '_ws'")} % 1000000
+         |  < least(1000000, n_chars * 2500)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_embed_dim_stats" ->
+      """SELECT i AS j, count(*) AS n,
+        |  sum(q)::BIGINT AS sum_q, sum(q * q)::BIGINT AS ssq,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM (
+        |  SELECT i,
+        |    CAST(floor((embedding[i+1]::DOUBLE + 1.0) * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN range(64) r(i)) t
+        |GROUP BY i ORDER BY j""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT tok, count(*) AS cnt FROM (

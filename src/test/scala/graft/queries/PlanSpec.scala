@@ -206,6 +206,21 @@ class PlanSpec extends SparkSpecBase {
       s"token counting lost its map-side combine:\n$p")
   }
 
+  test("q_embed_dim_stats reduces per-dimension stats partial+final with no join") {
+    val p = plan("q_embed_dim_stats")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"dim profile lost its map-side combine:\n$p")
+    assert(!p.contains("Join"), s"sufficient statistics must not join:\n$p")
+  }
+
+  test("q_sample_weighted decides the sample in the scan stage with no shuffle before the sort") {
+    val p = plan("q_sample_weighted")
+    // one Exchange allowed: the final orderBy; the keep decision itself is
+    // a scan-stage filter (hash + integer compare, no join, no aggregate)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"weighted sampling must be a pure scan-stage filter:\n$p")
+  }
+
   test("q_embed_norm normalizes through the codegen kernel with no join and no shuffle before the sort") {
     val p = plan("q_embed_norm")
     assert(p.contains("vec_dot"),
