@@ -215,6 +215,44 @@ object NearDup {
     * delta-touching pairs (same bucket keys, same `maxBucket` cap counting
     * the FULL bucket — a bucket a delta doc lands in is skipped or kept
     * exactly as the full run would skip or keep it). */
+  /** CONTAINMENT near-dup — the subset-duplicate detector Jaccard-based
+    * [[minhashPairs]] structurally misses: a short doc quoted whole inside
+    * a long one has Jaccard |∩|/|∪| ≈ |short|/|long| (arbitrarily low, so
+    * it never clears a 0.8 confirm) but containment |∩|/min(|A|,|B|) = 1.
+    * ContainmentSpec plants exactly that shape and proves this finds it
+    * while minhashPairs does not.
+    *
+    * Scores are computed over the DISCRIMINATIVE shingle set (document
+    * frequency ≤ `maxDf`, dropped from numerator AND denominator): a
+    * frequent shingle is boilerplate every doc "contains", carrying no
+    * dedup signal, and pruning it doubles as the skew refusal every LSH
+    * shape here enforces. That reduces the operator to ONE shingle-keyed
+    * self-join + partial+final aggregate — keeping frequent shingles exact
+    * needs a candidates×shingles 3-way join that measured 4× slower for
+    * signal the score does not want.
+    *
+    * @return (doc_a, doc_b, inter, cont_ppm) with cont_ppm =
+    *         inter·10⁶ DIV min(|A|,|B|) — exact integer, engine-portable. */
+  def containmentPairs(docs: DataFrame, shingleWidth: Int = 3,
+                       maxDf: Int = 1000,
+                       minPpm: Long = 900000L): DataFrame = {
+    val ex = shingles(docs, shingleWidth)
+    val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val exR = ex.join(rare, Seq("sh"))
+    val sz = exR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = exR.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(exR.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont_ppm", expr("(inter * 1000000) DIV least(na, nb)"))
+      .filter(col("cont_ppm") >= minPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("cont_ppm"))
+  }
+
   def minhashPairsIncremental(history: DataFrame, delta: DataFrame,
                               cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val rows = shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))

@@ -439,22 +439,36 @@ object LlmOps {
     // so it ships as exact integer ppm (inter·1e6 DIV min-size) — no
     // float quotient crosses engines.
     "q_dedup_containment" -> { (s, d) =>
-      val ex = shingleRows(s, d)
-      val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxBucket).select(col("sh"))
-      val exR = ex.join(rare, Seq("sh"))
-      val sz = exR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = exR.select(col("sh"), col("doc_id").as("doc_a"))
-        .join(exR.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("cont_ppm",
-          expr("(inter * 1000000) DIV least(na, nb)"))
-        .filter(col("cont_ppm") >= 900000)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("cont_ppm"))
+      NearDup.containmentPairs(Tables.documents(s, d),
+        maxDf = MaxBucket, minPpm = 900000L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B50 signature-ESTIMATED Jaccard for the confirmed minhash pairs —
+    // the production prefilter order: signatures (numHashes longs/doc)
+    // estimate similarity as agreeing-hash-fraction BEFORE anything
+    // touches the shingle sets; this row ships the estimate next to the
+    // confirmed pair so the estimator's calibration is itself under the
+    // differential gate. All integer (agree·1e6 DIV 12) — nothing floats.
+    "q_dedup_minhash_est" -> { (s, d) =>
+      val ex = shingleRows(s, d).withColumn("h", NearDup.h28(col("sh")))
+      val mh = ex.groupBy(col("doc_id")).agg(
+        min((lit(NearDup.aCoef(0)) * col("h") + lit(NearDup.bCoef(0)))
+          % NearDup.P28).as("mh0"),
+        (1 until MinHashCfg.numHashes).map(i =>
+          min((lit(NearDup.aCoef(i)) * col("h") + lit(NearDup.bCoef(i)))
+            % NearDup.P28).as(s"mh$i")): _*)
+      val hs = 0 until MinHashCfg.numHashes
+      val ma = mh.select(col("doc_id").as("doc_a") +:
+        hs.map(i => col(s"mh$i").as(s"a$i")): _*)
+      val mb = mh.select(col("doc_id").as("doc_b") +:
+        hs.map(i => col(s"mh$i").as(s"b$i")): _*)
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .join(ma, "doc_a").join(mb, "doc_b")
+        .withColumn("agree", hs.map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .select(col("doc_a"), col("doc_b"), col("agree"),
+          expr(s"(agree * 1000000) DIV ${MinHashCfg.numHashes}").as("est_ppm"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -546,6 +560,39 @@ object LlmOps {
           sum(col("q") * col("q")).as("ssq"),
           min(col("q")).as("min_q"), max(col("q")).as("max_q"))
         .orderBy(col("j"))
+    },
+
+    // B52 percentile length clip — the outlier filter every curation
+    // pipeline runs before tokenization (truncated fragments below P1,
+    // concatenation blobs above P99). Exact discrete percentiles by
+    // definition "smallest v with cumCount(v) ≥ ceil(p·n)" — computed on
+    // the LENGTH HISTOGRAM, so the window orders |distinct lengths| rows
+    // (bounded), never the corpus; every quantity is an integer, so the
+    // bound derivation is engine-exact where interpolated percentile()
+    // floats would not be. Output is the 1-row clip summary.
+    "q_text_length_clip" -> { (s, d) =>
+      val h = Tables.documents(s, d)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val tot = h.agg(sum(col("c")).as("n"))
+      val bounds = cum.crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") >= expr("(n + 99) DIV 100"), col("n_chars")))
+            .as("lo"),
+          min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("n_chars")))
+            .as("hi"),
+          max(col("n")).as("n_total"))
+      cum.crossJoin(broadcast(bounds))
+        .groupBy(col("n_total"), col("lo"), col("hi"))
+        .agg(
+          sum(when(col("n_chars").between(col("lo"), col("hi")), col("c"))
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("n_chars") < col("lo"), col("c")).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("n_chars") > col("hi"), col("c")).otherwise(0L))
+            .as("n_high"))
     },
 
     // B51 embedding L2-normalization — the preprocessing step every
@@ -1206,6 +1253,35 @@ object LlmOps {
         |    CAST(floor((embedding[i+1]::DOUBLE + 1.0) * 1000000 + 0.5) AS BIGINT) AS q
         |  FROM embeddings CROSS JOIN range(64) r(i)) t
         |GROUP BY i ORDER BY j""".stripMargin,
+
+    "q_dedup_minhash_est" ->
+      s"""WITH $sqlShingles,
+         |$sqlMinhashPairs,
+         |est AS (SELECT p.doc_a, p.doc_b,
+         |    sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS agree
+         |  FROM pairs p JOIN mh ma ON ma.doc_id = p.doc_a
+         |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, agree,
+         |  (agree * 1000000) // ${MinHashCfg.numHashes} AS est_ppm
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_length_clip" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT n_chars, c,
+        |  sum(c) OVER (ORDER BY n_chars) AS cum FROM h),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+        |bounds AS (SELECT
+        |  min(CASE WHEN cum >= (n + 99) // 100 THEN n_chars END) AS lo,
+        |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_chars END) AS hi,
+        |  max(n) AS n_total
+        |  FROM cum CROSS JOIN tot)
+        |SELECT b.n_total, b.lo, b.hi,
+        |  sum(CASE WHEN cum.n_chars BETWEEN b.lo AND b.hi THEN cum.c ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN cum.n_chars < b.lo THEN cum.c ELSE 0 END)::BIGINT AS n_low,
+        |  sum(CASE WHEN cum.n_chars > b.hi THEN cum.c ELSE 0 END)::BIGINT AS n_high
+        |FROM cum CROSS JOIN bounds b
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT tok, count(*) AS cnt FROM (
