@@ -97,6 +97,8 @@ object ScaleSoak {
                           boilerMegaFull: Long, boilerNonPlantedFlagged: Long,
                           lmMegaDistinct: Long, lmMegaAvgMicro: Long,
                           lmBaseAvgMicro: Long,
+                          contRootPairs: Long, contMemberPairs: Long,
+                          contOther: Long,
                           streamLegs: Seq[StreamLeg])
 
   /** 6-hex-char word from (seed, j) — pure md5, engine-portable. */
@@ -490,6 +492,42 @@ object ScaleSoak {
     }
     stages += boiler
 
+    // containment ([[NearDup.containmentPairs]]): planted arithmetic —
+    // a family member shares its root's shingles except the ≤ 3 windows
+    // its one mutated token touches ⇒ root→member containment ≥ 35/38 ≈
+    // 0.921 > 0.9: all 2·famCount root→member pairs confirm. The two
+    // MEMBERS differ at two ADJACENT positions (r+1, r+2 mutate tokens
+    // (r+1)%40, (r+2)%40): interior positions touch 4 distinct windows
+    // (34/38 ≈ 0.894 < 0.9, below threshold), but when r%40 = 0 the
+    // positions are 1 and 2 and the window range CLIPS at the text edge —
+    // 3 affected windows, 35/38 ≥ 0.9 — so exactly the famCount/2
+    // edge-position families contribute a member↔member pair as well
+    // (first measured, then derived; the r8 first cut predicted 0 and the
+    // soak caught the edge case). Chain ≈ 52/58 ≈ 0.897 stays below. The
+    // identical mega-family excludes ITSELF: every one of its shingles
+    // has df = 2500 > cap, so its docs have zero discriminative shingles
+    // and the |family|² term never forms (the measured form of "exact
+    // dedup is the right tool for identical text").
+    var contRootPairs = -1L
+    var contMemberPairs = -1L
+    var contOther = -1L
+    val (_, contM) = measure(spark, "containment pairs",
+      s"df <= ${mhCfg.maxBucket} discriminative shingles; mega family self-excluded") {
+      val cp = NearDup.containmentPairs(allDocs, maxDf = mhCfg.maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      contRootPairs = cp.filter(col("doc_a") < l.nDocs &&
+        col("doc_a") % l.famPeriod === 0 &&
+        col("doc_b") - col("doc_a") <= 2).count()
+      contMemberPairs = cp.filter(col("doc_a") < l.nDocs &&
+        col("doc_a") % l.famPeriod === 1 &&
+        col("doc_b") === col("doc_a") + 1).count()
+      val n = cp.count()
+      contOther = n - contRootPairs - contMemberPairs
+      cp.unpersist()
+      n
+    }
+    stages += contM
+
     // BM25 (q_text_bm25's shape): 3 chain-seed query terms (each lives in
     // ~10 chain docs), per-doc conditional-sum tf, 1-row broadcast df +
     // corpus stats, TakeOrdered top-20
@@ -631,6 +669,7 @@ object ScaleSoak {
       semMaxCell,
       boilerMegaFull, boilerNonPlantedFlagged,
       lmMegaDistinct, lmMegaAvgMicro, lmBaseAvgMicro,
+      contRootPairs, contMemberPairs, contOther,
       streamLegs)
   }
 
@@ -688,6 +727,14 @@ object ScaleSoak {
       "identical mega docs are 100% boilerplate windows; " +
       f"**${r.boilerNonPlantedFlagged}** un-planted docs flagged (must be 0 — " +
       "the pass never taxes organic text)\n"
+    sb ++= f"- containment: **${r.contRootPairs} / ${2 * r.layout.famCount}** " +
+      "root→member pairs (≥ 35/38 shared discriminative shingles) plus " +
+      f"**${r.contMemberPairs} / ${r.layout.famCount / 2}** member↔member " +
+      "pairs from the edge-position families (mutations at tokens 1–2 clip " +
+      f"to 3 affected windows ⇒ 35/38 ≥ 0.9), and **${r.contOther}** others " +
+      "(must be 0: interior member↔member ≈ 0.894 and chain ≈ 0.897 sit " +
+      "below the 0.9 threshold, and the identical mega-family " +
+      "self-excludes — every shingle above the df cap)\n"
     sb ++= f"- bigram-LM NLL: the mega family collapses to " +
       f"**${r.lmMegaDistinct} distinct score(s)** at ${r.lmMegaAvgMicro} " +
       f"micro-nats vs **${r.lmBaseAvgMicro}** un-planted average — " +

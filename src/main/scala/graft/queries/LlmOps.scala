@@ -444,6 +444,38 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // B49/B58 BLOOM-GATED incremental exact dedup — the per-batch form at
+    // its real scale shape: history's sha set is summarized as a bloom
+    // sketch (bits, not rows), and a delta row whose probe MISSES is
+    // certainly new (blooms have no false negatives) so it never touches
+    // the history join at all; only probe HITS (dupes + the fpp% false
+    // positives) pay the exact anti-join that confirms them. The RESULT
+    // is provably identical to the plain anti-join — which is exactly
+    // what the oracle states — while the plan routes ~all-new batches
+    // past the join entirely. Probe = the codegen bloom_might_contain
+    // kernel (B58) on xxhash64(sha) — a hash collision only demotes a
+    // certain-new row to the confirm join, never changes the result.
+    "q_dedup_bloom_gate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isDelta = col("doc_id") % 10 === 7
+      val hist = docs.filter(!isDelta)
+        .select(sha2(col("text"), 256).as("sha")).distinct()
+      val bf = hist.select(xxhash64(col("sha")).as("k"))
+        .stat.bloomFilter("k", 100000L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val delta = docs.filter(isDelta)
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      val mightContain = call_function("bloom_might_contain",
+        xxhash64(col("sha")), lit(bos.toByteArray))
+      val certainNew = delta.filter(!mightContain)
+      val confirmedNew = delta.filter(mightContain)
+        .join(hist, Seq("sha"), "left_anti")
+      certainNew.unionByName(confirmedNew)
+        .select(col("doc_id"), col("sha"))
+        .orderBy(col("doc_id"))
+    },
+
     // B50 signature-ESTIMATED Jaccard for the confirmed minhash pairs —
     // the production prefilter order: signatures (numHashes longs/doc)
     // estimate similarity as agreeing-hash-fraction BEFORE anything
@@ -1253,6 +1285,16 @@ object LlmOps {
         |    CAST(floor((embedding[i+1]::DOUBLE + 1.0) * 1000000 + 0.5) AS BIGINT) AS q
         |  FROM embeddings CROSS JOIN range(64) r(i)) t
         |GROUP BY i ORDER BY j""".stripMargin,
+
+    // the bloom gate is result-transparent: the oracle is the plain
+    // delta-vs-history anti-join the gated plan must reproduce exactly
+    "q_dedup_bloom_gate" ->
+      """SELECT doc_id, sha256(text) AS sha
+        |FROM documents
+        |WHERE doc_id % 10 = 7
+        |  AND sha256(text) NOT IN (
+        |    SELECT sha256(text) FROM documents WHERE doc_id % 10 != 7)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_est" ->
       s"""WITH $sqlShingles,

@@ -110,6 +110,24 @@ class ScaleSoakSpec extends SparkSpecBase {
       "repeated text must score as more probable than organic text")
   }
 
+  test("containment confirms exactly the planted family pairs; the identical mega-family self-excludes", Slow) {
+    val l = report.layout
+    info(s"root pairs ${report.contRootPairs}/${2 * l.famCount}, " +
+      s"member pairs ${report.contMemberPairs}/${l.famCount / 2}, " +
+      s"other pairs ${report.contOther}")
+    assert(report.contRootPairs === 2L * l.famCount,
+      "every family root must contain both mutated members (>= 35/38 shingles)")
+    // half the families mutate tokens 1 and 2: the affected window range
+    // clips at the text edge (3 windows, 35/38 >= 0.9) where interior
+    // positions touch 4 (34/38 < 0.9) — the exact edge case the first
+    // soak run surfaced
+    assert(report.contMemberPairs === l.famCount / 2L,
+      "edge-position member pairs must confirm (35/38), interior must not (34/38)")
+    assert(report.contOther === 0L,
+      "chain (0.897) sits below the 0.9 threshold and the mega family has " +
+        "no discriminative shingles - any other pair is a false positive")
+  }
+
   test("streaming legs: state is watermark-bound and late events are dropped, never buffered", Slow) {
     val l = report.layout
     report.streamLegs.foreach { s =>

@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpecBase {
       s"bigram counting lost its map-side combine:\n$p")
   }
 
+  test("q_dedup_bloom_gate probes the codegen kernel and routes certain-new rows past the join") {
+    val p = plan("q_dedup_bloom_gate")
+    assert(p.contains("bloom_might_contain"),
+      s"the gate must be the codegen bloom kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"boxed probe crept back in:\n$p")
+    // the certain-new branch unions with the confirmed branch; only the
+    // confirmed branch may contain the anti-join
+    assert(p.contains("Union"), s"lost the certain-new bypass branch:\n$p")
+    assert(p.contains("LeftAnti"), s"lost the exact confirm join:\n$p")
+  }
+
   test("q_dedup_containment generates candidates from capped rare shingles, never all-pairs") {
     val p = plan("q_dedup_containment")
     assert(!p.contains("CartesianProduct"), p)
