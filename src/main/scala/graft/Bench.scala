@@ -18,9 +18,14 @@ package graft
   *    signal, not noise. Round-robin (sweep 1 all queries, then sweep 2…)
   *    rather than back-to-back repeats, so a slow phase of the JVM lands on
   *    every query a little instead of one query three times;
-  *  - failures are recorded per query (`"failed"` list + nonzero exit), never
-  *    silently folded into a timing — a query's median is over its
-  *    SUCCESSFUL runs, and it is failed only if every run failed;
+  *  - failures are recorded per query, never silently folded into a
+  *    timing: a query's median is over its SUCCESSFUL runs; `"failed"`
+  *    (+ nonzero exit) lists queries where EVERY run failed, and
+  *    `"partial_failures"` maps flaky queries to how many of their runs
+  *    failed — a 1-of-3 crash is a signal the driver must see, not a
+  *    stderr-only footnote (r8 review). An all-runs-failed query reports
+  *    median 0.0, so compare `"value"` across rounds only when `"failed"`
+  *    is empty in both;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -80,10 +85,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val partial = fails.toSeq.sorted
+      .map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runsN,"run_totals":$totalsArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -97,7 +105,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"runs":$runsN,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.

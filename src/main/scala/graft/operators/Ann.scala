@@ -408,11 +408,21 @@ object Ann {
     * @return (vec_id, cell, keep) — keep=false iff a smaller-id neighbor
     *         in the same (un-capped) cell has cosine ≥ `cosineConfirm`. */
   def semDedup(emb: DataFrame, matrix: Seq[Seq[Double]],
-               cosineConfirm: Double, maxCell: Int = 1000): DataFrame = {
-    val assigned = emb
-      .withColumn("cell",
+               cosineConfirm: Double, maxCell: Int = 1000): DataFrame =
+    semDedupAssigned(semAssign(emb, matrix), cosineConfirm, maxCell)
+
+  /** The assignment half of [[semDedup]]: (input columns ++ cell, nrm).
+    * Public so callers needing cell diagnostics (cap audits, occupancy
+    * stats — ScaleSoak) derive them from the SAME pass the dedup uses
+    * instead of recomputing the assignment (r8 review). */
+  def semAssign(emb: DataFrame, matrix: Seq[Seq[Double]]): DataFrame =
+    emb.withColumn("cell",
         call_function("vec_best_cell", col("e"), typedLit(matrix)))
       .withColumn("nrm", sqrt(vdot(col("e"), col("e"))))
+
+  /** The dedup half of [[semDedup]], over a [[semAssign]] result. */
+  def semDedupAssigned(assigned: DataFrame,
+                       cosineConfirm: Double, maxCell: Int): DataFrame = {
     // ≤ k rows survive this aggregate — broadcast keeps the gate off the
     // shuffle path (k = O(√n) stays broadcastable far past 100 TB)
     val okCells = assigned.groupBy(col("cell"))
