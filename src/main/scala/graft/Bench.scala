@@ -21,11 +21,14 @@ package graft
   *  - failures are recorded per query, never silently folded into a
   *    timing: a query's median is over its SUCCESSFUL runs; `"failed"`
   *    (+ nonzero exit) lists queries where EVERY run failed, and
-  *    `"partial_failures"` maps flaky queries to how many of their runs
-  *    failed — a 1-of-3 crash is a signal the driver must see, not a
-  *    stderr-only footnote (r8 review). An all-runs-failed query reports
-  *    median 0.0, so compare `"value"` across rounds only when `"failed"`
-  *    is empty in both;
+  *    `"partial_failures"` maps FLAKY queries (≥1 success, ≥1 failure)
+  *    to how many of their runs failed — a 1-of-3 crash is a signal the
+  *    driver must see, not a stderr-only footnote (r8 review; all-failed
+  *    queries live in `"failed"` only, never double-reported — r8
+  *    advice). `SPARK_GRAFT_BENCH_STRICT=1` additionally exits nonzero
+  *    on nonempty partial_failures, for drivers keying on exit status
+  *    alone. An all-runs-failed query reports median 0.0, so compare
+  *    `"value"` across rounds only when `"failed"` is empty in both;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -85,7 +88,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val partial = fails.toSeq.sorted
+    // flaky only: a query that failed EVERY run is in "failed" — listing
+    // it here too would double-report it (r8 advice)
+    val partialFails = fails.toSeq.filter { case (k, _) => times(k).nonEmpty }
+    val partial = partialFails.sorted
       .map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -117,6 +123,8 @@ object Bench {
     println(compact)
     System.err.println(compact)
     spark.stop()
-    if (results.exists(_._3)) sys.exit(1)
+    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (results.exists(_._3) || (strict && partialFails.nonEmpty)) sys.exit(1)
   }
 }

@@ -467,8 +467,16 @@ object LlmOps {
       val hist = docs.filter(!isDelta)
         .select(sha2(col("text"), 256).as("sha")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // sketch sized from the history itself (r8 verdict — no hand-pinned
+      // expectedNumItems): the count is a cheap action on the
+      // just-persisted index and materializes the cache the confirm join
+      // reads anyway. An undersized bloom only raises the false-positive
+      // rate (more rows demoted to the confirm join), never changes the
+      // result — but sizing from the real count keeps fpp at its design
+      // point as the corpus grows.
+      val histN = math.max(hist.count(), 1L)
       val bf = hist.select(xxhash64(col("sha")).as("k"))
-        .stat.bloomFilter("k", 100000L, 0.01)
+        .stat.bloomFilter("k", histN, 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       val delta = docs.filter(isDelta)
@@ -559,13 +567,16 @@ object LlmOps {
 
     // B52 QUALITY-WEIGHTED subsampling — per-row keep probability
     // proportional to a quality proxy (here: length, capped at 400 chars ⇒
-    // keep_ppm = min(1e6, n_chars·2500)), decided by a content-keyed hash
-    // draw. This is how production corpora are downsampled by quality
-    // score: rand() < w is irreproducible across retries/engines; hash <
-    // w gives every engine, every run the same sample with zero
-    // coordination, zero extra shuffle (decided in the scan stage), and
-    // A/B-able weights (changing w flips exactly the rows whose draw
-    // crosses the new threshold). All-integer comparison — nothing floats.
+    // keep_ppm = min(1e6, n_chars·2500)), decided by an ID-KEYED hash
+    // draw (the draw keys on doc_id, so the sample is stable per id but
+    // NOT across a re-ingestion that assigns new ids — key the draw on
+    // the content sha if that stability is needed; r8 verdict). This is
+    // how production corpora are downsampled by quality score: rand() < w
+    // is irreproducible across retries/engines; hash < w gives every
+    // engine, every run the same sample with zero coordination, zero
+    // extra shuffle (decided in the scan stage), and A/B-able weights
+    // (changing w flips exactly the rows whose draw crosses the new
+    // threshold). All-integer comparison — nothing floats.
     "q_sample_weighted" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("keep_ppm",
