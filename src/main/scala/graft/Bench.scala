@@ -29,6 +29,11 @@ package graft
   *    on nonempty partial_failures, for drivers keying on exit status
   *    alone. An all-runs-failed query reports median 0.0, so compare
   *    `"value"` across rounds only when `"failed"` is empty in both;
+  *  - `"stream_harness_floor_s"` reports the fixed cost of the
+  *    multi-batch StreamingQuery harness (same child session / 3-file
+  *    split / checkpoint / AvailableNow machinery, driving a watermarked
+  *    projection): the stream-join entries are ~85% this floor, so
+  *    operator regressions there should be read as (entry − floor);
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -76,6 +81,23 @@ object Bench {
         dt
       }.sum
     }
+    // the multi-batch streaming harness floor (r8 verdict #3): the ~4 s
+    // stream-join entries are mostly fixed StreamingQuery cost
+    // (checkpoint + 3 file batches + trailing no-data batch), not
+    // operator cost. Measuring the SAME harness driving a watermarked
+    // projection makes the fixed part an explicit field, so a real
+    // join-stage regression moves (entry − floor) — which a 20% operator
+    // slowdown now dominates instead of vanishing into the floor.
+    val floorS = median((1 to runsN).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      try graft.queries.StreamingQ.harnessFloor(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_harness_floor FAILED: $e")
+      }
+      (System.nanoTime() - t0) / 1e9
+    })
     // (name, median-of-successes, everFailed) in stable catalog order
     val results = catalog.map { case (name, _) =>
       val ts = times(name)
@@ -97,7 +119,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -111,7 +133,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.

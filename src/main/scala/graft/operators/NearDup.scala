@@ -166,23 +166,100 @@ object NearDup {
     * Candidate pairs come from a groupBy on (band, signature-slice) —
     * the signature pipeline is evaluated once, not twice as a self-join
     * would. */
+  /** MinHash signature per doc — (doc_id, mh0..mh{numHashes−1}) in ONE
+    * codegen'd partial+final HashAggregate keyed on doc_id (duplicate
+    * shingles don't affect a min, so no dedup shuffle precedes it). This
+    * is the artifact an incremental ingest persists between batches:
+    * `numHashes` longs per doc, append-only. */
+  def minhashSignatures(docs: DataFrame,
+                        cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    shingles(docs, cfg.shingleWidth)
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
+        (1 until cfg.numHashes).map(i =>
+          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+
+  /** Signature-estimated Jaccard for given candidate `pairs` (doc_a,
+    * doc_b): the fraction of agreeing minhashes as exact integer ppm
+    * (agree·10⁶ DIV numHashes — nothing floats). The production
+    * PREFILTER order: signatures are `numHashes` longs per doc, so the
+    * estimate costs two signature joins and never touches a shingle set.
+    * E[est] = J with per-pair σ ≈ √(J(1−J)/numHashes) — ScaleSoak
+    * measures the calibration (mean/max |est − exact|) on the confirmed
+    * pairs of the soak corpus. */
+  def minhashEstimate(docs: DataFrame, pairs: DataFrame,
+                      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val mh = minhashSignatures(docs, cfg)
+    val hs = 0 until cfg.numHashes
+    val ma = mh.select(col("doc_id").as("doc_a") +:
+      hs.map(i => col(s"mh$i").as(s"a$i")): _*)
+    val mb = mh.select(col("doc_id").as("doc_b") +:
+      hs.map(i => col(s"mh$i").as(s"b$i")): _*)
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(ma, "doc_a").join(mb, "doc_b")
+      .withColumn("agree", hs.map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_a"), col("doc_b"), col("agree"),
+        expr(s"(agree * 1000000) DIV ${cfg.numHashes}").as("est_ppm"))
+  }
+
   /** The signature→bands stage of [[minhashPairs]]: one (doc_id, band, sig)
     * row per band per doc. Exposed so diagnostics (ScaleSoak's bucket
     * statistics) measure the EXACT geometry the operator pairs on — a
     * re-implementation would silently drift. */
   private[operators] def minhashBands(docs: DataFrame,
                                       cfg: MinHashConfig): DataFrame = {
-    // duplicate shingles don't affect a min — no dedup shuffle needed here
-    val mh = shingles(docs, cfg.shingleWidth)
-      .withColumn("h", h28(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
-        (1 until cfg.numHashes).map(i =>
-          min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P28).as(s"mh$i")): _*)
+    val mh = minhashSignatures(docs, cfg)
     val r = cfg.rowsPerBand
     mh.select(col("doc_id"), posexplode(array((0 until cfg.bands).map(b =>
         array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+  }
+
+  /** Per-doc k-token boundary hashes (doc_id, head_h, tail_h) — the hash
+    * stage of [[boundaryPairs]], computed in ONE projection in the scan
+    * stage; docs shorter than k tokens emit nothing. Exposed so
+    * diagnostics (ScaleSoak's cap counts) measure the exact geometry the
+    * operator joins on. */
+  private[graft] def boundaryHashes(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"boundary width ($k) must be >= 1")
+    val t = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+    t.select(col("doc_id"),
+      md5(concat_ws(" ", slice(col("toks"), 1, k))).as("head_h"),
+      md5(concat_ws(" ", slice(col("toks"), -k, k))).as("tail_h"))
+  }
+
+  /** Suffix↔prefix boundary dedup — the SPLIT-document detector: one
+    * source document sharded into parts shares a k-token boundary (part
+    * i's tail = part i+1's head). Near-dup misses it (the parts have
+    * near-zero shingle overlap); this finds exactly the seam. Returns
+    * (doc_a, doc_b, boundary_h) where doc_a's k-token tail equals doc_b's
+    * k-token head.
+    *
+    * Scale shape: both boundary hashes come from one projection in the
+    * scan stage, pairing is ONE hash equi-join, and hot boundary values
+    * (document frequency > `maxBucket` on EITHER side) are refused on
+    * both sides — a boilerplate header shared by millions of docs is a
+    * skew bomb here exactly like an LSH mega-bucket (ScaleSoak plants
+    * one: a 2500-doc tail × 1500-doc head value that would alone emit
+    * 3.75 M pairs, and measures that the cap refuses it). */
+  def boundaryPairs(docs: DataFrame, k: Int = 4,
+                    maxBucket: Int = 1000): DataFrame = {
+    val hp = boundaryHashes(docs, k)
+    val okTail = hp.groupBy(col("tail_h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select(col("tail_h"))
+    val okHead = hp.groupBy(col("head_h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select(col("head_h"))
+    hp.join(okTail, Seq("tail_h"))
+      .select(col("doc_id").as("doc_a"), col("tail_h").as("boundary_h"))
+      .join(hp.join(okHead, Seq("head_h"))
+        .select(col("doc_id").as("doc_b"), col("head_h").as("boundary_h")),
+        Seq("boundary_h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("boundary_h"))
   }
 
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {

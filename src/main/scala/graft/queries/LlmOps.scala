@@ -30,8 +30,8 @@ import graft.Tables
 object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
-  import graft.operators.{Ann, EmbedLshConfig, IvfConfig, MinHashConfig,
-    NearDup, SimHashConfig, TextCuration}
+  import graft.operators.{Ann, EmbedLshConfig, ExactDedup, IvfConfig,
+    MinHashConfig, NearDup, SimHashConfig, TextCuration}
 
   // ---- catalog geometry: pinned configs for the public operators ----
   //
@@ -444,108 +444,56 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // B49/B58 BLOOM-GATED incremental exact dedup — the per-batch form at
-    // its real scale shape: history's sha set is summarized as a bloom
-    // sketch (bits, not rows), and a delta row whose probe MISSES is
-    // certainly new (blooms have no false negatives) so it never touches
-    // the history join at all; only probe HITS (dupes + the fpp% false
-    // positives) pay the exact anti-join that confirms them. The RESULT
-    // is provably identical to the plain anti-join — which is exactly
-    // what the oracle states — while the plan routes ~all-new batches
-    // past the join entirely. Probe = the codegen bloom_might_contain
-    // kernel (B58) on xxhash64(sha) — a hash collision only demotes a
-    // certain-new row to the confirm join, never changes the result.
+    // B49/B58 BLOOM-GATED incremental exact dedup —
+    // [[graft.operators.ExactDedup.bloomGatedNew]] (shared with the soak's
+    // bypass-rate measurement; full scale posture + the result-equivalence
+    // argument documented on the operator). The RESULT is provably
+    // identical to the plain anti-join — which is exactly what the oracle
+    // states — while the plan routes ~all-new batches past the join
+    // entirely; the sketch is sized from the history count (r8 verdict —
+    // no hand-pinned expectedNumItems).
     "q_dedup_bloom_gate" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val isDelta = col("doc_id") % 10 === 7
-      // persisted: the sketch build (an eager action) and the confirm
-      // anti-join both read the history sha set — without the cache the
-      // corpus is sha256-scanned twice per run. In production this
-      // DataFrame IS the persisted history index (tiny: one sha per
+      // persisted: the sketch-sizing count (inside bloomGatedNew) and the
+      // confirm anti-join both read the history sha set — without the
+      // cache the corpus is sha256-scanned twice per run. In production
+      // this DataFrame IS the persisted history index (tiny: one sha per
       // distinct doc, append-only between batches), so caching it models
       // the real artifact rather than papering over a fixture quirk.
       val hist = docs.filter(!isDelta)
         .select(sha2(col("text"), 256).as("sha")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // sketch sized from the history itself (r8 verdict — no hand-pinned
-      // expectedNumItems): the count is a cheap action on the
-      // just-persisted index and materializes the cache the confirm join
-      // reads anyway. An undersized bloom only raises the false-positive
-      // rate (more rows demoted to the confirm join), never changes the
-      // result — but sizing from the real count keeps fpp at its design
-      // point as the corpus grows.
-      val histN = math.max(hist.count(), 1L)
-      val bf = hist.select(xxhash64(col("sha")).as("k"))
-        .stat.bloomFilter("k", histN, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
       val delta = docs.filter(isDelta)
         .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-      val mightContain = call_function("bloom_might_contain",
-        xxhash64(col("sha")), lit(bos.toByteArray))
-      val certainNew = delta.filter(!mightContain)
-      val confirmedNew = delta.filter(mightContain)
-        .join(hist, Seq("sha"), "left_anti")
-      certainNew.unionByName(confirmedNew)
+      ExactDedup.bloomGatedNew(hist, delta)
         .select(col("doc_id"), col("sha"))
         .orderBy(col("doc_id"))
     },
 
     // B50 signature-ESTIMATED Jaccard for the confirmed minhash pairs —
-    // the production prefilter order: signatures (numHashes longs/doc)
-    // estimate similarity as agreeing-hash-fraction BEFORE anything
-    // touches the shingle sets; this row ships the estimate next to the
-    // confirmed pair so the estimator's calibration is itself under the
+    // [[graft.operators.NearDup.minhashEstimate]] (shared with the soak's
+    // calibration measurement): signatures (numHashes longs/doc) estimate
+    // similarity as agreeing-hash-fraction BEFORE anything touches the
+    // shingle sets; this row ships the estimate next to the confirmed
+    // pair so the estimator's calibration is itself under the
     // differential gate. All integer (agree·1e6 DIV 12) — nothing floats.
     "q_dedup_minhash_est" -> { (s, d) =>
-      val ex = shingleRows(s, d).withColumn("h", NearDup.h28(col("sh")))
-      val mh = ex.groupBy(col("doc_id")).agg(
-        min((lit(NearDup.aCoef(0)) * col("h") + lit(NearDup.bCoef(0)))
-          % NearDup.P28).as("mh0"),
-        (1 until MinHashCfg.numHashes).map(i =>
-          min((lit(NearDup.aCoef(i)) * col("h") + lit(NearDup.bCoef(i)))
-            % NearDup.P28).as(s"mh$i")): _*)
-      val hs = 0 until MinHashCfg.numHashes
-      val ma = mh.select(col("doc_id").as("doc_a") +:
-        hs.map(i => col(s"mh$i").as(s"a$i")): _*)
-      val mb = mh.select(col("doc_id").as("doc_b") +:
-        hs.map(i => col(s"mh$i").as(s"b$i")): _*)
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .join(ma, "doc_a").join(mb, "doc_b")
-        .withColumn("agree", hs.map(i =>
-          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
-        .select(col("doc_a"), col("doc_b"), col("agree"),
-          expr(s"(agree * 1000000) DIV ${MinHashCfg.numHashes}").as("est_ppm"))
+      NearDup.minhashEstimate(Tables.documents(s, d),
+          minhashPairs(s, d).select(col("doc_a"), col("doc_b")), MinHashCfg)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // B50 boundary (suffix↔prefix) dedup — the SPLIT-document detector:
-    // one source document sharded into parts shares a k-token boundary
-    // (part i's tail = part i+1's head). Near-dup misses it (the parts
-    // have near-zero overlap); this finds exactly the seam. Shape: one
-    // projection computes both boundary hashes in the scan stage, one
-    // hash equi-join, hot boundary values capped at MaxBucket on BOTH
+    // B50 boundary (suffix↔prefix) dedup —
+    // [[graft.operators.NearDup.boundaryPairs]] (shared with the soak's
+    // planted-seam recovery + hot-boundary cap measurement): one
+    // projection computes both k-token boundary hashes in the scan stage,
+    // one hash equi-join, hot boundary values capped at MaxBucket on BOTH
     // sides (a boilerplate header shared by millions of docs is a skew
     // bomb here exactly like an LSH mega-bucket).
     "q_dedup_suffix_prefix" -> { (s, d) =>
-      val k = 4
-      val t = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= k)
-      val hp = t.select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), 1, k))).as("head_h"),
-        md5(concat_ws(" ", slice(col("toks"), -k, k))).as("tail_h"))
-      val okTail = hp.groupBy(col("tail_h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") <= MaxBucket).select(col("tail_h"))
-      val okHead = hp.groupBy(col("head_h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") <= MaxBucket).select(col("head_h"))
-      hp.join(okTail, Seq("tail_h"))
-        .select(col("doc_id").as("doc_a"), col("tail_h").as("boundary_h"))
-        .join(hp.join(okHead, Seq("head_h"))
-          .select(col("doc_id").as("doc_b"), col("head_h").as("boundary_h")),
-          Seq("boundary_h"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("boundary_h"))
+      NearDup.boundaryPairs(Tables.documents(s, d), k = 4,
+          maxBucket = MaxBucket)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

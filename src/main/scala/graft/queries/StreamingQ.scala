@@ -202,6 +202,25 @@ object StreamingQ {
     s.table(name)
   }
 
+  /** The multi-batch harness FLOOR for Bench (r8 verdict): the same
+    * machinery every multi-batch entry pays — child session, 3-file split
+    * source read one file per micro-batch, checkpointed AvailableNow run,
+    * memory sink — driving a near-zero-work operator (a watermarked
+    * projection). Its wall time is the fixed StreamingQuery scheduling
+    * cost, so a real operator regression in the ~4 s stream-join entries
+    * reads as (entry − floor) instead of drowning in ~85% fixed cost.
+    * NOT a catalog entry: it measures the harness, not an operator (no
+    * oracle exists for "scheduling overhead"). The returned 1-row count
+    * keeps the noop write from optimizing the sink read away. */
+  def harnessFloor(s0: SparkSession, d: String): DataFrame = {
+    val s = mbSession(s0)
+    val src = mbStream(s, d)
+      .withWatermark("ts", DELAY)
+      .select(col("event_id"), col("ts"))
+    runToTable(s, src, "graft_stream_harness_floor", "append")
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
     // B39 streaming tumbling window — same shape as q_events_tumbling.
     "q_stream_tumbling" -> { (s, d) =>

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{CurateCli, SparkSpecBase}
+
+/** End-to-end golden test for [[graft.CurateCli]] (r8 verdict #8): a
+  * fixture corpus with one planted instance of every pathology the
+  * pipeline curates — exact dups, a near-dup, a contained excerpt,
+  * boilerplate siblings — must come out as exactly the clean base docs,
+  * through the REAL stage checkpoints on disk. Then: a re-run over the
+  * completed checkpoints is a no-op (restart idempotence), and an
+  * incremental run gated on the first run's history curates only the
+  * genuinely-new docs. */
+class CurateCliSpec extends SparkSpecBase {
+
+  // 40 tokens of 10 chars ≈ 439 chars ⇒ n_chars·2500 ≥ 1e6: every doc
+  // clears the quality-sample threshold DETERMINISTICALLY (the golden
+  // outcome must not depend on hash draws)
+  private def words(seed: String, n: Int = 40): String =
+    (0 until n).map(j => f"w${seed}x$j%02dpad".padTo(10, 'z')).mkString(" ")
+
+  private def fixture(): Seq[(Long, String)] = {
+    val base = (0L until 10L).map(i => (i, words(s"b$i")))
+    val exactDups = Seq(10L -> base(0)._2, 11L -> base(0)._2)
+    // near dup: one token of doc 1 mutated (Jaccard ≈ 35/41 ≈ 0.85 > 0.8)
+    val near = {
+      val tk = base(1)._2.split(" ")
+      tk(20) = "MUTATEDzzz"
+      Seq(12L -> tk.mkString(" "))
+    }
+    // contained: a verbatim 15-token excerpt of doc 2 (containment 1.0;
+    // shorter side ⇒ dropped)
+    val contained = Seq(13L -> base(2)._2.split(" ").slice(5, 20).mkString(" "))
+    // boilerplate: 3 docs sharing 32 leading tokens (2 of 3 windows
+    // boiler ⇒ 666666 ppm > the 500000 gate), unique tails
+    val shared = words("boil", 32)
+    val boiler = (14L to 16L).map(i => (i, shared + " " + words(s"t$i", 8)))
+    base ++ exactDups ++ near ++ contained ++ boiler
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)], dir: String): String = {
+    spark.createDataFrame(rows).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("golden corpus curates to exactly the clean base docs, via real stage checkpoints") {
+    val in = writeDocs(fixture(), scratch("curate_in"))
+    val out = scratch("curate_out")
+    val counts = CurateCli.run(spark, in, out).toMap
+    // 17 docs in; exact pass drops the 2 byte-identical copies
+    assert(counts("01_exact") === 15L)
+    // near-dup clusters {1, 12} → min-id survivor 1
+    assert(counts("02_neardup") === 14L)
+    // the 15-token excerpt is contained in doc 2 and is the shorter side
+    assert(counts("03_containment") === 13L)
+    // the 3 boilerplate siblings exceed the 50% boiler gate; the P1/P99
+    // clip keeps everything at this scale (exact discrete percentiles:
+    // ceil(0.01·13) = 1 ⇒ lo = min length) and every survivor clears the
+    // sample threshold by construction
+    assert(counts("04_quality") === 10L)
+    assert(counts("05_split") === 10L)
+    assert(counts("06_packed") === 10L)
+    val survivors = spark.read.parquet(s"$out/04_quality.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(survivors === (0L until 10L).toArray,
+      "the final survivor set must be exactly the clean base docs")
+    // every stage checkpoint is on disk (the restart surface)
+    Seq("01_exact", "02_neardup", "03_containment", "04_quality",
+      "05_split", "06_packed").foreach { s =>
+      assert(new java.io.File(s"$out/$s.parquet/_SUCCESS").exists(),
+        s"stage $s left no checkpoint")
+    }
+    // packing: every survivor lands in exactly one (split, group, bin)
+    val packed = spark.read.parquet(s"$out/06_packed.parquet")
+    assert(packed.select(col("doc_id")).distinct().count() === 10L)
+
+    // restart idempotence: a second run over completed checkpoints is a
+    // pure read — same counts, checkpoint files untouched
+    val marker = new java.io.File(s"$out/01_exact.parquet/_SUCCESS")
+    val mtime = marker.lastModified()
+    val counts2 = CurateCli.run(spark, in, out).toMap
+    assert(counts2 === counts)
+    assert(marker.lastModified() === mtime,
+      "a completed stage was rebuilt on restart")
+  }
+
+  test("incremental mode: a prior run's history gates out already-curated docs") {
+    val in1 = writeDocs(fixture(), scratch("curate_inc_in1"))
+    val out1 = scratch("curate_inc_out1")
+    CurateCli.run(spark, in1, out1)
+    // batch 2: the 10 base docs again (history dups, new ids) + 2 new
+    val batch2 = fixture().take(10).zipWithIndex
+      .map { case ((_, t), i) => (100L + i, t) } ++
+      Seq(200L -> words("new200"), 201L -> words("new201"))
+    val in2 = writeDocs(batch2, scratch("curate_inc_in2"))
+    val out2 = scratch("curate_inc_out2")
+    val counts = CurateCli.run(spark, in2, out2,
+      priorOutDir = Some(out1)).toMap
+    // the bloom gate (result ≡ anti-join vs history) removes all 10
+    // replayed docs before the exact pass even runs
+    assert(counts("01_exact") === 2L)
+    assert(counts("06_packed") === 2L)
+    val kept = spark.read.parquet(s"$out2/04_quality.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(kept === Array(200L, 201L))
+  }
+}

@@ -128,6 +128,96 @@ class ScaleSoakSpec extends SparkSpecBase {
         "no discriminative shingles - any other pair is a false positive")
   }
 
+  test("bloom gate: all-new deltas bypass the history join; dups never bypass", Slow) {
+    val l = report.layout
+    info(s"history ${report.bloomHistRows} shas; all-new bypass " +
+      s"${report.bloomAllNewBypass}/${l.deltaNew} (out ${report.bloomAllNewOut}); " +
+      s"mixed out ${report.bloomMixedOut}/${l.deltaMixNew} new, bypass " +
+      s"${report.bloomMixedBypass}, dup leaked ${report.bloomMixedDupLeaked}")
+    // every delta doc is genuinely new → the output IS the delta (the
+    // result-equivalence contract: gate ≡ plain anti-join)
+    assert(report.bloomAllNewOut === l.deltaNew.toLong,
+      "an all-new delta must survive the gate in full")
+    // the production claim: ≥ 99% of an all-new batch never touches the
+    // history join (only the ~fpp=1% false positives pay the confirm)
+    assert(report.bloomAllNewBypass >= (l.deltaNew * 99L) / 100,
+      s"join-bypass rate degraded: ${report.bloomAllNewBypass}/${l.deltaNew}")
+    // high-dup delta: output = exactly the planted-new half; a verbatim
+    // dup can NEVER bypass (blooms have no false negatives) or leak
+    assert(report.bloomMixedOut === l.deltaMixNew.toLong,
+      "the mixed delta's output must be exactly its new half")
+    assert(report.bloomMixedDupLeaked === 0L,
+      "a duplicate leaked through the gate — bloom false negative (impossible) or broken confirm join")
+    assert(report.bloomMixedBypass <= l.deltaMixNew.toLong,
+      "more rows bypassed than are new — a dup bypassed the gate")
+    assert(report.bloomMixedBypass >= (l.deltaMixNew * 99L) / 100,
+      "the new half of the mixed delta should mostly bypass")
+  }
+
+  test("boundary dedup: every planted seam found; the hot boundary is refused on both sides", Slow) {
+    val l = report.layout
+    info(s"seams ${report.seamsFound}/${l.splitPairs}, other " +
+      s"${report.boundaryOther}, mega×hot leaked ${report.megaHotLeaked}, " +
+      s"capped heads ${report.cappedHeads} / tails ${report.cappedTails}")
+    assert(report.seamsFound === l.splitPairs.toLong,
+      "every planted split-document seam must be recovered")
+    assert(report.boundaryOther === 0L,
+      "md5-word corpora have no accidental 4-token seams — any other pair is a false positive")
+    // the planted 2500-tail × 1500-head value would alone emit 3.75M
+    // pairs; the cap must refuse it entirely
+    assert(report.megaHotLeaked === 0L,
+      "the hot boundary value leaked pairs past the cap")
+    // exactly the planted hot values are capped: head side = the mega
+    // family's shared head + the mega-tail value the hot docs reuse;
+    // tail side = the mega family's shared tail. Organic text: never.
+    assert(report.cappedHeads === 2L,
+      s"expected exactly the 2 planted hot head values capped, got ${report.cappedHeads}")
+    assert(report.cappedTails === 1L,
+      s"expected exactly the 1 planted hot tail value capped, got ${report.cappedTails}")
+  }
+
+  test("minhash-est calibration stays inside the binomial error budget", Slow) {
+    info(s"${report.estPairs} pairs, mean err ${report.estMeanErrPpm} ppm, " +
+      s"max err ${report.estMaxErrPpm} ppm")
+    // every confirmed pair gets an estimate (the signature joins drop
+    // nothing)
+    assert(report.estPairs > 0)
+    // E[|est−J|] for J≈0.85, n=18 hashes is ≈ σ·√(2/π) ≈ 67k ppm; the
+    // mean must sit in that regime — a broken estimator (wrong hash
+    // family, wrong divisor) lands 5–10x off
+    assert(report.estMeanErrPpm <= 120000L,
+      s"mean estimate error ${report.estMeanErrPpm} ppm is outside the binomial budget")
+    // max over ~3k pairs: a ≥5σ outlier would indicate signature
+    // corruption, not sampling noise
+    assert(report.estMaxErrPpm <= 500000L,
+      s"max estimate error ${report.estMaxErrPpm} ppm — signature corruption?")
+  }
+
+  test("containment recall is invariant under a 10x tighter df cap", Slow) {
+    val total = report.contRootPairs + report.contMemberPairs + report.contOther
+    info(s"maxDf=100 pairs ${report.contPairs100} vs maxDf=1000 $total")
+    // planted-family shingles have df ≈ 3 and the mega family
+    // self-excludes at any cap: the cap is a pure cost lever here
+    assert(report.contPairs100 === total,
+      "tightening maxDf changed the confirmed pairs — recall lost to the cost cap")
+  }
+
+  test("AQE splits the planted skewed join partition at runtime", Slow) {
+    val l = report.layout
+    info(s"skewFired=${report.aqeSkewFired}, skewed partitions split " +
+      s"${report.aqeSkewedSplits}, join rows ${report.aqeJoinRows}")
+    // every left row matches exactly one right row (key 0 → doc 0; odd
+    // ids 1:1), so the join row count equals the corpus size — an exact
+    // oracle that the skew handling changed no results
+    assert(report.aqeJoinRows === l.totalDocs,
+      s"skew-join rows ${report.aqeJoinRows} != ${l.totalDocs}")
+    assert(report.aqeSkewFired,
+      "OptimizeSkewedJoin did not fire on the planted half-corpus key")
+    // a genuine split breaks the hot partition into >= 2 pieces
+    assert(report.aqeSkewedSplits >= 2L,
+      s"hot partition not actually split (numSkewedSplits=${report.aqeSkewedSplits})")
+  }
+
   test("streaming legs: state is watermark-bound and late events are dropped, never buffered", Slow) {
     val l = report.layout
     report.streamLegs.foreach { s =>
