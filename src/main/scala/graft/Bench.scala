@@ -33,7 +33,10 @@ package graft
   *    multi-batch StreamingQuery harness (same child session / 3-file
   *    split / checkpoint / AvailableNow machinery, driving a watermarked
   *    projection): the stream-join entries are ~85% this floor, so
-  *    operator regressions there should be read as (entry − floor);
+  *    operator regressions there should be read as (entry − floor). Its
+  *    median too is over successful runs only; all-failed → 0.0 with
+  *    `"stream_harness_floor_failed_runs"` nonzero (and a strict-mode
+  *    nonzero exit), never a fabricated time-to-failure median;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -88,16 +91,26 @@ object Bench {
     // projection makes the fixed part an explicit field, so a real
     // join-stage regression moves (entry − floor) — which a 20% operator
     // slowdown now dominates instead of vanishing into the floor.
-    val floorS = median((1 to runsN).map { _ =>
+    // like the queries, the floor's median is over its SUCCESSFUL runs
+    // only — folding a time-to-failure into the median would fabricate a
+    // floor (r9 review). All runs failed → floor 0.0 (the all-failed-query
+    // convention) + a nonzero floor_failed_runs the driver can see.
+    val floorRuns = (1 to runsN).map { _ =>
       System.gc()
       val t0 = System.nanoTime()
-      try graft.queries.StreamingQ.harnessFloor(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] stream_harness_floor FAILED: $e")
-      }
-      (System.nanoTime() - t0) / 1e9
-    })
+      val ok =
+        try {
+          graft.queries.StreamingQ.harnessFloor(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stream_harness_floor FAILED: $e"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val floorOk = floorRuns.collect { case (t, true) => t }
+    val floorS = if (floorOk.isEmpty) 0.0 else median(floorOk)
+    val floorFailed = runsN - floorOk.size
     // (name, median-of-successes, everFailed) in stable catalog order
     val results = catalog.map { case (name, _) =>
       val ts = times(name)
@@ -119,7 +132,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -133,7 +146,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.
@@ -147,6 +160,7 @@ object Bench {
     spark.stop()
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    if (results.exists(_._3) || (strict && partialFails.nonEmpty)) sys.exit(1)
+    if (results.exists(_._3) ||
+        (strict && (partialFails.nonEmpty || floorFailed > 0))) sys.exit(1)
   }
 }

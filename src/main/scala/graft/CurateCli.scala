@@ -29,10 +29,19 @@ import graft.operators.{ExactDedup, MinHashConfig, NearDup, TextCuration}
   *   sbt "runMain graft.CurateCli <docsParquet> <outDir> [priorOutDir]"
   *
   * With `priorOutDir` (a COMPLETED previous run), input docs whose sha
-  * already sits in the prior exact-survivor history are gated out up
-  * front by [[ExactDedup.bloomGatedNew]] — the per-batch ingest mode:
-  * an all-new batch bypasses the history join on probe misses, and the
-  * outputs contain only the genuinely-new survivors.
+  * already sits in the prior run's history are gated out up front by
+  * [[ExactDedup.bloomGatedNew]] — the per-batch ingest mode: an all-new
+  * batch bypasses the history join on probe misses, and the outputs
+  * contain only the genuinely-new survivors. Every run writes
+  * `01_history.parquet`, the CUMULATIVE sha index (prior history ∪ this
+  * run's survivors) — the artifact the next batch gates against — so a
+  * chain b1→b2→b3 never re-admits a doc curated two batches ago (gating
+  * on the prior run's survivors alone would forget earlier history).
+  *
+  * An outDir's checkpoints belong to ONE (input, prior, config) run:
+  * `_graft_run.json` fingerprints it and a resume with different
+  * arguments is refused loudly instead of silently returning the stale
+  * previous run's parquet.
   *
   * Scale posture: every stage is one of the catalog's measured shapes
   * (sha window dedup = one shuffle; LSH pairs = the capped-bucket shape;
@@ -63,6 +72,14 @@ object CurateCli {
     spark.read.parquet(dir.getPath)
   }
 
+  /** The prior run's history source: its cumulative index if it wrote one,
+    * else its exact survivors (a run from before the index existed). */
+  private def priorHistoryPath(prev: String): String = {
+    val idx = new File(s"$prev/01_history.parquet")
+    if (new File(idx, "_SUCCESS").exists()) idx.getPath
+    else s"$prev/01_exact.parquet"
+  }
+
   /** The full recipe; returns per-stage surviving-row counts (stage name
     * → rows), in pipeline order under keys that sort in pipeline order. */
   def run(spark: SparkSession, docsParquet: String, outDir: String,
@@ -70,6 +87,21 @@ object CurateCli {
           cfg: Config = Config()): Seq[(String, Long)] = {
     val out = new File(outDir)
     out.mkdirs()
+    // stage checkpoints are keyed by outDir alone, so re-running against
+    // the same outDir with DIFFERENT input/prior/config would skip every
+    // completed stage and return the previous run's output while claiming
+    // this run's arguments (r9 review). Fingerprint the run; a resume must
+    // match — same discipline as ScaleSoak's layout-keyed corpus paths.
+    val fp = s"""{"in":"$docsParquet","prior":"${priorOutDir.getOrElse("")}","cfg":${cfg.hashCode}}"""
+    val fpFile = new File(out, "_graft_run.json")
+    if (fpFile.exists()) {
+      val prev = new String(
+        java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8").trim
+      require(prev == fp,
+        s"$outDir holds checkpoints of a different run:\n  found   $prev\n" +
+          s"  this is $fp\nuse a fresh outDir (or delete this one) — " +
+          "resuming is for the same run only")
+    } else java.nio.file.Files.write(fpFile.toPath, (fp + "\n").getBytes("UTF-8"))
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
 
     // -- 01: exact dedup (+ incremental gate vs the prior run) -----------
@@ -78,7 +110,7 @@ object CurateCli {
         .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("sha"))
       val gated = priorOutDir match {
         case Some(prev) =>
-          val hist = spark.read.parquet(s"$prev/01_exact.parquet")
+          val hist = spark.read.parquet(priorHistoryPath(prev))
             .select(col("sha")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           ExactDedup.bloomGatedNew(hist, base).drop("probe_hit")
@@ -89,6 +121,19 @@ object CurateCli {
         .filter(col("rn") === 1).drop("rn")
     }
     counts += "01_exact" -> exact.count()
+    // cumulative sha history — what the NEXT batch's gate reads. prior ∪
+    // this run's survivors, written by every run (so any completed outDir
+    // works as priorOutDir) and append-only in content: chained batches
+    // accumulate instead of forgetting (r9 review).
+    stage(spark, out, "01_history") {
+      val mine = exact.select(col("sha"))
+      priorOutDir match {
+        case Some(prev) =>
+          spark.read.parquet(priorHistoryPath(prev)).select(col("sha"))
+            .unionByName(mine).distinct()
+        case None => mine.distinct()
+      }
+    }
 
     // -- 02: MinHash near-dup clusters, min-id survivor ------------------
     val nearDeduped = stage(spark, out, "02_neardup") {
@@ -186,9 +231,11 @@ object CurateCli {
     val t0 = System.nanoTime()
     val counts = run(spark, in, outDir, prior)
     val secs = (System.nanoTime() - t0) / 1e9
+    // Locale.ROOT: the default-locale f-interpolator writes a comma
+    // decimal separator under e.g. de_DE, producing unparseable JSON
     val json = counts.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"stages\":{", ",", "}," +
-        f""""seconds":$secs%.1f,"in":"$in","out":"$outDir"}""")
+        s""""seconds":${"%.1f".formatLocal(java.util.Locale.ROOT, secs)},"in":"$in","out":"$outDir"}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "curate_summary.json"), json + "\n")
     println(json)

@@ -41,13 +41,18 @@ object ExactDedup {
       .stat.bloomFilter("k", histN, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val mightContain = call_function("bloom_might_contain",
-      xxhash64(col("sha")), lit(bos.toByteArray))
-    val certainNew = delta.filter(!mightContain)
-      .withColumn("probe_hit", lit(false))
-    val confirmedNew = delta.filter(mightContain)
-      .join(hist, Seq("sha"), "left_anti")
-      .withColumn("probe_hit", lit(true))
-    certainNew.unionByName(confirmedNew)
+    // the probe is computed in ONE projection and both paths branch on the
+    // materialized column (r9 review: building the filter expression twice
+    // embedded a second copy of the sketch literal in the plan). The
+    // two-branch union IS the bypass — only probe hits shuffle to the
+    // confirm join — at the cost of two columnar scans of the delta batch;
+    // a caller holding the batch in memory (or reading it from parquet, as
+    // CurateCli's stages do) pays pruned re-reads, never a second shuffle.
+    val probed = delta.withColumn("probe_hit",
+      call_function("bloom_might_contain",
+        xxhash64(col("sha")), lit(bos.toByteArray)))
+    probed.filter(!col("probe_hit"))
+      .unionByName(probed.filter(col("probe_hit"))
+        .join(hist, Seq("sha"), "left_anti"))
   }
 }

@@ -546,12 +546,7 @@ object StreamingQ {
       val root = new File("target/qscratch/stream_sink_" +
         d.replaceAll("[^a-zA-Z0-9.]", "_") +
         "_p" + ProcessHandle.current().pid())
-      if (root.exists()) {
-        def del(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(del); f.delete()
-        }
-        del(root)
-      }
+      if (root.exists()) graft.Fs.deleteRecursively(root)
       val byType = new File(root, "by_type").getPath
       val errors = new File(root, "errors").getPath
       val q = mbStream(s, d).writeStream
@@ -600,12 +595,7 @@ object StreamingQ {
       val root = new File("target/qscratch/stream_upsert_" +
         d.replaceAll("[^a-zA-Z0-9.]", "_") +
         "_p" + ProcessHandle.current().pid())
-      if (root.exists()) {
-        def del(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(del); f.delete()
-        }
-        del(root)
-      }
+      if (root.exists()) graft.Fs.deleteRecursively(root)
       root.mkdirs()
       val q = mbStream(s, d).writeStream
         .trigger(Trigger.AvailableNow())

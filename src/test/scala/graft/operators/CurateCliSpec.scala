@@ -106,4 +106,39 @@ class CurateCliSpec extends SparkSpecBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(kept === Array(200L, 201L))
   }
+
+  test("chained batches accumulate history: a batch-1 doc re-sent in batch 3 stays gated") {
+    val in1 = writeDocs(fixture().take(10), scratch("curate_chain_in1"))
+    val out1 = scratch("curate_chain_out1")
+    CurateCli.run(spark, in1, out1)
+    // batch 2: all-new docs — its SURVIVORS share nothing with batch 1
+    val in2 = writeDocs(Seq(300L -> words("c300"), 301L -> words("c301")),
+      scratch("curate_chain_in2"))
+    val out2 = scratch("curate_chain_out2")
+    CurateCli.run(spark, in2, out2, priorOutDir = Some(out1))
+    // batch 3 replays one b1 doc and one b2 doc (fresh ids) + one new.
+    // Gating on out2's survivors alone would re-admit the b1 doc (the r9
+    // review bug); the cumulative 01_history index must still hold it.
+    val in3 = writeDocs(Seq(400L -> fixture().head._2, 401L -> words("c300"),
+      402L -> words("c402")), scratch("curate_chain_in3"))
+    val out3 = scratch("curate_chain_out3")
+    val counts = CurateCli.run(spark, in3, out3,
+      priorOutDir = Some(out2)).toMap
+    assert(counts("01_exact") === 1L,
+      "history forgot an earlier batch — a replayed doc passed the gate")
+    val kept = spark.read.parquet(s"$out3/04_quality.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(kept === Array(402L))
+  }
+
+  test("an outDir refuses to resume a different run instead of returning stale checkpoints") {
+    val inA = writeDocs(fixture().take(3), scratch("curate_fp_inA"))
+    val inB = writeDocs(fixture().take(5), scratch("curate_fp_inB"))
+    val out = scratch("curate_fp_out")
+    CurateCli.run(spark, inA, out)
+    val e = intercept[IllegalArgumentException] {
+      CurateCli.run(spark, inB, out)
+    }
+    assert(e.getMessage.contains("different run"))
+  }
 }

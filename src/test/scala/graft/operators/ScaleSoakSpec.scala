@@ -138,9 +138,16 @@ class ScaleSoakSpec extends SparkSpecBase {
     // result-equivalence contract: gate ≡ plain anti-join)
     assert(report.bloomAllNewOut === l.deltaNew.toLong,
       "an all-new delta must survive the gate in full")
-    // the production claim: ≥ 99% of an all-new batch never touches the
-    // history join (only the ~fpp=1% false positives pay the confirm)
-    assert(report.bloomAllNewBypass >= (l.deltaNew * 99L) / 100,
+    // the production claim: ~99% of an all-new batch never touches the
+    // history join (only the ~fpp=1% false positives pay the confirm).
+    // Bound at 1−2·fpp = 98%: the EXPECTED bypass is exactly n·(1−fpp),
+    // so a 99% bound would sit on the mean (σ≈√(n·fpp)≈7 here) and any
+    // re-roll of the sha draw — a layout bump, a Spark BloomFilter
+    // change — would be a coin-flip failure with no real regression
+    // (r9 review); 98% is ~7σ of slack yet still fails a broken gate,
+    // which bypasses ~0% (sketch never consulted) or 100% (dups leak,
+    // caught below).
+    assert(report.bloomAllNewBypass >= (l.deltaNew * 98L) / 100,
       s"join-bypass rate degraded: ${report.bloomAllNewBypass}/${l.deltaNew}")
     // high-dup delta: output = exactly the planted-new half; a verbatim
     // dup can NEVER bypass (blooms have no false negatives) or leak
@@ -150,7 +157,8 @@ class ScaleSoakSpec extends SparkSpecBase {
       "a duplicate leaked through the gate — bloom false negative (impossible) or broken confirm join")
     assert(report.bloomMixedBypass <= l.deltaMixNew.toLong,
       "more rows bypassed than are new — a dup bypassed the gate")
-    assert(report.bloomMixedBypass >= (l.deltaMixNew * 99L) / 100,
+    // 98% for the same mean-sits-on-99% reason as the all-new bound
+    assert(report.bloomMixedBypass >= (l.deltaMixNew * 98L) / 100,
       "the new half of the mixed delta should mostly bypass")
   }
 
