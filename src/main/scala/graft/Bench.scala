@@ -36,7 +36,12 @@ package graft
   *    operator regressions there should be read as (entry − floor). Its
   *    median too is over successful runs only; all-failed → 0.0 with
   *    `"stream_harness_floor_failed_runs"` nonzero (and a strict-mode
-  *    nonzero exit), never a fabricated time-to-failure median;
+  *    nonzero exit), never a fabricated time-to-failure median.
+  *    `"stream_join_floor_s"` is the STATEFUL companion: the same
+  *    two-source stream-stream join machinery with zero input rows, so
+  *    the five interval-join entries' data-bound part reads as
+  *    (entry − join floor) — the stateless floor misses the state-store
+  *    instantiation and per-batch commit cost those entries share;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -91,26 +96,33 @@ object Bench {
     // projection makes the fixed part an explicit field, so a real
     // join-stage regression moves (entry − floor) — which a 20% operator
     // slowdown now dominates instead of vanishing into the floor.
-    // like the queries, the floor's median is over its SUCCESSFUL runs
+    // like the queries, a floor's median is over its SUCCESSFUL runs
     // only — folding a time-to-failure into the median would fabricate a
     // floor (r9 review). All runs failed → floor 0.0 (the all-failed-query
-    // convention) + a nonzero floor_failed_runs the driver can see.
-    val floorRuns = (1 to runsN).map { _ =>
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          graft.queries.StreamingQ.harnessFloor(spark, sfDir)
-            .write.mode("overwrite").format("noop").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] stream_harness_floor FAILED: $e"); false
-        }
-      ((System.nanoTime() - t0) / 1e9, ok)
+    // convention) + a nonzero *_failed_runs field the driver can see.
+    def floorOf(tag: String)(mk: => org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val rs = (1 to runsN).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { mk.write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $tag FAILED: $e"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val okTimes = rs.collect { case (t, true) => t }
+      (if (okTimes.isEmpty) 0.0 else median(okTimes), runsN - okTimes.size)
     }
-    val floorOk = floorRuns.collect { case (t, true) => t }
-    val floorS = if (floorOk.isEmpty) 0.0 else median(floorOk)
-    val floorFailed = runsN - floorOk.size
+    val (floorS, floorFailed) = floorOf("stream_harness_floor")(
+      graft.queries.StreamingQ.harnessFloor(spark, sfDir))
+    // the STATEFUL floor (two zero-row sources through the real
+    // stream-stream join machinery): the stream-join entries' fixed cost
+    // is mostly state-store instantiation + per-batch commits that the
+    // stateless floor doesn't pay — (join entry − join floor) is the
+    // data-bound signal
+    val (joinFloorS, joinFloorFailed) = floorOf("stream_join_floor")(
+      graft.queries.StreamingQ.harnessJoinFloor(spark, sfDir))
     // (name, median-of-successes, everFailed) in stable catalog order
     val results = catalog.map { case (name, _) =>
       val ts = times(name)
@@ -132,7 +144,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -146,7 +158,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.
@@ -161,6 +173,7 @@ object Bench {
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     if (results.exists(_._3) ||
-        (strict && (partialFails.nonEmpty || floorFailed > 0))) sys.exit(1)
+        (strict && (partialFails.nonEmpty || floorFailed > 0 ||
+          joinFloorFailed > 0))) sys.exit(1)
   }
 }

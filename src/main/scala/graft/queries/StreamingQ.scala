@@ -221,6 +221,36 @@ object StreamingQ {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The STATEFUL floor: the exact two-source interval-join machinery the
+    * five stream-join entries pay — two file-stream sources over the same
+    * 3-file split (double source listing per micro-batch), a symmetric
+    * stream-stream join with watermarks both sides, 2×shuffle-partitions
+    * state stores instantiated, committed, and checkpointed per batch —
+    * but with both inputs filtered to ZERO rows before the join, so no
+    * state row is ever buffered and no match is ever attempted. The
+    * stateless [[harnessFloor]] measures ~30% of a stream-join entry; the
+    * rest of the fixed cost is this stateful machinery, so a join entry's
+    * data-bound part (state buffering + eviction + matching) reads as
+    * (entry − THIS floor). Not a catalog entry for the same reason as
+    * harnessFloor: it measures the harness, not an operator. */
+  def harnessJoinFloor(s0: SparkSession, d: String): DataFrame = {
+    val s = mbSession(s0)
+    val clicks = mbStream(s, d).filter(col("event_type") === "__floor_none__")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+    val purchases = mbStream(s, d).filter(col("event_type") === "__floor_none__")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+        col("user_id").as("p_user"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purch_ts") >= col("click_ts") &&
+        col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"))
+    runToTable(s, joined, "graft_stream_join_floor", "append")
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
     // B39 streaming tumbling window — same shape as q_events_tumbling.
     "q_stream_tumbling" -> { (s, d) =>
