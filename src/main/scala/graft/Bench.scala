@@ -5,7 +5,7 @@ package graft
   * "failed":[...],"sf":...}`.
   *
   * Harness notes:
-  *  - session comes from [[Sessions]] (AQE, UTC, nanosAsLong) — the same
+  *  - session comes from [[Sessions]] (AQE, UTC, ts normalization) — the same
   *    configuration Verify and the tests run under;
   *  - each query is driven by a `noop`-format write, which fully evaluates
   *    every output column (a `.count()` would let Catalyst prune all
@@ -41,7 +41,11 @@ package graft
   *    two-source stream-stream join machinery with zero input rows, so
   *    the five interval-join entries' data-bound part reads as
   *    (entry − join floor) — the stateless floor misses the state-store
-  *    instantiation and per-batch commit cost those entries share;
+  *    instantiation and per-batch commit cost those entries share; that
+  *    subtraction is also REPORTED per entry as
+  *    `"stream_join_data_bound_s"` (clamped at 0; meaningful only when
+  *    the join floor's failed_runs is 0), so a join-stage regression is
+  *    a first-class number, not arithmetic the reader must do;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
   *    variants at small sf and would be three-quarters of the wall time here.
@@ -143,8 +147,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalsArr = runTotals.map(sec).mkString("[", ",", "]")
+    // the r8 #3 detectability goal made explicit per entry: each
+    // stream-stream-join query's DATA-BOUND time is (entry − join floor) —
+    // the part a join-stage regression actually moves. Clamped at 0 (a
+    // floor measured in a noisier moment than the entry would otherwise
+    // report a negative operator time); only meaningful when the floor's
+    // failed_runs is 0.
+    val joinEntries = results.collect {
+      case (k, v, false) if k.startsWith("q_stream_join") => (k, v)
+    }
+    val dataBound = joinEntries
+      .map { case (k, v) => "\"" + k + "\":" + sec(math.max(0.0, v - joinFloorS)) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -158,7 +174,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.

@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on (runtime coalescing / skew-join splitting — the 100 TB posture);
   *  - shuffle partitions sized for the local[32] harness, NOT the 200
   *    default (on a real cluster this is set per-job to ~2-3x total cores);
-  *  - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (events.ts) load as
-  *    epoch-nano longs instead of throwing (Spark has no nanos timestamp).
+  *  - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns load as epoch-nano
+  *    longs instead of throwing (Spark has no nanos timestamp); TsNorm then
+  *    normalizes that long — or a TIMESTAMP / TIMESTAMP_NTZ column, the
+  *    other encodings fixtures arrive in — at the loader boundary.
   */
 object Sessions {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",

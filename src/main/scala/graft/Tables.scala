@@ -24,21 +24,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark loads (under
-    * `nanosAsLong`) as an epoch-nano long. Normalize to a microsecond
-    * TimestampNTZ-equivalent column so downstream operators see a real
-    * timestamp; keep the raw nanos as `ts_nanos` for exact arithmetic.
-    * DuckDB equivalent: `CAST(ts AS TIMESTAMP)` (also truncates to micros).
+  /** `events.ts` arrives in whichever encoding the fixture generator last
+    * used — epoch-nano long (TIMESTAMP(NANOS) under `nanosAsLong`),
+    * TIMESTAMP, or TIMESTAMP_NTZ (tz-less `timestamp[us]`, the pyarrow
+    * default). TsNorm maps all three to a session-zoned `ts` TIMESTAMP plus
+    * an epoch-nano `ts_nanos` LONG; TsEncodingSpec pins the equivalence.
+    * DuckDB equivalent for every encoding: `CAST(ts AS TIMESTAMP)`.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    val tsType = raw.schema("ts").dataType.typeName
-    if (tsType == "long") {
-      // integer `div`, not `/`: epoch nanos (~1.7e18) overflow double precision
-      raw.withColumnRenamed("ts", "ts_nanos")
-        .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
-    } else raw.withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    TsNorm.normalize(load(s, d, "events"))
 
   /** Register every table as a temp view (SQL surface parity). */
   def registerAll(s: SparkSession, d: String): Unit = {

@@ -11,7 +11,9 @@ import QUtil._
   * expressions run under `readStream` — see streaming specs), sessionization
   * via lag (B25).
   *
-  * `events.ts` arrives as TIMESTAMP(NANOS); Tables.events exposes micros.
+  * `events.ts` arrives as nanos-long, TIMESTAMP, or TIMESTAMP_NTZ depending
+  * on the fixture generation; Tables.events (via TsNorm) exposes a uniform
+  * micros TIMESTAMP either way.
   * All outputs avoid raw timestamp columns (epoch micros BIGINT or DATE) so
   * the DuckDB compare is precision-exact.
   *
@@ -179,6 +181,27 @@ object Events {
           last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
           col("cents").isNull.as("is_filled"))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // TIMESTAMP_NTZ as a first-class engine type: operate on the tz-less
+    // parquet column DIRECTLY — no TsNorm, no loader. Wall-clock field
+    // extraction (to_date/hour) has identical semantics on Spark's
+    // TIMESTAMP_NTZ and DuckDB's naive TIMESTAMP, so no session-timezone
+    // coupling exists at all on this path. The match arm only adapts if a
+    // future fixture regeneration reverts to an instant encoding (then the
+    // UTC session makes the NTZ reinterpretation exact).
+    "q_events_ntz" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = Tables.load(s, d, "events")
+      val ev = raw.schema("ts").dataType match {
+        case TimestampNTZType => raw // the native path — current fixture
+        case LongType => raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      }
+      ev.groupBy(to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"), QUtil.moneySum(col("value"), 2).as("total_value"))
+        .orderBy(col("day"), col("hr"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -216,6 +239,13 @@ object Events {
       s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
          |  event_type, count(*) AS n, ${moneySumSql("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // DuckDB's tz-less TIMESTAMP is exactly Spark's TIMESTAMP_NTZ: both
+    // sides extract wall-clock fields with no timezone in the loop.
+    "q_events_ntz" ->
+      s"""SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+         |  count(*) AS n, ${moneySumSql("value", 2)} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin,
 
     "q_events_sliding" ->
       s"""WITH exploded AS (

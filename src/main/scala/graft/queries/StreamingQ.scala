@@ -175,15 +175,15 @@ object StreamingQ {
   case class UserOut(user_id: Long, upd_seq: Int, n_events: Long, total_cents: Long)
 
   /** events as a file-stream source, ts normalized exactly like
-    * [[graft.Tables.events]] (TIMESTAMP(NANOS) arrives as long). */
+    * [[graft.Tables.events]]: TsNorm accepts nanos-long, TIMESTAMP, or
+    * TIMESTAMP_NTZ (tz-less parquet, the current fixture encoding) and the
+    * normalization is plain column ops, so it applies to a streaming
+    * DataFrame unchanged. */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (fileSchema("ts").dataType.typeName == "long")
-      raw.withColumnRenamed("ts", "ts_nanos")
-        .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
-    else raw.withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+    graft.TsNorm.normalize(
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   /** Run `df` to completion into a memory sink and return its contents.

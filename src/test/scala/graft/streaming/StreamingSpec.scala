@@ -115,10 +115,9 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted
     val fileSchema = spark.read.parquet(s"$sf/events.parquet").schema
     // file-stream sources need a directory base path; glob to the one table
-    val ev = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumnRenamed("ts", "ts_nanos")
-      .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
+    val ev = graft.TsNorm.normalize(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf))
     val q = ev.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.queries.QUtil.moneySum(col("value"), 2).as("total_value"))
