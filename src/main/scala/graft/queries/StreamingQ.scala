@@ -251,6 +251,44 @@ object StreamingQ {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The q_stream_join dataflow with a DELIBERATE per-output-row busy-burn
+    * in the join's output projection — a planted join-stage slowdown of a
+    * known size, used by [[graft.StreamFloorDemo]] to demonstrate that the
+    * bench's (entry − stream_join_floor_s) subtraction makes an operator
+    * regression visible that the raw entry time hides in fixed harness
+    * cost. The burn is a nanoTime spin (not Thread.sleep: sleep yields the
+    * core, so 32 task threads would overlap their sleeps and the planted
+    * wall cost would vanish) attached via UDF to the matched rows, i.e. it
+    * executes inside the stream-stream join stage, after matching, exactly
+    * where a real eviction/matching regression would burn time. NOT a
+    * catalog entry: it exists to calibrate the harness, not to compute. */
+  def plantedSlowJoin(s0: SparkSession, d: String, burnMicrosPerRow: Int): DataFrame = {
+    val s = mbSession(s0)
+    val burn = udf { (id: Long) =>
+      val until = System.nanoTime() + burnMicrosPerRow * 1000L
+      while (System.nanoTime() < until) {}
+      id >= Long.MinValue  // always true; keeps the filter from folding away
+    }
+    val clicks = mbStream(s, d).filter(col("event_type") === "click")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+    val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+        col("user_id").as("p_user"))
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"))
+      .filter(burn(col("click_id")))
+      .select(col("user_id"), col("click_id"), col("purch_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purch_ts")).as("purch_us"))
+    runToTable(s, joined, "graft_stream_join_planted", "append")
+      .orderBy(col("user_id"), col("click_id"), col("purch_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     // B39 streaming tumbling window — same shape as q_events_tumbling.
     "q_stream_tumbling" -> { (s, d) =>
