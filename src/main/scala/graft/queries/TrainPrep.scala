@@ -220,6 +220,25 @@ object TrainPrep {
           floor(col("n_rare") * 1000000 / col("n_toks").cast("double"))
             .cast("long").as("rare_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // B62 heavy hitters: every 8-token passage appearing in >= 3 distinct
+    // documents, with exact doc-frequencies — the frequent-passage miner
+    // that feeds boilerplate removal and contamination triage (which
+    // passages are shared is the question; q_text_boilerplate answers the
+    // per-doc "how much of ME is boilerplate" form). Exactness through a
+    // sketch: pass 1 folds every (doc-distinct) shingle into a count-min
+    // sketch with NO shuffle; the broadcast sketch then prefilters the
+    // shuffle to candidate shingles only (CMS never under-counts, so no
+    // heavy passage can be lost); pass 2 exact-counts the candidates. The
+    // DuckDB oracle is the naive exact query — the sketch is pure shuffle
+    // avoidance, invisible in the answer (graft.operators.HeavyHitters).
+    "q_heavy_hitters" -> { (s, d) =>
+      graft.operators.HeavyHitters.frequentValues(
+          graft.operators.NearDup.shingles(Tables.documents(s, d), width = 8),
+          "sh", minSupport = 3)
+        .select(col("sh"), col("cnt"))
+        .orderBy(col("sh"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -336,5 +355,17 @@ object TrainPrep {
         |  CAST(floor(count(*) FILTER (WHERE r.rare) * 1000000
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS rare_ppm
         |FROM tok t JOIN r ON r.term = t.term
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // The NAIVE exact form — the sketch prefilter on the Spark side must
+    // be answer-invisible, so the oracle doesn't model it at all.
+    "q_heavy_hitters" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+        |  FROM base, unnest(generate_series(1, len(t) - 7)) AS g(i))
+        |SELECT sh, count(*) AS cnt FROM sh
+        |GROUP BY sh HAVING count(*) >= 3 ORDER BY sh""".stripMargin)
 }

@@ -118,4 +118,20 @@ class ReadmeExamplesSpec extends SparkSpecBase {
     val hot = agg.filter(col("k") === 1).head()
     assert(hot.getAs[Long]("n") === 9000L)
   }
+
+  test("README: HeavyHitters — exact frequent passages through the sketch") {
+    val docs = (0L to 49L).map {
+      case i if i < 4 => (i, "the same boilerplate footer text here " + i)
+      case i          => (i, s"unique body $i with its own words ${i * 7}")
+    }.toDF("doc_id", "text")
+
+    // 5-gram passages appearing in >= 3 docs, exact doc-frequencies;
+    // the CMS prefilter prunes the shuffle, never the answer
+    val heavy = HeavyHitters.frequentValues(
+      NearDup.shingles(docs, width = 5), "sh", minSupport = 3)
+
+    val got = heavy.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("the same boilerplate footer text" -> 4L,
+      "same boilerplate footer text here" -> 4L))
+  }
 }

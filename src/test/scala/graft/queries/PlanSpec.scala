@@ -238,4 +238,17 @@ class PlanSpec extends SparkSpecBase {
       s"the norm must come from the codegen kernel:\n$p")
     assert(!p.contains("Join"), s"per-row normalization must not join:\n$p")
   }
+
+  test("q_heavy_hitters probes the sketch below every exchange (map-side prune)") {
+    val p = plan("q_heavy_hitters")
+    val iProbe = p.indexOf("UDF")
+    assert(iProbe >= 0, s"the sketch-probe filter is missing:\n$p")
+    // the probe's whole point is pruning BEFORE the shuffle: everything
+    // upstream of it (textually below in the plan) must be the shingle
+    // generator + scan, never an exchange
+    assert(p.indexOf("Exchange", iProbe) < 0,
+      s"the probe must sit below every exchange:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"pass 2 must exact-count via hash aggregate:\n$p")
+  }
 }

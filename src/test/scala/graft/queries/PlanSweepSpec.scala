@@ -38,7 +38,13 @@ class PlanSweepSpec extends SparkSpecBase {
     * the contract; a codegen reimplementation would be a second parser to
     * keep equal to the first). */
   private val scalaUdfOk = Set("q_sql_udf_isbn", "q_pipe_workflow",
-    "q_pipe_dead_letter", "q_pipe_raw", "q_pipe_skipped")
+    "q_pipe_dead_letter", "q_pipe_raw", "q_pipe_skipped",
+    // B62: the count-min-sketch probe is a broadcast-model UDF by nature
+    // (estimateCount against driver-merged sketch state); it runs ONCE per
+    // shingle row as a pre-shuffle filter — the cheap-per-row /
+    // shuffle-avoiding side of the UDF trade, not the hot-loop side the
+    // sweep exists to catch (see HeavyHitters scaladoc)
+    "q_heavy_hitters")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
