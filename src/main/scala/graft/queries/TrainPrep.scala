@@ -239,6 +239,63 @@ object TrainPrep {
           "sh", minSupport = 3)
         .select(col("sh"), col("cnt"))
         .orderBy(col("sh"))
+    },
+
+    // B63 deterministic global shuffle → training shards, as an AUDIT
+    // query. Training jobs need the corpus randomized and split into
+    // shards reproducibly: shard and within-shard position both come from
+    // id-keyed md5 draws (the q_sample_weighted convention — any engine,
+    // any run, zero coordination), never rand(). In production the
+    // payload write is `repartition(n, shard).sortWithinPartitions(draw)
+    // .write` — one shuffle, no per-shard collection; THIS query is the
+    // audit artifact that proves assignment AND order: per shard, the md5
+    // of the draw-ordered doc_id sequence. The order checksum collects
+    // one shard's ids into a sorted array — bounded by corpus/n per
+    // group; a 100 TB audit would checksum per (shard, block of ~1e6)
+    // and md5 the block digests, same idea one level up.
+    "q_train_shards" -> { (s, d) =>
+      val h = (suffix: String) => graft.operators.NearDup.h28(
+        concat(col("doc_id").cast("string"), lit(suffix)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (h("_shard") % 8).as("shard"), h("_ord").as("draw"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("draw"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ",")).as("order_md5"))
+        .orderBy(col("shard"))
+    },
+
+    // B64 corpus snapshot diff: the changelog between two curated
+    // snapshots (did the curation change touch what I expected — the
+    // review artifact for every recipe change). Two deterministic
+    // "snapshots" are derived from the fixture (v1 drops doc_id%7=0,
+    // v2 drops doc_id%5=0 and revises the text of doc_id%11=0), then a
+    // single full-outer join on the key compares content shas and emits
+    // added/removed/changed rows only — the changelog, never the corpus.
+    // At 100 TB both sides are corpus-sized and the shuffled join on the
+    // snapshot key IS the right plan; snapshots bucketed by doc_id make
+    // it a zero-exchange sort-merge join (the q_bucket_join layout).
+    "q_corpus_diff" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v1 = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha_old"))
+      val v2 = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")), 256).as("sha_new"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("sha_old").isNull, "added")
+            .when(col("sha_new").isNull, "removed")
+            .when(col("sha_old") =!= col("sha_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -367,5 +424,37 @@ object TrainPrep {
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
         |  FROM base, unnest(generate_series(1, len(t) - 7)) AS g(i))
         |SELECT sh, count(*) AS cnt FROM sh
-        |GROUP BY sh HAVING count(*) >= 3 ORDER BY sh""".stripMargin)
+        |GROUP BY sh HAVING count(*) >= 3 ORDER BY sh""".stripMargin,
+
+    "q_train_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || '_shard'), 1, 7) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || '_ord'), 1, 7) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY draw, doc_id)) AS order_md5
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, sha256(text) AS sha_old FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+        |                ELSE text END) AS sha_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN sha_old <> sha_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN sha_old <> sha_new THEN 'changed'
+        |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin)
 }

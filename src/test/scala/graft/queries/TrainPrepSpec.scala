@@ -77,4 +77,35 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(r.filter(col("n_rare") > col("n_toks")).count() == 0)
     assert(r.filter(col("rare_ppm") > 1000000 || col("rare_ppm") < 0).count() == 0)
   }
+
+  test("q_train_shards: every shard exists, counts add up, split is balanced") {
+    val shards = TrainPrep.defs("q_train_shards")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(shards.map(_.getAs[Long]("shard")).toSeq == (0L to 7L),
+      "all 8 shards must be populated, in order")
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "shard counts must partition the corpus")
+    // the md5 draw is uniform, so shard sizes concentrate around n/8 —
+    // a 2x max/min spread at ~250 docs/shard would mean a broken draw,
+    // and a training job fed 2x-skewed shards wastes an epoch's stragglers
+    val sizes = shards.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max <= 2 * sizes.min,
+      s"shard skew: ${sizes.mkString(",")}")
+  }
+
+  test("q_corpus_diff: statuses match the planted snapshot rules") {
+    val diff = TrainPrep.defs("q_corpus_diff")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val expected =
+        if (id % 7 == 0 && id % 5 != 0) Some("added")
+        else if (id % 7 != 0 && id % 5 == 0) Some("removed")
+        else if (id % 7 != 0 && id % 11 == 0) Some("changed")
+        else None // unchanged rows are filtered, absent-in-both impossible
+      assert(diff.get(id) == expected, s"doc $id")
+    }
+    assert(diff.keySet.subsetOf(ids.toSet), "no phantom doc_ids")
+  }
 }
