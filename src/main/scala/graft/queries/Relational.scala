@@ -356,6 +356,26 @@ object Relational {
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
+    // B65 the same top-k-per-group answer through a bounded typed
+    // Aggregator (graft.functions.TopKAgg) instead of a window sort. The
+    // window form above shuffles and sorts EVERY customer row; this plan's
+    // partial ObjectHashAggregate reduces each map partition to a k-element
+    // buffer per segment, so the exchange carries ≤ k rows per (segment,
+    // partition) and no Sort node touches the input — the shape that
+    // survives a 100 TB corpus with a handful of groups. Same oracle as
+    // q_topk_group: the aggregate must reproduce the window answer exactly
+    // (the (acctbal DESC, custkey ASC) comparator is a total order).
+    "q_topk_agg" -> { (s, d) =>
+      val topk = graft.functions.TopKAgg.topK(s, 5)
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(topk(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rn"),
+          col("col._2").as("c_custkey"), col("col._1").as("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
     // B28/B29 global multi-key sort + limit (TakeOrderedAndProject).
     "q_sort_topk" -> { (s, d) =>
       Tables.orders(s, d)
@@ -675,6 +695,16 @@ object Relational {
         |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
 
     "q_topk_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    // Identical text to q_topk_group's oracle — the Aggregator plan must
+    // reproduce the window-sort answer bit-for-bit.
+    "q_topk_agg" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
         |    CAST(row_number() OVER (PARTITION BY c_mktsegment

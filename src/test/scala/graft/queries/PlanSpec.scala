@@ -43,6 +43,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q_topk_agg keeps the bounded-aggregate shape: no window, no input sort") {
+    // the whole point of B65 is replacing the window top-k's full-corpus
+    // exchange+sort with a partial ObjectHashAggregate; a refactor that
+    // reintroduces either node silently loses the 100 TB shape
+    val p = plan("q_topk_agg")
+    assert(!p.contains("Window ["), s"q_topk_agg regressed to a window plan:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$p")
+    // the single allowed Sort is the presentation orderBy ABOVE the final
+    // aggregate; nothing may sort the raw customer rows below the exchange
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(!p.substring(aggIdx).contains("Sort "),
+      s"a sort appeared below the aggregate (input-sorting plan):\n$p")
+  }
+
   test("IVF cell assignment is a partial+final aggregate, not a full-data window") {
     // assigning each vector to its best of 16 centroid cells through a
     // row_number window would shuffle 16x the corpus; the max_by aggregate
