@@ -183,6 +183,44 @@ object Events {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // B68 volume-anomaly detection: Tukey fences (1.5×IQR) over daily
+    // per-type event volume, with the quartiles as EXACT discrete order
+    // statistics (the q_text_length_clip convention: cumulative counts
+    // over the value histogram + integer ceil ranks — no interpolation, no
+    // float percentile, engine-exact by construction). The fence compare
+    // runs in doubled-integer space (2·cents vs 2·q1 − 3·IQR) so the ×1.5
+    // never touches a double. The histogram window is per-type over
+    // DISTINCT daily totals (≤ |days| rows — never the event corpus); the
+    // fence table is |event_type| rows, broadcast. Output is one audit row
+    // per type: quartiles, day/anomaly counts, md5 of the anomalous-day
+    // list (md5('') when clean — sf0.01 is clean, sf0.1 plants 3 hits).
+    "q_events_anomaly" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100)).cast("long").as("cents"))
+      val h = daily.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val q = cum.join(tot, "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 3) DIV 4"), col("cents"))).as("q1"),
+          min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("cents"))).as("q3"))
+      daily.join(broadcast(q), "event_type")
+        .withColumn("anom",
+          col("cents") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+            col("cents") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+        .groupBy(col("event_type"), col("q1"), col("q3"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalous"),
+          md5(array_join(array_sort(
+            collect_list(when(col("anom"), col("day").cast("string")))), ","))
+            .as("anom_md5"))
+        .orderBy(col("event_type"))
+    },
+
     // TIMESTAMP_NTZ as a first-class engine type: operate on the tz-less
     // parquet column DIRECTLY — no TsNorm, no loader. Wall-clock field
     // extraction (to_date/hour) has identical semantics on Spark's
@@ -246,6 +284,31 @@ object Events {
       s"""SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
          |  count(*) AS n, ${moneySumSql("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, cents, count(*) AS c FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY event_type),
+        |q AS (SELECT cum.event_type,
+        |  min(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+        |  min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+        |  FROM cum JOIN tot ON tot.event_type = cum.event_type
+        |  GROUP BY cum.event_type),
+        |f AS (SELECT d.event_type, d.day, d.cents, q.q1, q.q3,
+        |  (d.cents * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+        |   OR d.cents * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3) AS anom
+        |  FROM daily d JOIN q ON q.event_type = d.event_type)
+        |SELECT event_type, q1, q3, count(*) AS n_days,
+        |  CAST(count(*) FILTER (WHERE anom) AS BIGINT) AS n_anomalous,
+        |  md5(coalesce(string_agg(CASE WHEN anom THEN day::VARCHAR END, ','
+        |    ORDER BY day::VARCHAR), '')) AS anom_md5
+        |FROM f GROUP BY event_type, q1, q3 ORDER BY event_type""".stripMargin,
 
     "q_events_sliding" ->
       s"""WITH exploded AS (

@@ -281,6 +281,43 @@ object LlmOps {
         .orderBy(col("cluster_rep"), col("member"))
     },
 
+    // B67 leakage-safe train/eval split: the held-out split is assigned
+    // per near-dup CLUSTER, not per document — a doc-keyed split puts one
+    // copy of a near-duplicate in train and its twin in eval, leaking
+    // training text into the benchmark (the eval-contamination failure
+    // q_contamination later hunts; this op prevents it structurally:
+    // split = f(group key) means NO cluster can span splits). Docs
+    // left-join the cluster labels — both sides corpus-derived (on a web
+    // corpus the clustered fraction can be a third of the input), so the
+    // shuffled join IS the 100 TB plan; AQE converts to broadcast when the
+    // label side measures small (declared in PlanSweepSpec's allowlist,
+    // the q_dedup_survivor category). Singletons group as themselves,
+    // and the 90/10 draw is the
+    // deterministic md5 convention (any engine, any run, zero
+    // coordination). Audit output: per-split doc/cluster counts + the md5
+    // of the sorted member list (at 100 TB: per-block digests, the
+    // q_train_shards note). SplitLeakageSpec proves the counterfactual —
+    // the naive doc-keyed split DOES put cluster members on both sides.
+    "q_split_leakage_safe" -> { (s, d) =>
+      val labels = NearDup.clusters(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("member").as("doc_id"), col("cluster_rep"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("grp"),
+          col("cluster_rep").isNotNull.as("clustered"))
+        .withColumn("split",
+          when(h28(concat(col("grp").cast("string"), lit("_split"))) % 100 < 90,
+            "train").otherwise("eval"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"),
+          countDistinct(col("grp")).as("n_groups"),
+          md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("split"))
+    },
+
     // B49+B50 the full dedup recipe as ONE composed pipeline over the
     // public operator API (README "Deduplicating a corpus"): exact dedup
     // (sha-256 groups, min-id survivor) → MinHash near-dup over the exact
@@ -1006,6 +1043,33 @@ object LlmOps {
          |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r)
          |SELECT min(r) AS cluster_rep, id AS member
          |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |$sqlMinhashPairs,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.r),
+         |labels AS (SELECT min(r) AS cluster_rep, id AS member
+         |           FROM walk GROUP BY id),
+         |docs AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS grp,
+         |    l.member IS NOT NULL AS clustered
+         |  FROM documents d LEFT JOIN labels l ON l.member = d.doc_id),
+         |assigned AS (
+         |  SELECT doc_id, clustered, grp,
+         |    CASE WHEN ${sqlH28("grp::VARCHAR || '_split'")} % 100 < 90
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM docs)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE clustered) AS BIGINT) AS n_clustered,
+         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "q_dedup_survivor" ->
       s"""WITH RECURSIVE $sqlShingles,

@@ -269,6 +269,40 @@ object TrainPrep {
         .orderBy(col("shard"))
     },
 
+    // B66 collocation mining: adjacent-bigram lift (the integer-ratio form
+    // of PMI — PMI = log(lift), and ranking by lift ranks by PMI) over the
+    // whole corpus, the statistic behind tokenizer merge candidates and
+    // multi-word-expression detection. lift = c_ab·N / (c_a·c_b) as exact
+    // integer ppm. All-occurrence bigrams come from a typed flatMap in the
+    // scan stage (NearDup.shingles is DISTINCT-per-doc — wrong statistic
+    // here: collocation needs multiplicity); bigram and unigram counts are
+    // each ONE partial+final aggregate; the unigram table is
+    // vocabulary-sized (≪ corpus — broadcast; at a web-scale vocab these
+    // become shuffle joins on the term key, still linear). The integer
+    // product c_ab·1e6·N fits BIGINT through ~1e5-token-frequency × 1e9
+    // corpora; at 1e13-token scale move the ratio to log-space micro-nats
+    // (the q_text_lm_score convention) — same rank order, overflow-free.
+    "q_text_colloc" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (_, text) =>
+          val tk = text.split(" ", -1)
+          Iterator.range(0, tk.length - 1).map(i => (tk(i), tk(i + 1)))
+        }.toDF("w1", "w2")
+      val uni = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n_toks"))
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("term").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("term").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(c_ab * 1000000 * n_toks) div (c_a * c_b)").as("lift_ppm"))
+        .orderBy(col("w1"), col("w2"))
+    },
+
     // B64 corpus snapshot diff: the changelog between two curated
     // snapshots (did the curation change touch what I expected — the
     // review artifact for every recipe change). Two deterministic
@@ -436,6 +470,21 @@ object TrainPrep {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY draw, doc_id)) AS order_md5
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_text_colloc" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |big AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |        FROM t, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM big
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cu AS (SELECT term, count(*) AS c FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |       GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_toks FROM cu)
+        |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+        |  (c_ab * 1000000 * n_toks) // (a.c * b.c) AS lift_ppm
+        |FROM cab JOIN cu a ON a.term = w1 JOIN cu b ON b.term = w2, tot
+        |ORDER BY w1, w2""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH v1 AS (

@@ -57,7 +57,12 @@ class PlanSweepSpec extends SparkSpecBase {
     *    converts to broadcast at runtime when a side turns out small.
     *    Forcing `broadcast()` there would be the scale bug. */
   private val shuffleJoinOk = Set("q_join_sortmerge", "q_bucket_join",
-    "q_dedup_survivor", "q_dedup_pipeline", "q_dedup_semantic")
+    "q_dedup_survivor", "q_dedup_pipeline", "q_dedup_semantic",
+    // B67: cluster labels joined back onto the corpus — the label table is
+    // every doc in some near-dup cluster, which on a web corpus can be a
+    // third of the input (NOT broadcast-safe); same category as
+    // q_dedup_survivor, and AQE still broadcasts when it measures small
+    "q_split_leakage_safe")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
