@@ -8,18 +8,27 @@ import org.apache.spark.sql.functions.udaf
   * best (score DESC, id ASC) rows per group WITHOUT sorting the group.
   *
   * The window form (`row_number() OVER (PARTITION BY g ORDER BY ...) <= k`,
-  * q_topk_group) is the correctness baseline, but its physical plan
-  * shuffles EVERY row of the corpus to its group's reducer and sorts it
-  * there — at 100 TB the top-5-per-segment question pays a full-corpus
-  * exchange + sort. This aggregate is the scale path for the same answer:
-  * partial aggregation keeps a k-element ordered buffer per (group,
-  * partition) map-side, so the exchange carries at most k rows per group
-  * PER MAP PARTITION (k·partitions rows per group worst-case, vs the
-  * group's full cardinality), and no sort node exists anywhere — merge is
-  * an O(k) sorted-list merge. PlanSpec pins the plan shape (partial
-  * ObjectHashAggregate below the exchange, no Window, no Sort over the
-  * input); TopKAggSpec proves answer-equality with the window form and
-  * exercises the merge path across many partitions.
+  * q_topk_group) is the correctness baseline. On Spark ≥ 3.5,
+  * `InferWindowGroupLimit` already bounds ITS exchange too (a map-side
+  * WindowGroupLimit keeps ≤ k rows per group per partition — measured in
+  * SCALE.md), so shuffle volume is NOT where this aggregate wins. The
+  * remaining, real differences at 100 TB:
+  *
+  *  - the window plan's map-side WindowGroupLimit sits on top of a
+  *    per-partition Sort of the FULL input rows — payload columns
+  *    included — an O(n log n) full-width sort per partition; the
+  *    aggregate does one streaming pass with an O(k) buffer over
+  *    (score, id) alone, never touching the payload until the winners
+  *    join back;
+  *  - the aggregate COMPOSES: `agg(count(..), sum(..), topk(..))` answers
+  *    "group stats + its top examples" in ONE shuffle, where the window
+  *    form needs a separate window pass joined back to the aggregate.
+  *
+  * PlanSpec pins the plan shape (partial ObjectHashAggregate below the
+  * exchange, no Window, no Sort over the input); TopKAggSpec proves
+  * answer-equality with the window form and exercises the merge path
+  * across many partitions; SCALE.md carries the measured two-plan
+  * comparison on the 105k-doc soak corpus.
   *
   * The (score DESC, id ASC) comparator is a TOTAL order, which is what
   * makes the result deterministic and oracle-comparable — a top-k under a

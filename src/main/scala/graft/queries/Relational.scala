@@ -357,14 +357,15 @@ object Relational {
     },
 
     // B65 the same top-k-per-group answer through a bounded typed
-    // Aggregator (graft.functions.TopKAgg) instead of a window sort. The
-    // window form above shuffles and sorts EVERY customer row; this plan's
-    // partial ObjectHashAggregate reduces each map partition to a k-element
-    // buffer per segment, so the exchange carries ≤ k rows per (segment,
-    // partition) and no Sort node touches the input — the shape that
-    // survives a 100 TB corpus with a handful of groups. Same oracle as
-    // q_topk_group: the aggregate must reproduce the window answer exactly
-    // (the (acctbal DESC, custkey ASC) comparator is a total order).
+    // Aggregator (graft.functions.TopKAgg) instead of a window. Spark 4's
+    // InferWindowGroupLimit already bounds the window form's exchange, but
+    // only by first SORTING every input partition full-width; the partial
+    // ObjectHashAggregate here streams once with a k-element buffer, no
+    // Sort node anywhere below the presentation orderBy, and composes with
+    // other aggregates in the same groupBy (see TopKAgg scaladoc). Same
+    // oracle as q_topk_group: the aggregate must reproduce the window
+    // answer exactly (the (acctbal DESC, custkey ASC) comparator is a
+    // total order).
     "q_topk_agg" -> { (s, d) =>
       val topk = graft.functions.TopKAgg.topK(s, 5)
       Tables.customer(s, d)

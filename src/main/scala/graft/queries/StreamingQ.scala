@@ -399,6 +399,42 @@ object StreamingQ {
         .orderBy(col("event_id"))
     },
 
+    // B68 streaming form: train-offline / score-online. The Tukey fences
+    // are computed BATCH-side over event-level cents (exact discrete
+    // quartiles, the q_events_anomaly machinery one level down from daily
+    // volumes) and broadcast into the stream, which tags out-of-fence
+    // events as they arrive. Stateless: a per-row compare against a
+    // |event_type|-row broadcast model needs no watermark and no state
+    // store — the standard shape for any offline-trained online-applied
+    // filter (fences, quality thresholds, bloom gates), and the fence
+    // table refreshes per micro-batch like q_stream_static's dimension.
+    // Oracle = the same fences applied to all events in plain SQL.
+    "q_stream_anomaly" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val h = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Long.MinValue, 0)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val fences = cum.join(tot, "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 3) DIV 4"), col("cents"))).as("q1"),
+          min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("cents"))).as("q3"))
+      val out = mbStream(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .join(broadcast(fences), "event_type")
+        .filter(col("cents") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+          col("cents") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("q1"), col("q3"))
+      runToTable(s, out, "graft_stream_anomaly", "append")
+        .orderBy(col("event_id"))
+    },
+
     // Stream-stream interval inner join (the streaming form of B15's range
     // join): click events join purchase events of the same user within the
     // following day. Both sides carry a watermark and the join condition
@@ -797,6 +833,26 @@ object StreamingQ {
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
         |  CAST(round(e.value * 100) AS BIGINT) AS cents
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_anomaly" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+        |q AS (SELECT cum.event_type,
+        |  min(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+        |  min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+        |  FROM cum JOIN tot ON tot.event_type = cum.event_type
+        |  GROUP BY cum.event_type)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents, q.q1, q.q3
+        |FROM events e JOIN q ON q.event_type = e.event_type
+        |WHERE CAST(round(e.value * 100) AS BIGINT) * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+        |   OR CAST(round(e.value * 100) AS BIGINT) * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
         |ORDER BY e.event_id""".stripMargin,
 
     "q_stream_join" ->

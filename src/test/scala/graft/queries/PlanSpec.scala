@@ -44,9 +44,10 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("q_topk_agg keeps the bounded-aggregate shape: no window, no input sort") {
-    // the whole point of B65 is replacing the window top-k's full-corpus
-    // exchange+sort with a partial ObjectHashAggregate; a refactor that
-    // reintroduces either node silently loses the 100 TB shape
+    // B65's contract is sort-free bounded aggregation: the window form
+    // (even with Spark 4's WindowGroupLimit bounding its exchange) sorts
+    // every input partition full-width first; a refactor that reintroduces
+    // a Window or an input Sort silently loses the streaming-pass shape
     val p = plan("q_topk_agg")
     assert(!p.contains("Window ["), s"q_topk_agg regressed to a window plan:\n$p")
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
