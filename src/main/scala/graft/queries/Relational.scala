@@ -377,6 +377,27 @@ object Relational {
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
+    // B65 composability: group stats AND the group's top examples in ONE
+    // aggregate pass — count/sum/topk side by side in a single groupBy, so
+    // one shuffle answers "how big is each segment, and who are its top-3
+    // customers". The window form needs a second full pass + a join back
+    // to the stats (exactly what the oracle SQL has to do); at 100 TB that
+    // is a second scan and a second shuffle this plan never pays.
+    "q_topk_composed" -> { (s, d) =>
+      val topk = graft.functions.TopKAgg.topK(s, 3)
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          moneySum(col("c_acctbal"), 2).as("total_bal"),
+          topk(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_mktsegment"), col("n_cust"), col("total_bal"),
+          posexplode(col("top")))
+        .select(col("c_mktsegment"), col("n_cust"), col("total_bal"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col._2").as("c_custkey"), col("col._1").as("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
     // B28/B29 global multi-key sort + limit (TakeOrderedAndProject).
     "q_sort_topk" -> { (s, d) =>
       Tables.orders(s, d)
@@ -712,6 +733,23 @@ object Relational {
         |      ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
         |  FROM customer) t
         |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    // The oracle pays the two-pass price the composed aggregate avoids:
+    // a window pass for the top-3 joined back onto the group stats.
+    "q_topk_composed" ->
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, count(*) AS n_cust,
+         |    ${moneySumSql("c_acctbal", 2)} AS total_bal
+         |  FROM customer GROUP BY 1),
+         |t AS (
+         |  SELECT c_mktsegment, c_custkey, c_acctbal,
+         |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+         |  FROM customer)
+         |SELECT t.c_mktsegment, g.n_cust, g.total_bal, t.rn, t.c_custkey,
+         |  t.c_acctbal
+         |FROM t JOIN g ON g.c_mktsegment = t.c_mktsegment
+         |WHERE t.rn <= 3 ORDER BY t.c_mktsegment, t.rn""".stripMargin,
 
     "q_sort_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

@@ -59,6 +59,16 @@ class PlanSpec extends SparkSpecBase {
       s"a sort appeared below the aggregate (input-sorting plan):\n$p")
   }
 
+  test("q_topk_composed answers stats + top-k in one aggregate pass") {
+    // the composability claim: count/sum/topk in ONE groupBy means one
+    // scan and one exchange — no Window pass, no join back to the stats
+    val p = plan("q_topk_composed")
+    assert(!p.contains("Window ["), s"composed top-k regressed to a window:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"stats joined back instead of composed:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one customer scan:\n$p")
+  }
+
   test("IVF cell assignment is a partial+final aggregate, not a full-data window") {
     // assigning each vector to its best of 16 centroid cells through a
     // row_number window would shuffle 16x the corpus; the max_by aggregate
