@@ -301,6 +301,28 @@ object StreamingQ {
         .orderBy(col("day"), col("event_type"))
     },
 
+    // B65 streaming: trending top-k — the day's 3 biggest events by value,
+    // maintained INSIDE the streaming aggregation via the bounded TopKAgg
+    // buffer (state per window = one k-element buffer, not the day's
+    // events — the property that keeps streaming top-k viable on an
+    // unbounded stream; a row_number window over a stream is unsupported
+    // by Spark for exactly that reason, which makes the bounded aggregate
+    // the ONLY shape this query has). Single-batch parity harness,
+    // complete mode; oracle = the batch window top-k.
+    "q_stream_topk" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val topk = graft.functions.TopKAgg.topK(s, 3)
+      val agg = streamEvents(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(topk(col("cents").cast("double"), col("event_id")).as("top"))
+        .select(to_date(col("w.start")).as("day"), posexplode(col("top")))
+        .select(col("day"), (col("pos") + 1).cast("int").as("rn"),
+          col("col._2").as("event_id"), col("col._1").cast("long").as("cents"))
+      runToTable(s, agg, "graft_stream_topk", "complete")
+        .orderBy(col("day"), col("rn"))
+    },
+
     // B40 streaming sliding window — same shape as q_events_sliding.
     "q_stream_sliding" -> { (s, d) =>
       val agg = streamEvents(s, d)
@@ -834,6 +856,16 @@ object StreamingQ {
         |  CAST(round(e.value * 100) AS BIGINT) AS cents
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_topk" ->
+      """WITH t AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT day, event_id, cents,
+        |  CAST(row_number() OVER (PARTITION BY day
+        |    ORDER BY cents DESC, event_id) AS INT) AS rn FROM t)
+        |SELECT day, rn, event_id, cents FROM r WHERE rn <= 3
+        |ORDER BY day, rn""".stripMargin,
 
     "q_stream_anomaly" ->
       """WITH ev AS (SELECT event_type,
