@@ -248,6 +248,47 @@ object Curation {
         .orderBy(col("bin"))
     },
 
+    // B69 corpus card: the per-(source, lang) datasheet every corpus
+    // release ships — doc/char/token totals, exact-duplicate rate, mean
+    // and exact-median doc length. One pass computes the per-doc facts
+    // (sha copy-count via a window on the content hash — the one shuffle
+    // exact dup-rate costs); the median is a discrete order statistic
+    // from the per-group length HISTOGRAM (cumulative window over
+    // distinct lengths only — never the corpus; the q_text_length_clip
+    // convention), so no float percentile and no per-group sort of docs
+    // exists anywhere. All ratios are integer (ppm / integer division).
+    "q_corpus_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          sha2(col("text"), 256).as("sha"))
+      val b = docs.withColumn("n_sha",
+        count(lit(1)).over(Window.partitionBy(col("sha"))))
+      val stats = b.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_toks")).as("total_toks"),
+          sum(when(col("n_sha") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+      val h = docs.groupBy(col("source"), col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = h.withColumn("cum", sum(col("c")).over(cw))
+        .join(h.groupBy(col("source"), col("lang")).agg(sum(col("c")).as("n")),
+          Seq("source", "lang"))
+        .groupBy(col("source"), col("lang"))
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("n_chars")))
+          .as("p50_chars"))
+      stats.join(med, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+          col("total_toks"), expr("total_toks div n_docs").as("mean_toks"),
+          col("p50_chars"),
+          floor(col("n_exact_dup") * 1000000 / col("n_docs").cast("double"))
+            .cast("long").as("dup_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // Column profiler: per-column null count, exact distinct count and
     // min/max over a dynamic column list, in ONE pass (the aggregate row is
     // melted to one output row per column). Multiple exact count(distinct)
@@ -275,6 +316,36 @@ object Curation {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    sha256(text) AS sha
+        |  FROM documents),
+        |b AS (SELECT *, count(*) OVER (PARTITION BY sha) AS n_sha FROM d),
+        |st AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        |    CAST(sum(CASE WHEN n_sha > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+        |  FROM b GROUP BY 1, 2),
+        |h AS (SELECT source, lang, n_chars, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cum AS (SELECT source, lang, n_chars, c,
+        |  sum(c) OVER (PARTITION BY source, lang ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT source, lang, sum(c)::BIGINT AS n FROM h GROUP BY 1, 2),
+        |med AS (
+        |  SELECT cum.source, cum.lang,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS p50_chars
+        |  FROM cum JOIN tot ON tot.source = cum.source AND tot.lang = cum.lang
+        |  GROUP BY 1, 2)
+        |SELECT st.source, st.lang, st.n_docs, st.total_chars, st.total_toks,
+        |  st.total_toks // st.n_docs AS mean_toks, med.p50_chars,
+        |  CAST(floor(st.n_exact_dup * 1000000
+        |    / CAST(st.n_docs AS DOUBLE)) AS BIGINT) AS dup_ppm
+        |FROM st JOIN med ON med.source = st.source AND med.lang = st.lang
+        |ORDER BY st.source, st.lang""".stripMargin,
+
     "q_text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
