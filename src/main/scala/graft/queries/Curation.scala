@@ -313,9 +313,71 @@ object Curation {
           col(s"${c}__max").as("max_s"))): _*)).as("p"))
         .select(col("p.*"))
         .orderBy(col("col_name"))
+    },
+
+    // B70 SCD2 version expiry (the VACUUM/retention-planning dataflow):
+    // given a versioned history (four change batches over orders — see
+    // scdVersions), purge every version already superseded before the
+    // retention cutoff, i.e. whose validity window [version, next_version)
+    // ends at or before the cutoff — while provably keeping everything an
+    // AS OF read at any version >= cutoff needs (plus all current rows,
+    // which have no next_version). One lead() window over (key, version)
+    // decides each row's fate — ONE shuffle on the key at any scale, the
+    // same shape a table format's VACUUM planner pays. The emitted rows
+    // are the purge manifest (what a maintenance job would delete) — the
+    // auditable artifact of the operation; ScdExpirySpec proves the
+    // safety property (AS OF >= cutoff unchanged by the purge) and its
+    // tightness (AS OF cutoff-1 IS changed — nothing extra is retained).
+    "q_scd2_expire" -> { (s, d) =>
+      val w = Window.partitionBy(col("k")).orderBy(col("version"))
+      scdVersions(s, d)
+        .withColumn("next_version", lead(col("version"), 1).over(w))
+        .filter(col("next_version") <= ScdExpireCutoff)
+        .select(col("k"), col("version"), col("next_version"), col("price_cents"))
+        .orderBy(col("k"), col("version"))
     })
 
+  /** Retention cutoff for q_scd2_expire: versions superseded before
+    * version 3 are purgeable; AS OF 3 and AS OF 4 reads must survive. */
+  private[graft] val ScdExpireCutoff = 3
+
+  /** Deterministic 4-batch versioned history over orders (the deeper SCD2
+    * fixture q_scd2_expire and ScdExpirySpec share): v1 inserts every key;
+    * v2/v3/v4 update overlapping key slices (k%10=3, k%4=1, k%6=3), so keys
+    * carry 1–4 versions and every purge/keep case exists. The SAME
+    * construction is written in the oracle SQL — the expiry window is what
+    * is under test, not the fixture. */
+  private[graft] def scdVersions(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def batch(pred: Column, pctFactor: Int, version: Int): DataFrame =
+      orders.filter(pred)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * pctFactor).cast("long").as("price_cents"),
+          lit(version).as("version"))
+    batch(lit(true), 100, 1)
+      .unionByName(batch(col("o_orderkey") % 10 === 3, 110, 2))
+      .unionByName(batch(col("o_orderkey") % 4 === 1, 120, 3))
+      .unionByName(batch(col("o_orderkey") % 6 === 3, 130, 4))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_scd2_expire" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 1 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 110) AS BIGINT), 2 FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 120) AS BIGINT), 3 FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 130) AS BIGINT), 4 FROM orders WHERE o_orderkey % 6 = 3),
+        |led AS (
+        |  SELECT k, version, price_cents,
+        |    lead(version) OVER (PARTITION BY k ORDER BY version) AS next_version
+        |  FROM v)
+        |SELECT k, version, next_version, price_cents
+        |FROM led WHERE next_version <= 3
+        |ORDER BY k, version""".stripMargin,
+
     "q_corpus_card" ->
       """WITH d AS (
         |  SELECT source, lang, n_chars,

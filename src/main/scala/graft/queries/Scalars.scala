@@ -279,6 +279,31 @@ object Scalars {
         .orderBy(col("l_returnflag"))
     },
 
+    // B72 mergeable quantile sketch (graft.functions.QuantileSketch): the
+    // bounded-memory single-pass discrete quantiles a 100 TB scan needs —
+    // exact `percentile` buffers every value per group; the sketch holds ≤
+    // capacity per level and compacts deterministically. At test scale the
+    // capacity (2^19) exceeds every group, so no compaction fires and the
+    // answer is the exact rank-ceil(p·n) order statistic — which is
+    // DuckDB's quantile_disc rule, so the oracle is the plain exact query
+    // (the CMS/HLL convention: the sketch is invisible in the answer until
+    // the memory bound binds). Only binary-exact p values (1/4, 1/2, 3/4,
+    // 7/8) so ceil(p·n) never sits on a float boundary in either engine.
+    // QuantileSketchSpec measures the compacted regime's rank error.
+    "q_quantile_sketch" -> { (s, d) =>
+      val qs = graft.functions.QuantileSketch.quantiles(
+        s, capacity = 1 << 19, ps = Seq(0.25, 0.5, 0.75, 0.875))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(qs(col("l_quantity")).as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("q25"),
+          element_at(col("q"), 2).as("q50"),
+          element_at(col("q"), 3).as("q75"),
+          element_at(col("q"), 4).as("q875"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B18 skewed-key aggregation via the two-phase salted rewrite
     // (graft.operators.Skew): values must equal the direct groupBy — the
     // oracle IS the direct aggregation.
@@ -446,6 +471,14 @@ object Scalars {
         |  md5(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS m5,
         |  coalesce(nullif(n_name, 'NATION_0'), 'ZERO') AS nn
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS q50,
+        |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_disc(l_quantity, 0.875) AS q875
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

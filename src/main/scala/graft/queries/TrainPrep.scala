@@ -330,9 +330,57 @@ object TrainPrep {
             .otherwise("unchanged").as("status"))
         .filter(col("status") =!= "unchanged")
         .orderBy(col("doc_id"))
+    },
+
+    // B71 model apply (graft.operators.LinearScorer): the fasttext-style
+    // quality-classifier pass every curation pipeline runs corpus-wide —
+    // model = a (term → weight) table (here deterministically derived:
+    // vocabulary = corpus frequency ≥ 3, weight = signed md5 micro-logit,
+    // so the oracle can restate it; a trained model is a drop-in), score =
+    // exact int64 sum of matched token weights, OOV = 0 via the left join,
+    // keep = score ≥ 0. The model table is vocabulary-sized and BROADCAST,
+    // so scoring is map-side; the per-doc sum is the one token-path shuffle
+    // (doc_id only — source/lang rejoin AFTER the reduction, so the heavy
+    // path never carries the dimension strings). Output: the per-(source,
+    // lang) release audit — doc counts, keep rate ppm, total logit mass.
+    "q_model_apply" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer.score(docs, m, thresholdMicro = 0L)
+      docs.select(col("doc_id"), col("source"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("logit_micro")).as("logit_sum"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_kept"),
+          col("logit_sum"),
+          floor(col("n_kept") * 1000000 / col("n_docs").cast("double"))
+            .cast("long").as("keep_ppm"))
+        .orderBy(col("source"), col("lang"))
     })
 
   val oracle: Map[String, String] = Map(
+    "q_model_apply" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id)
+        |SELECT d.source, d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sc.logit_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(sc.logit_micro) AS BIGINT) AS logit_sum,
+        |  CAST(floor(sum(CASE WHEN sc.logit_micro >= 0 THEN 1 ELSE 0 END) * 1000000
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS keep_ppm
+        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+        |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
     "q_contamination" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
