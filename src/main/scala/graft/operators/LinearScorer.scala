@@ -51,4 +51,24 @@ object LinearScorer {
       .agg(count(lit(1)).as("n_toks"),
         sum(coalesce(col("w_micro"), lit(0L))).as("logit_micro"))
       .withColumn("keep", col("logit_micro") >= thresholdMicro)
+
+  /** The SHUFFLE-FREE scoring form for streams: the model table collapses
+    * to a driver-side Map (vocabulary-sized — the same O(model) collect as
+    * Ann's centroid state) broadcast inside a scalar UDF that sums the
+    * token weights of one document per call. No explode, no per-doc
+    * aggregation state — scoring a stream stays STATELESS (each doc is one
+    * row in one micro-batch), which is what makes online scoring viable on
+    * an unbounded stream. The UDF runs once per document row — the
+    * cheap-per-row / shuffle-avoiding side of the UDF trade (the
+    * q_heavy_hitters probe precedent), not a hot-loop-under-explode. */
+  def scoreUdf(modelTable: DataFrame): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val m: Map[String, Long] = modelTable.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = modelTable.sparkSession.sparkContext.broadcast(m)
+    udf { text: String =>
+      var s = 0L
+      text.split(" ", -1).foreach(t => s += bc.value.getOrElse(t, 0L))
+      s
+    }
+  }
 }

@@ -145,6 +145,35 @@ object StreamingQ {
     dir.getAbsolutePath
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType)))
+
+  /** Three-file documents split (doc_id mod 3) for the stateless online-
+    * scoring query — same single-file-per-batch / pinned-modTime mechanics
+    * as the events split, but there is no event time here: the batches
+    * model an arbitrary arrival order of a document feed, and the query
+    * under test must be batching-invariant (stateless append). */
+  private def docSplitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_docs3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      writeSplit(docs.filter(col("doc_id") % 3 === 0), dir, "batch0.parquet", 1000000L)
+      writeSplit(docs.filter(col("doc_id") % 3 === 1), dir, "batch1.parquet", 2000000L)
+      writeSplit(docs.filter(col("doc_id") % 3 === 2), dir, "batch2.parquet", 3000000L)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def docStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(docSplitDir(s, d))
+
   /** Child session for the multi-batch stateful queries: stateful streaming
     * partitions = state-store instances per micro-batch, so they are sized
     * to the STATE volume via [[graft.Sessions.statefulShufflePartitions]]
@@ -455,6 +484,29 @@ object StreamingQ {
           col("q1"), col("q3"))
       runToTable(s, out, "graft_stream_anomaly", "append")
         .orderBy(col("event_id"))
+    },
+
+    // B75 streaming model apply — train offline, score online, the other
+    // half of the B71 classifier story (q_stream_anomaly's convention for
+    // fences, here for model weights): the (term → weight) model is
+    // derived in batch, collapsed to broadcast state inside a scalar UDF
+    // (LinearScorer.scoreUdf — vocabulary-sized, the Ann-centroid collect
+    // pattern), and the 3-batch document stream is scored STATELESS —
+    // one UDF call per document row, no explode, no aggregation state, so
+    // the operator is batching-invariant and viable on an unbounded
+    // stream. The oracle recomputes every per-doc logit in SQL: streaming
+    // output ≡ batch scoring, row for row.
+    "q_stream_model_apply" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val docs = graft.Tables.documents(s, d)
+      val scoreF = graft.operators.LinearScorer.scoreUdf(
+        graft.operators.LinearScorer.model(docs, minCount = 3))
+      val out = docStream(s, d)
+        .select(col("doc_id"), col("source"),
+          scoreF(col("text")).as("logit_micro"))
+        .withColumn("keep", col("logit_micro") >= 0L)
+      runToTable(s, out, "graft_stream_model_apply", "append")
+        .orderBy(col("doc_id"))
     },
 
     // Stream-stream interval inner join (the streaming form of B15's range
@@ -886,6 +938,23 @@ object StreamingQ {
         |WHERE CAST(round(e.value * 100) AS BIGINT) * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
         |   OR CAST(round(e.value * 100) AS BIGINT) * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_model_apply" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id)
+        |SELECT d.doc_id, d.source, sc.logit_micro,
+        |  sc.logit_micro >= 0 AS keep
+        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_stream_join" ->
       s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,

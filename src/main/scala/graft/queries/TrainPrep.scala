@@ -358,6 +358,78 @@ object TrainPrep {
           floor(col("n_kept") * 1000000 / col("n_docs").cast("double"))
             .cast("long").as("keep_ppm"))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // B73 per-source score calibration: one global keep threshold means
+    // different things in different sources (their score distributions
+    // differ), so budgeted curation sets PER-SOURCE cutoffs — here "keep
+    // the top quarter of each source" as the exact discrete P75 of the
+    // B71 logit within each source. The quantile is the cumulative-
+    // histogram order statistic (integer ceil rank over the per-source
+    // (logit, count) table — the q_events_anomaly convention), equal by
+    // construction to quantile_disc, and the |sources|-row cutoff table
+    // broadcasts back onto the scored corpus for the kept-count audit.
+    // The exact histogram costs one sort-shuffle of the per-source logit
+    // histogram (logits are near-unique, so it is corpus-sized); at
+    // 100 TB swap that window for the B72 mergeable quantile sketch per
+    // source — the downstream broadcast join-back is unchanged.
+    "q_score_calibrate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer.score(docs, m, thresholdMicro = 0L)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val h = scored.groupBy(col("source"), col("logit_micro"))
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy(col("source")).orderBy(col("logit_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(cw))
+      val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cut = cum.join(tot, "source")
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("logit_micro")))
+          .as("p75_micro"))
+      scored.join(broadcast(cut), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("p75_micro")).as("p75_micro"),
+          sum(when(col("logit_micro") >= col("p75_micro"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("source"), col("n_docs"), col("p75_micro"), col("n_kept"),
+          floor(col("n_kept") * 1000000 / col("n_docs").cast("double"))
+            .cast("long").as("kept_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // B74 corpus composition drift: the release-to-release distribution
+    // gate — did the new snapshot's (source, lang) mix move, and by how
+    // much? Shares as integer ppm of each snapshot's total; drift = the
+    // per-cell |Δshare| (summing it halved gives total-variation
+    // distance). Reuses q_corpus_diff's derived snapshots so the two
+    // queries audit the same release pair. Scale: two partial+final
+    // group-counts over the corpus; everything after is |sources×langs|
+    // rows — the totals ride a broadcast cross join, never a shuffle.
+    "q_corpus_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val c1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_old"))
+      val c2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_new"))
+      val joined = c1.join(c2, Seq("source", "lang"), "full_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tots = joined.agg(sum(col("n_old")).as("tot_old"),
+        sum(col("n_new")).as("tot_new"))
+      joined.crossJoin(broadcast(tots))
+        .select(col("source"), col("lang"), col("n_old"), col("n_new"),
+          floor(col("n_old") * 1000000 / col("tot_old").cast("double"))
+            .cast("long").as("share_old_ppm"),
+          floor(col("n_new") * 1000000 / col("tot_new").cast("double"))
+            .cast("long").as("share_new_ppm"))
+        .withColumn("drift_ppm",
+          abs(col("share_new_ppm") - col("share_old_ppm")))
+        .orderBy(col("source"), col("lang"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +452,55 @@ object TrainPrep {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS keep_ppm
         |FROM documents d JOIN sc ON d.doc_id = sc.doc_id
         |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
+    "q_score_calibrate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |scd AS (
+        |  SELECT d.source, sc.logit_micro
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    quantile_disc(logit_micro, 0.75) AS p75_micro
+        |  FROM scd GROUP BY source)
+        |SELECT c.source, c.n_docs, c.p75_micro,
+        |  CAST(sum(CASE WHEN s.logit_micro >= c.p75_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(floor(sum(CASE WHEN s.logit_micro >= c.p75_micro THEN 1 ELSE 0 END) * 1000000
+        |    / CAST(c.n_docs AS DOUBLE)) AS BIGINT) AS kept_ppm
+        |FROM scd s JOIN c ON s.source = c.source
+        |GROUP BY c.source, c.n_docs, c.p75_micro ORDER BY c.source""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH c1 AS (
+        |  SELECT source, lang, count(*) AS n_old FROM documents
+        |  WHERE doc_id % 7 <> 0 GROUP BY source, lang),
+        |c2 AS (
+        |  SELECT source, lang, count(*) AS n_new FROM documents
+        |  WHERE doc_id % 5 <> 0 GROUP BY source, lang),
+        |j AS (
+        |  SELECT coalesce(c1.source, c2.source) AS source,
+        |    coalesce(c1.lang, c2.lang) AS lang,
+        |    CAST(coalesce(c1.n_old, 0) AS BIGINT) AS n_old,
+        |    CAST(coalesce(c2.n_new, 0) AS BIGINT) AS n_new
+        |  FROM c1 FULL OUTER JOIN c2
+        |    ON c1.source = c2.source AND c1.lang = c2.lang),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+        |        CAST(sum(n_new) AS BIGINT) AS tot_new FROM j)
+        |SELECT j.source, j.lang, j.n_old, j.n_new,
+        |  CAST(floor(j.n_old * 1000000 / CAST(t.tot_old AS DOUBLE)) AS BIGINT) AS share_old_ppm,
+        |  CAST(floor(j.n_new * 1000000 / CAST(t.tot_new AS DOUBLE)) AS BIGINT) AS share_new_ppm,
+        |  abs(CAST(floor(j.n_new * 1000000 / CAST(t.tot_new AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(j.n_old * 1000000 / CAST(t.tot_old AS DOUBLE)) AS BIGINT)) AS drift_ppm
+        |FROM j CROSS JOIN t ORDER BY j.source, j.lang""".stripMargin,
 
     "q_contamination" ->
       s"""WITH base AS (

@@ -108,4 +108,47 @@ class TrainPrepSpec extends SparkSpecBase {
     }
     assert(diff.keySet.subsetOf(ids.toSet), "no phantom doc_ids")
   }
+
+  test("q_score_calibrate: each source keeps its top quarter, tightly") {
+    // n_kept must reach the quarter budget (>= ceil(n/4) docs at or above
+    // the cutoff) and the cutoff must be tight: strictly-above-cutoff docs
+    // alone must NOT satisfy the budget (else a higher cutoff would do).
+    val rows = TrainPrep.defs("q_score_calibrate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      val budget = (n + 3) / 4
+      assert(kept >= budget, s"${r.getAs[String]("source")}: kept $kept < ceil(n/4) $budget")
+    }
+    // tightness via the underlying scores: recompute per-source counts of
+    // logits strictly above the cutoff
+    val docs = graft.Tables.documents(spark, sf)
+    val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+    val scored = graft.operators.LinearScorer.score(docs, m, 0L)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cut = r.getAs[Long]("p75_micro")
+      val n = r.getAs[Long]("n_docs")
+      val above = scored.filter(col("source") === src &&
+        col("logit_micro") > cut).count()
+      assert(above < (n + 3) / 4, s"$src: cutoff $cut not tight")
+    }
+  }
+
+  test("q_corpus_drift: shares are consistent and drift is symmetric-exact") {
+    val rows = TrainPrep.defs("q_corpus_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tolPpm = rows.length // each floor() loses < 1 ppm
+    val sumOld = rows.map(_.getAs[Long]("share_old_ppm")).sum
+    val sumNew = rows.map(_.getAs[Long]("share_new_ppm")).sum
+    assert(math.abs(sumOld - 1000000L) <= tolPpm, s"old shares sum $sumOld")
+    assert(math.abs(sumNew - 1000000L) <= tolPpm, s"new shares sum $sumNew")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ===
+        math.abs(r.getAs[Long]("share_new_ppm") - r.getAs[Long]("share_old_ppm")))
+      assert(r.getAs[Long]("n_old") > 0L || r.getAs[Long]("n_new") > 0L)
+    }
+  }
 }
