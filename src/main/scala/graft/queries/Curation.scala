@@ -335,6 +335,73 @@ object Curation {
         .filter(col("next_version") <= ScdExpireCutoff)
         .select(col("k"), col("version"), col("next_version"), col("price_cents"))
         .orderBy(col("k"), col("version"))
+    },
+
+    // B76 declarative data-quality expectations (the dbt-test / Deequ
+    // dataflow): a rule set evaluated in ONE scan — every row rule is a
+    // conditional sum in a single aggregate (plus the uniqueness rule's
+    // count-distinct), melted to one audit row per rule (the q_profile
+    // convention). At 100 TB this is the shape that matters: N rules cost
+    // one pass, not N passes; swap count_distinct for
+    // approx_count_distinct when exactness of THAT rule can relax. Two
+    // rules are deliberately violated by the fixture (price cap, date
+    // range) so the report proves detection, not just green checkmarks.
+    "q_expectations" -> { (s, d) =>
+      val agg = Tables.orders(s, d).agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull"),
+        (count(col("o_orderkey")) - count_distinct(col("o_orderkey")))
+          .as("v_unique"),
+        sum(when(to_date(col("o_orderdate")) >= lit("2000-01-01").cast("date"),
+          1L).otherwise(0L)).as("v_date"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_domain"),
+        sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("v_cap"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"))
+      val rules = Seq(
+        ("o_orderdate_before_2000", "v_date"),
+        ("o_orderkey_not_null", "v_notnull"),
+        ("o_orderkey_unique", "v_unique"),
+        ("o_orderstatus_domain", "v_domain"),
+        ("o_totalprice_le_400k", "v_cap"),
+        ("o_totalprice_positive", "v_pos"))
+      agg.select(explode(array(rules.map { case (n, c) => struct(
+          lit(n).as("rule"), col(c).as("n_violations"),
+          col("total").as("n_rows")) }: _*)).as("r"))
+        .select(col("r.*"))
+        .withColumn("violation_ppm",
+          floor(col("n_violations") * 1000000 / col("n_rows").cast("double"))
+            .cast("long"))
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy(col("rule"))
+    },
+
+    // B77 referential-integrity audit: orphan counts per FK edge, each
+    // edge ONE key-shuffled left join + conditional-sum aggregate (the
+    // parent side is PK-unique, so the join never multiplies; at 100 TB a
+    // bloom prefilter on the parent keyset — the B58 q_bloom_join shape —
+    // cuts the child shuffle to probable-orphan rows). One parent table is
+    // deliberately "damaged" (orders with key % 97 = 0 removed) so the
+    // audit proves nonzero orphan detection next to the two healthy edges.
+    "q_fk_audit" -> { (s, d) =>
+      def leg(name: String, child: DataFrame, ckey: String,
+              parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(ckey).as("k"))
+          .join(parent.select(col(pkey).as("k"), lit(1).as("hit")),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+            floor(col("n_orphans") * 1000000 / col("n_child").cast("double"))
+              .cast("long").as("orphan_ppm"))
+      val li = Tables.lineitem(s, d)
+      leg("fk_lineitem_orderkey_pruned", li, "l_orderkey",
+          Tables.orders(s, d).filter(col("o_orderkey") % 97 =!= 0), "o_orderkey")
+        .unionByName(leg("fk_lineitem_partkey", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(leg("fk_orders_custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("fk"))
     })
 
   /** Retention cutoff for q_scd2_expire: versions superseded before
@@ -361,6 +428,50 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_expectations" ->
+      """WITH t AS (SELECT count(*) AS total,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+        |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+        |  CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS v_cap,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos
+        |  FROM orders),
+        |r AS (
+        |  SELECT 'o_orderdate_before_2000' AS rule, v_date AS n_violations, total AS n_rows FROM t
+        |  UNION ALL SELECT 'o_orderkey_not_null', v_notnull, total FROM t
+        |  UNION ALL SELECT 'o_orderkey_unique', v_unique, total FROM t
+        |  UNION ALL SELECT 'o_orderstatus_domain', v_domain, total FROM t
+        |  UNION ALL SELECT 'o_totalprice_le_400k', v_cap, total FROM t
+        |  UNION ALL SELECT 'o_totalprice_positive', v_pos, total FROM t)
+        |SELECT rule, n_violations, n_rows,
+        |  CAST(floor(n_violations * 1000000 / CAST(n_rows AS DOUBLE)) AS BIGINT) AS violation_ppm,
+        |  n_violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "q_fk_audit" ->
+      """WITH l1 AS (
+        |  SELECT count(*) AS n_child,
+        |    CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM lineitem li LEFT JOIN
+        |    (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0) o
+        |    ON li.l_orderkey = o.k),
+        |l2 AS (
+        |  SELECT count(*) AS n_child,
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM lineitem li LEFT JOIN part p ON li.l_partkey = p.p_partkey),
+        |l3 AS (
+        |  SELECT count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT 'fk_lineitem_orderkey_pruned' AS fk, n_child, n_orphans FROM l1
+        |  UNION ALL SELECT 'fk_lineitem_partkey', n_child, n_orphans FROM l2
+        |  UNION ALL SELECT 'fk_orders_custkey', n_child, n_orphans FROM l3)
+        |SELECT fk, n_child, n_orphans,
+        |  CAST(floor(n_orphans * 1000000 / CAST(n_child AS DOUBLE)) AS BIGINT) AS orphan_ppm
+        |FROM r ORDER BY fk""".stripMargin,
+
     "q_scd2_expire" ->
       """WITH v AS (
         |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 1 AS version FROM orders
