@@ -337,6 +337,52 @@ object Curation {
         .orderBy(col("k"), col("version"))
     },
 
+    // B78 incremental corpus card: the q_corpus_card datasheet maintained
+    // the way a daily 100 TB ingest actually maintains it — per-partition
+    // PARTIAL states (per-(source, lang) count/char/token sums plus the
+    // per-(source, lang, n_chars) length histogram) computed on a base and
+    // a delta slice separately, then MERGED (sums of sums, histogram =
+    // sum of histograms) and finished into the card. The oracle is the
+    // full-corpus computation, so the row proves merged-incremental ≡
+    // recomputed-from-scratch (the q_incr_agg economics, extended to an
+    // order statistic: the median survives merging because the HISTOGRAM
+    // is the mergeable state, not the quantile). The exact-dup rate is
+    // deliberately absent — it needs the B49 sha index (q_dedup_bloom_gate
+    // maintains that incrementally); a mergeable sha-level state would
+    // just BE that index.
+    "q_incr_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          col("doc_id"))
+      // partial states per slice: (source, lang, n_chars) -> (c, toks)
+      def state(pred: Column): DataFrame = docs.filter(pred)
+        .groupBy(col("source"), col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"), sum(col("n_toks")).as("toks"))
+      val merged = state(col("doc_id") % 10 < 9)   // base: 90%
+        .unionByName(state(col("doc_id") % 10 === 9)) // delta: 10%
+        .groupBy(col("source"), col("lang"), col("n_chars"))
+        .agg(sum(col("c")).as("c"), sum(col("toks")).as("toks"))
+      val stats = merged.groupBy(col("source"), col("lang"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("n_chars") * col("c")).as("total_chars"),
+          sum(col("toks")).as("total_toks"))
+      val cw = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = merged.withColumn("cum", sum(col("c")).over(cw))
+        .join(stats.select(col("source"), col("lang"), col("n_docs").as("n")),
+          Seq("source", "lang"))
+        .groupBy(col("source"), col("lang"))
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("n_chars")))
+          .as("p50_chars"))
+      stats.join(med, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+          col("total_toks"), expr("total_toks div n_docs").as("mean_toks"),
+          col("p50_chars"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // B76 declarative data-quality expectations (the dbt-test / Deequ
     // dataflow): a rule set evaluated in ONE scan — every row rule is a
     // conditional sum in a single aggregate (plus the uniqueness rule's
@@ -428,6 +474,31 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_incr_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_toks
+        |  FROM d GROUP BY source, lang),
+        |h AS (SELECT source, lang, n_chars, count(*) AS c
+        |  FROM d GROUP BY source, lang, n_chars),
+        |cum AS (SELECT source, lang, n_chars,
+        |  sum(c) OVER (PARTITION BY source, lang ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |med AS (
+        |  SELECT cum.source, cum.lang,
+        |    min(CASE WHEN cum >= (st.n_docs + 1) // 2 THEN n_chars END) AS p50_chars
+        |  FROM cum JOIN st ON st.source = cum.source AND st.lang = cum.lang
+        |  GROUP BY cum.source, cum.lang)
+        |SELECT st.source, st.lang, st.n_docs, st.total_chars, st.total_toks,
+        |  st.total_toks // st.n_docs AS mean_toks, med.p50_chars
+        |FROM st JOIN med ON med.source = st.source AND med.lang = st.lang
+        |ORDER BY st.source, st.lang""".stripMargin,
+
     "q_expectations" ->
       """WITH t AS (SELECT count(*) AS total,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
