@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization geometry (SURVEY.md §2 B79): the 64-dim vector is
+  * cut into `m` subspaces of `dim/m` coordinates; each subspace gets its own
+  * `k`-centroid codebook; a vector's code is its argmin-L2 centroid per
+  * subspace — `m · log2(k)` bits per vector. Default 16 subspaces × 16
+  * centroids = 8 bytes, a 32× compression of the float32 form. The default
+  * was MEASURED, not guessed (PqSpec probe on the fixture corpus):
+  * shortlist-50 recall of exact-top-3 is 28/30 at m=16 vs 25/30 at m=8 or
+  * m=8/k=32 — finer subspaces beat more centroids or more Lloyd rounds at
+  * comparable bits on these tightly-clustered embeddings. */
+final case class PqConfig(m: Int = 16, k: Int = 16, dim: Int = 64, iters: Int = 2) {
+  require(dim % m == 0, s"dim ($dim) must divide into $m subspaces")
+  require(k >= 2 && iters >= 1, s"bad PQ config k=$k iters=$iters")
+  val subDim: Int = dim / m
+}
+
+/** Product quantization + asymmetric-distance (ADC) search — the missing
+  * half of the IVF story and the standard way ANN actually fits 100 TB of
+  * embeddings in memory (Jégou et al., "Product quantization for nearest
+  * neighbor search", TPAMI 2011): the corpus is stored as 2-byte codes, and
+  * a query scans codes with per-subspace lookup tables instead of touching
+  * any raw vector.
+  *
+  * Engine shape (all relational, no driver loops over data):
+  *  - training = `iters` Lloyd rounds per subspace, ALL subspaces in one
+  *    DataFrame keyed by (m, cent_id); seeds = the first k vectors'
+  *    subvectors (deterministic, same rule as [[Ann.kmeansFit]]); the
+  *    trained codebook (m·k·subDim rows ≈ 1024 doubles) is collected to
+  *    the driver — the Ann-centroid O(model) collect — so downstream reuse
+  *    never re-runs training through Spark's lazy DAG;
+  *  - assignment = exploded coords ⋈ BROADCAST codebook → per-(vec, m,
+  *    cent) L2 partial+final aggregate → argmin via lexicographic
+  *    `min(struct(d, cent_id))` — a second partial+final aggregate, NO
+  *    window and NO sort anywhere in the hot path;
+  *  - ADC = the query's exact per-(subspace, centroid) distance table
+  *    (n_q·m·k rows, broadcast) joined onto the corpus CODES — the scan
+  *    touches 2-byte codes, never vectors, which is the whole point.
+  *
+  * Cross-engine float discipline (the q_embed_kmeans contract): distances
+  * are rounded to 6 dp with the tie-safe floor(x·1e6+0.5)/1e6 before every
+  * argmin (cent_id ascending breaks ties), and the trained codebook is
+  * rounded to 6 dp before encoding/ADC, so the DuckDB oracle replays
+  * training + encoding + search bit-for-bit.
+  */
+object Pq {
+  private def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** (vec_id, e: array<double>) → exploded (vec_id, m, si, x). */
+  private[operators] def exploded(vecs: DataFrame, cfg: PqConfig): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("e")).as(Seq("gi", "x")))
+      .select(col("vec_id"),
+        expr(s"gi div ${cfg.subDim}").cast("long").as("m"),
+        expr(s"gi % ${cfg.subDim}").cast("long").as("si"), col("x"))
+
+  /** argmin-L2 codes per (vector, subspace) against `cents(m, cent_id, si,
+    * c)`. Deterministic: d is round-6 and the struct-min tie-breaks on
+    * cent_id ascending. */
+  private[operators] def assign(ex: DataFrame, cents: DataFrame): DataFrame =
+    ex.join(broadcast(cents), Seq("m", "si"))
+      .groupBy(col("vec_id"), col("m"), col("cent_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .select(col("vec_id"), col("m"),
+        struct(round6(col("d")).as("d"), col("cent_id").as("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+
+  /** Train the per-subspace codebooks; returns (m, cent_id, si, c) with c
+    * rounded to 6 dp, materialized as driver model state. */
+  def train(vecs: DataFrame, cfg: PqConfig): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val callerCached =
+      vecs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val v = if (callerCached) vecs
+      else vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ex = exploded(v, cfg)
+      var cents: DataFrame = ex.filter(col("vec_id") < cfg.k)
+        .select(col("m"), col("vec_id").as("cent_id"), col("si"),
+          col("x").as("c"))
+      for (_ <- 1 to cfg.iters) {
+        val upd = assign(ex, cents)
+          .join(ex, Seq("vec_id", "m"))
+          .groupBy(col("m"), col("code").as("cent_id"), col("si"))
+          .agg(avg(col("x")).as("cnew"))
+        cents = cents.join(upd, Seq("m", "cent_id", "si"), "left")
+          .select(col("m"), col("cent_id"), col("si"),
+            coalesce(col("cnew"), col("c")).as("c"))
+      }
+      cents.select(col("m"), col("cent_id"), col("si"), round6(col("c")).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.toDF("m", "cent_id", "si", "c")
+    } finally if (!callerCached) v.unpersist(blocking = false)
+  }
+
+  /** Encode the corpus: (vec_id, m, code). */
+  def encode(vecs: DataFrame, cfg: PqConfig, cents: DataFrame): DataFrame =
+    assign(exploded(vecs, cfg), cents)
+
+  /** ADC top-k: for each query vector (exact coordinates), rank the WHOLE
+    * corpus by the codebook-approximated L2 distance — the scan side reads
+    * codes only. Returns (qid, rank, vec_id, adc). */
+  def adcTopK(vecs: DataFrame, isQuery: Column, k: Int, cfg: PqConfig,
+              cents: DataFrame): DataFrame = {
+    val codes = encode(vecs, cfg, cents)
+    val qex = exploded(vecs.filter(isQuery), cfg)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val dt = qex.join(broadcast(cents), Seq("m", "si"))
+      .groupBy(col("qid"), col("m"), col("cent_id"))
+      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
+        .as("d"))
+    val adc = codes
+      .join(broadcast(dt),
+        codes("m") === dt("m") && codes("code") === dt("cent_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round6(sum(col("d"))).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+  }
+}

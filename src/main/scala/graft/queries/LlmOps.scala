@@ -145,6 +145,51 @@ object LlmOps {
        |${sqlKmeansIter(1)},
        |${sqlKmeansIter(2)}""".stripMargin
 
+  /** PQ Lloyd iteration n (mirrors [[graft.operators.Pq.train]]): per-
+    * subspace L2 assignment on round-6 distances (cent_id ascending ties),
+    * then mean update with empty-cell carry-over. */
+  private def sqlPqIter(n: Int): String = {
+    val prev = s"pc${n - 1}"
+    s"""pd$n AS (SELECT e.vec_id, e.m, p.cent_id,
+       |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM pex e JOIN $prev p ON p.m = e.m AND p.si = e.si
+       |  GROUP BY 1, 2, 3),
+       |pa$n AS (SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pd$n) t
+       |  WHERE rn = 1),
+       |pm$n AS (SELECT a.m, a.code AS cent_id, e.si, avg(e.x) AS c
+       |  FROM pa$n a JOIN pex e ON e.vec_id = a.vec_id AND e.m = a.m
+       |  GROUP BY 1, 2, 3),
+       |pc$n AS (SELECT p.m, p.cent_id, p.si, coalesce(u.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN pm$n u
+       |    ON u.m = p.m AND u.cent_id = p.cent_id AND u.si = p.si)""".stripMargin
+  }
+
+  /** Full PQ replay: explode into (m, si) subspace coords, seed codebooks
+    * from the first k vectors, 2 Lloyd rounds, round-6 codebook `pcb`,
+    * final encoding `paF` against it (mirrors Pq.train + Pq.encode with
+    * the shared [[graft.operators.PqConfig]] geometry). */
+  private val PqCfg = graft.operators.PqConfig()
+  private def sqlPqCtes: String =
+    s"""pex AS (SELECT vec_id, i // ${PqCfg.subDim} AS m, i % ${PqCfg.subDim} AS si,
+       |    embedding[i+1]::DOUBLE AS x
+       |  FROM embeddings CROSS JOIN range(${PqCfg.dim}) r(i)),
+       |pc0 AS (SELECT m, vec_id AS cent_id, si, x AS c FROM pex
+       |  WHERE vec_id < ${PqCfg.k}),
+       |${sqlPqIter(1)},
+       |${sqlPqIter(2)},
+       |pcb AS (SELECT m, cent_id, si, floor(c * 1e6 + 0.5) / 1e6 AS c
+       |  FROM pc2),
+       |pdF AS (SELECT e.vec_id, e.m, p.cent_id,
+       |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM pex e JOIN pcb p ON p.m = e.m AND p.si = e.si
+       |  GROUP BY 1, 2, 3),
+       |paF AS (SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pdF) t
+       |  WHERE rn = 1)""".stripMargin
+
   // DuckDB mirrors of the shared pieces.
   private def sqlShinglesFrom(src: String) =
     s"""sh AS (
@@ -443,6 +488,34 @@ object LlmOps {
     "q_embed_kmeans" -> { (s, d) =>
       Ann.kmeansFit(embedVecs(s, d), k = IvfCfg.numCentroids, iters = 2)
         .orderBy(col("cent_id"), col("j"))
+    },
+
+    // B79 product quantization — graft.operators.Pq (scale posture, the
+    // ADC idea, and the cross-engine float discipline documented there).
+    // Codes for the whole corpus: 4 subspaces × 16 trained centroids =
+    // 2 bytes/vector, the form a 100 TB embedding store actually keeps.
+    // Oracle replays train → encode in SQL (the q_embed_kmeans CTE
+    // lineage, per-subspace).
+    "q_embed_pq" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      val codes = graft.operators.Pq.encode(vecs, cfg,
+        graft.operators.Pq.train(vecs, cfg))
+      val cs = (0 until cfg.m).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m"))
+      codes.groupBy(col("vec_id")).agg(cs.head, cs.tail: _*)
+        .orderBy(col("vec_id"))
+    },
+
+    // B79 ADC search: 10 query vectors ranked against the PQ-coded corpus
+    // by codebook-table lookups — the scan never touches a raw corpus
+    // vector. Top-3 per query under one oracle with the trained codebook.
+    "q_embed_pq_adc" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      graft.operators.Pq.adcTopK(vecs, col("vec_id") < 10, k = 3, cfg,
+        graft.operators.Pq.train(vecs, cfg))
+        .orderBy(col("qid"), col("rank"))
     },
 
     // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
@@ -1177,6 +1250,30 @@ object LlmOps {
       s"""WITH $sqlKmeansCtes
          |SELECT cent_id, i AS j, round(c, 6) AS c_val FROM c2
          |ORDER BY cent_id, j""".stripMargin,
+
+    "q_embed_pq" ->
+      s"""WITH $sqlPqCtes
+         |SELECT vec_id,
+         |  ${(0 until PqCfg.m).map(m =>
+             s"max(CASE WHEN m = $m THEN code END) AS c$m")
+             .mkString(",\n         |  ")}
+         |FROM paF GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_embed_pq_adc" ->
+      s"""WITH $sqlPqCtes,
+         |qex AS (SELECT * FROM pex WHERE vec_id < 10),
+         |dt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM qex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT dt.qid, a.vec_id,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM paF a JOIN dt ON dt.m = a.m AND dt.cent_id = a.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, vec_id, adc FROM (
+         |  SELECT qid, vec_id, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // SemDeDup: replay the kmeans CTEs, assign on ROUNDED centroids at
     // round-6 (the vec_best_cell contract), within-cell pairs only —
