@@ -104,6 +104,54 @@ object Pq {
   def encode(vecs: DataFrame, cfg: PqConfig, cents: DataFrame): DataFrame =
     assign(exploded(vecs, cfg), cents)
 
+  /** IVF-PQ top-k (the FAISS IVFADC composition): coarse IVF cells bound
+    * WHICH codes a query scans (nprobe cells ≈ nprobe/numCentroids of the
+    * corpus), PQ bounds WHAT a scanned candidate costs (code-table lookups,
+    * no raw vector) — together the two independent levers that make
+    * billion-vector search tractable. Cell assignment is the
+    * q_embed_ann_ivf baseline (deterministic first-`numCentroids` init,
+    * cosine argmax via a map-side-combined max_by — ~n rows shuffled);
+    * candidates = codes in probed cells joined to the broadcast query
+    * distance tables. Returns (qid, rank, vec_id, adc). */
+  def ivfAdcTopK(vecs: DataFrame, isQuery: Column, k: Int, nprobe: Int,
+                 numCentroids: Int, cfg: PqConfig,
+                 cents: DataFrame): DataFrame = {
+    val n = vecs.select(col("vec_id"), col("e"),
+      sqrt(Ann.vdot(col("e"), col("e"))).as("nrm"))
+    val ivfCents = n.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(ivfCents))
+      .withColumn("cent_cos",
+        round(Ann.vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("cell"))
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = scored.filter(isQuery)
+      .withColumn("arn", row_number().over(probeW))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cent_id").as("qcell"))
+    val codes = encode(vecs, cfg, cents).join(assigned, "vec_id")
+    val qex = exploded(vecs.filter(isQuery), cfg)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val dt = qex.join(broadcast(cents), Seq("m", "si"))
+      .groupBy(col("qid"), col("m"), col("cent_id").as("code"))
+      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
+        .as("d"))
+    val adc = codes
+      .join(broadcast(probes),
+        codes("cell") === probes("qcell") && probes("qid") =!= codes("vec_id"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round6(sum(col("d"))).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+  }
+
   /** ADC top-k: for each query vector (exact coordinates), rank the WHOLE
     * corpus by the codebook-approximated L2 distance — the scan side reads
     * codes only. Returns (qid, rank, vec_id, adc). */

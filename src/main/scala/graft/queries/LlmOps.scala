@@ -518,6 +518,20 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B79 IVF-PQ (the FAISS IVFADC composition — see Pq.ivfAdcTopK): IVF
+    // cells bound WHICH codes a query scans, PQ bounds WHAT a candidate
+    // costs; the oracle replays coarse assignment + probes + PQ training +
+    // ADC ranking under one hash — the capstone of the ANN family (exact →
+    // LSH → IVF → trained IVF → PQ → IVF-PQ), every stage oracle-checked.
+    "q_embed_ivfpq" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      graft.operators.Pq.ivfAdcTopK(vecs, col("vec_id") < 10, k = 3,
+        nprobe = IvfCfg.nprobe, numCentroids = IvfCfg.numCentroids, cfg,
+        graft.operators.Pq.train(vecs, cfg))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
     // recipe, Abbas et al. 2023; full scale posture + the exact-dedup-first
     // precondition + the maxCell skew refusal documented on the operator).
@@ -1273,6 +1287,45 @@ object LlmOps {
          |SELECT qid, rank, vec_id, adc FROM (
          |  SELECT qid, vec_id, adc, row_number() OVER (
          |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_embed_ivfpq" ->
+      s"""WITH $sqlPqCtes,
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cent_id,
+         |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+         |  FROM e v JOIN e c ON c.vec_id < ${IvfCfg.numCentroids}
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cd.vec_id, cd.cent_id,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+         |  FROM cdots cd
+         |  JOIN norms nv ON nv.vec_id = cd.vec_id
+         |  JOIN norms nc ON nc.vec_id = cd.cent_id),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
+         |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
+         |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // SemDeDup: replay the kmeans CTEs, assign on ROUNDED centroids at

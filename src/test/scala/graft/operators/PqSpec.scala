@@ -91,4 +91,29 @@ class PqSpec extends SparkSpecBase {
     assert(recall50 >= 0.8, f"shortlist recall $recall50%.2f below floor 0.8")
     assert(selfHits >= 8L, s"only $selfHits/10 queries retrieve themselves")
   }
+
+  test("IVF-PQ: cell-bounded candidates, ADC values consistent with full scan") {
+    val ivfpq = Pq.ivfAdcTopK(vecs, col("vec_id") < 10, k = 3, nprobe = 2,
+      numCentroids = 16, cfg, cb).cache()
+    assert(ivfpq.groupBy("qid").count().filter(col("count") =!= 3).isEmpty)
+    // every (qid, vec_id, adc) must carry the SAME adc the full ADC scan
+    // computes — IVF only prunes candidates, it never changes a distance
+    val full = Pq.adcTopK(vecs, col("vec_id") < 10, k = Int.MaxValue, cfg, cb)
+      .select(col("qid"), col("vec_id"), col("adc"))
+    val mismatches = ivfpq.select(col("qid"), col("vec_id"), col("adc"))
+      .join(full.withColumnRenamed("adc", "adc_full"), Seq("qid", "vec_id"))
+      .filter(col("adc") =!= col("adc_full")).count()
+    assert(mismatches === 0L, s"$mismatches ADC values diverge from the full scan")
+    // measured: how often the cell-pruned top-3 equals the full-ADC top-3
+    // (self-match excluded from the full side, as IVF-PQ excludes it)
+    val full3 = full.filter(col("qid") =!= col("vec_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+    val agree = ivfpq.select(col("qid"), col("vec_id"))
+      .join(full3, Seq("qid", "vec_id"), "left_semi").count()
+    info(s"IVF-PQ top-3 agreement with full ADC (nprobe=2/16): $agree/30")
+    assert(agree >= 15L, s"cell pruning lost too much: $agree/30")
+  }
 }

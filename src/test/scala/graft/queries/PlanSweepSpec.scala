@@ -62,7 +62,13 @@ class PlanSweepSpec extends SparkSpecBase {
     // every doc in some near-dup cluster, which on a web corpus can be a
     // third of the input (NOT broadcast-safe); same category as
     // q_dedup_survivor, and AQE still broadcasts when it measures small
-    "q_split_leakage_safe")
+    "q_split_leakage_safe",
+    // B79 IVF-PQ: the PQ code table (n·m rows) joins the IVF cell
+    // assignment (n rows) on vec_id — BOTH sides are corpus-sized by
+    // definition (every vector has codes and a cell), so the co-keyed
+    // shuffled join is the only correct plan at 100 TB; AQE broadcasts at
+    // toy SF when it measures small
+    "q_embed_ivfpq")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
