@@ -133,45 +133,87 @@ object Pq {
       .withColumn("arn", row_number().over(probeW))
       .filter(col("arn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cent_id").as("qcell"))
-    val codes = encode(vecs, cfg, cents).join(assigned, "vec_id")
-    val qex = exploded(vecs.filter(isQuery), cfg)
-      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
-    val dt = qex.join(broadcast(cents), Seq("m", "si"))
-      .groupBy(col("qid"), col("m"), col("cent_id").as("code"))
-      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
-        .as("d"))
-    val adc = codes
+    val codes = codesWide(vecs, cfg, cents).join(assigned, "vec_id")
+    val dt = dtState(vecs, isQuery, cfg, cents)
+    val cand = codes
       .join(broadcast(probes),
         codes("cell") === probes("qcell") && probes("qid") =!= codes("vec_id"))
-      .join(broadcast(dt), Seq("qid", "m", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round6(sum(col("d"))).as("adc"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+      .select(col("qid"), col("vec_id"), col("codes"))
+    adcRank(cand, k, dt)
+  }
+
+  /** Corpus codes pivoted wide: (vec_id, codes array<long> in subspace
+    * order) — the 8-byte row the PQ index actually stores. */
+  private[operators] def codesWide(vecs: DataFrame, cfg: PqConfig,
+                                   cents: DataFrame): DataFrame =
+    encode(vecs, cfg, cents)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** The per-query ADC lookup tables as broadcast driver state:
+    * qid → (m → cent → round-6 distance). Queries are a SMALL set by
+    * contract (n_q·m·k entries — the Ann-centroid O(model) collect), which
+    * is what lets the corpus-side scan run map-side with zero shuffle. */
+  private def dtState(vecs: DataFrame, isQuery: Column, cfg: PqConfig,
+                      cents: DataFrame): Map[Long, Array[Array[Double]]] = {
+    val qex = exploded(vecs.filter(isQuery), cfg)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    qex.join(broadcast(cents), Seq("m", "si"))
+      .groupBy(col("qid"), col("m"), col("cent_id"))
+      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
+        .as("d"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        val t = Array.fill(cfg.m)(new Array[Double](cfg.k))
+        rows.foreach(r => t(r.getLong(1).toInt)(r.getLong(2).toInt) =
+          r.getDouble(3))
+        qid -> t
+      }
+  }
+
+  /** Map-side ADC scan + bounded top-k: `scored` = (qid, vec_id, codes)
+    * candidate rows; the UDF sums the m table lookups per row (the
+    * broadcast-model-UDF pattern — one cheap call per candidate row,
+    * never under an explode), and [[graft.functions.TopKAgg]] reduces each
+    * query's candidates to ≤ k rows PER PARTITION before the only
+    * shuffle — n_q·k rows move, no window, no sort of the candidates.
+    * (The first cut was a relational m-way explode join + window: measured
+    * 37 s / 1.7 GB shuffle on the 22k-vector soak vs ~2 s here — the scan
+    * must stay map-side for PQ to beat the raw-vector kernel.) */
+  private def adcRank(scored: DataFrame, k: Int,
+                      dt: Map[Long, Array[Array[Double]]]): DataFrame = {
+    val spark = scored.sparkSession
+    val bc = spark.sparkContext.broadcast(dt)
+    val adcUdf = udf { (qid: Long, codes: Seq[Long]) =>
+      val t = bc.value(qid)
+      var s = 0.0
+      var m = 0
+      while (m < codes.length) { s += t(m)(codes(m).toInt); m += 1 }
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    val topk = graft.functions.TopKAgg.topK(spark, k)
+    scored
+      .select(col("qid"), (-adcUdf(col("qid"), col("codes"))).as("score"),
+        col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("qid"), (col("i") + 1).as("rank"),
+        col("p._2").as("vec_id"), (-col("p._1")).as("adc"))
   }
 
   /** ADC top-k: for each query vector (exact coordinates), rank the WHOLE
     * corpus by the codebook-approximated L2 distance — the scan side reads
-    * codes only. Returns (qid, rank, vec_id, adc). */
+    * 8-byte codes only. Returns (qid, rank, vec_id, adc). */
   def adcTopK(vecs: DataFrame, isQuery: Column, k: Int, cfg: PqConfig,
               cents: DataFrame): DataFrame = {
-    val codes = encode(vecs, cfg, cents)
-    val qex = exploded(vecs.filter(isQuery), cfg)
-      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
-    val dt = qex.join(broadcast(cents), Seq("m", "si"))
-      .groupBy(col("qid"), col("m"), col("cent_id"))
-      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
-        .as("d"))
-    val adc = codes
-      .join(broadcast(dt),
-        codes("m") === dt("m") && codes("code") === dt("cent_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round6(sum(col("d"))).as("adc"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dt = dtState(vecs, isQuery, cfg, cents)
+    val qids = dt.keys.toSeq.sorted.toDF("qid")
+    val scored = codesWide(vecs, cfg, cents).crossJoin(broadcast(qids))
+    adcRank(scored.select(col("qid"), col("vec_id"), col("codes")), k, dt)
   }
 }

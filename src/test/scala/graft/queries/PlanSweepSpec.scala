@@ -44,7 +44,12 @@ class PlanSweepSpec extends SparkSpecBase {
     // shingle row as a pre-shuffle filter — the cheap-per-row /
     // shuffle-avoiding side of the UDF trade, not the hot-loop side the
     // sweep exists to catch (see HeavyHitters scaladoc)
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // B79: the ADC scan is the same broadcast-model pattern — per-candidate
+    // code-table lookups against driver-built query tables; the relational
+    // join form it replaces measured 37 s / 1.7 GB shuffle on the soak
+    // (Pq.adcRank scaladoc), so here the UDF IS the scale-correct plan
+    "q_embed_pq_adc", "q_embed_ivfpq")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
