@@ -220,7 +220,59 @@ object CurateCli {
           col("n_toks"))
     }
     counts += "06_packed" -> packed.count()
+
+    // -- 07: release audit — the pipeline's own postconditions re-verified
+    // declaratively on the EMITTED corpus (the B76 expectations shape: all
+    // row rules in one aggregate scan + the dedup-uniqueness and packing
+    // rules). A release that fails its own audit must not ship: the run
+    // aborts loudly AFTER checkpointing the audit artifact, so the failed
+    // report survives for inspection.
+    val audit = stage(spark, out, "07_release_audit") {
+      releaseAudit(splitDf, packed, cfg.packBudget)
+    }
+    val failedChecks = audit.filter(!col("pass"))
+      .select(col("check")).collect().map(_.getString(0))
+    counts += "07_audit_failures" -> failedChecks.length.toLong
+    require(failedChecks.isEmpty,
+      s"release audit failed: ${failedChecks.mkString(", ")} — see " +
+        s"$outDir/07_release_audit.parquet")
     counts.toSeq
+  }
+
+  /** The audit checks (one row per check: check, n_violations, n_rows,
+    * pass): text non-empty, sha well-formed, sha UNIQUE (the exact-dedup
+    * postcondition), split domain, and every pack bin within
+    * budget + one-doc overshoot (the shard-then-pack invariant). Package-
+    * visible so the spec can prove the checks FAIL on doctored input —
+    * an audit that cannot fail is not an audit. */
+  private[graft] def releaseAudit(splitDf: DataFrame, packed: DataFrame,
+                                  packBudget: Long): DataFrame = {
+    val rowAgg = splitDf.agg(
+      count(lit(1)).as("total"),
+      sum(when(length(col("text")) === 0 || col("text").isNull, 1L)
+        .otherwise(0L)).as("v_empty"),
+      sum(when(!col("sha").rlike("^[0-9a-f]{64}$"), 1L).otherwise(0L))
+        .as("v_sha"),
+      (count(col("sha")) - count_distinct(col("sha"))).as("v_dup"),
+      sum(when(!col("split").isin("train", "val", "test"), 1L).otherwise(0L))
+        .as("v_split"))
+    val rules = Seq(("text_nonempty", "v_empty"), ("sha_wellformed", "v_sha"),
+      ("sha_unique", "v_dup"), ("split_domain", "v_split"))
+    val rowChecks = rowAgg.select(explode(array(rules.map { case (n, c) =>
+        struct(lit(n).as("check"), col(c).as("n_violations"),
+          col("total").as("n_rows")) }: _*)).as("r"))
+      .select(col("r.*"))
+    // cum-start binning ⇒ a bin's token sum minus its largest doc is < budget
+    val bins = packed.groupBy(col("split"), col("pack_group"), col("bin"))
+      .agg(sum(col("n_toks")).as("toks"), max(col("n_toks")).as("mx"))
+    val packCheck = bins.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("toks") - col("mx") >= packBudget, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("pack_bins_within_budget").as("check"),
+        col("n_violations"), col("n_rows"))
+    rowChecks.unionByName(packCheck)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -68,10 +68,15 @@ class CurateCliSpec extends SparkSpecBase {
       "the final survivor set must be exactly the clean base docs")
     // every stage checkpoint is on disk (the restart surface)
     Seq("01_exact", "02_neardup", "03_containment", "04_quality",
-      "05_split", "06_packed").foreach { s =>
+      "05_split", "06_packed", "07_release_audit").foreach { s =>
       assert(new java.io.File(s"$out/$s.parquet/_SUCCESS").exists(),
         s"stage $s left no checkpoint")
     }
+    // the release audit shipped clean: 5 checks, 0 violations
+    assert(counts("07_audit_failures") === 0L)
+    val audit = spark.read.parquet(s"$out/07_release_audit.parquet")
+    assert(audit.count() === 5L)
+    assert(audit.filter(!col("pass")).isEmpty)
     // packing: every survivor lands in exactly one (split, group, bin)
     val packed = spark.read.parquet(s"$out/06_packed.parquet")
     assert(packed.select(col("doc_id")).distinct().count() === 10L)
@@ -140,5 +145,32 @@ class CurateCliSpec extends SparkSpecBase {
       CurateCli.run(spark, inB, out)
     }
     assert(e.getMessage.contains("different run"))
+  }
+
+  test("release audit FAILS on doctored output — an audit that cannot fail is not an audit") {
+    val s = spark
+    import s.implicits._
+    // duplicate sha (exact-dedup postcondition broken) + empty text +
+    // an off-domain split label
+    val bad = Seq(
+      (1L, "some text here", "a" * 64, 14L, "train"),
+      (2L, "other text two", "a" * 64, 14L, "val"), // dup sha
+      (3L, "", "b" * 64, 0L, "test"), // empty text
+      (4L, "fine doc words", "c" * 64, 14L, "holdout")) // bad split
+      .toDF("doc_id", "text", "sha", "n_chars", "split")
+    // one bin whose sum minus its largest doc exceeds the budget
+    val badPacked = Seq(
+      (1L, "train", 0L, 0L, 400L),
+      (2L, "train", 0L, 0L, 400L),
+      (3L, "train", 0L, 0L, 400L))
+      .toDF("doc_id", "split", "pack_group", "bin", "n_toks")
+    val audit = CurateCli.releaseAudit(bad, badPacked, packBudget = 512L)
+      .collect().map(r => r.getAs[String]("check") -> r.getAs[Boolean]("pass"))
+      .toMap
+    assert(audit("sha_unique") === false)
+    assert(audit("text_nonempty") === false)
+    assert(audit("split_domain") === false)
+    assert(audit("pack_bins_within_budget") === false)
+    assert(audit("sha_wellformed") === true) // shas are well-formed hex
   }
 }
