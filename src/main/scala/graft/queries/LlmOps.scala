@@ -492,10 +492,14 @@ object LlmOps {
 
     // B79 product quantization — graft.operators.Pq (scale posture, the
     // ADC idea, and the cross-engine float discipline documented there).
-    // Codes for the whole corpus: 4 subspaces × 16 trained centroids =
-    // 2 bytes/vector, the form a 100 TB embedding store actually keeps.
+    // Codes for the whole corpus: 16 subspaces × 16 trained centroids =
+    // 8 bytes/vector, the form a 100 TB embedding store actually keeps.
     // Oracle replays train → encode in SQL (the q_embed_kmeans CTE
-    // lineage, per-subspace).
+    // lineage, per-subspace). Bench note: each B79 query TRAINS from
+    // scratch so the whole train→encode→search chain sits under one
+    // oracle (the q_embed_ann_ivf_trained convention) — that training is
+    // ~all of their bench time; production trains once and reuses the
+    // driver-materialized codebook Pq.train returns.
     "q_embed_pq" -> { (s, d) =>
       val cfg = graft.operators.PqConfig()
       val vecs = embedVecs(s, d)
