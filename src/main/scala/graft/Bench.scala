@@ -48,7 +48,11 @@ package graft
   *    a first-class number, not arithmetic the reader must do;
   *  - the deliberately-quadratic all-pairs correctness baseline
   *    q_dedup_ngram_jaccard is excluded: it exists as the oracle for the LSH
-  *    variants at small sf and would be three-quarters of the wall time here.
+  *    variants at small sf and would be three-quarters of the wall time here;
+  *  - `"drifted"` is the committed-baseline regression gate (r10 verdict #1,
+  *    rules in [[driftOf]]): entries > 1.5× their frozen `bench_baseline.json`
+  *    median (+0.5 s absolute; data-bound form for the stream-join entries).
+  *    Perf claims cite this gate, not hand-run medians.
   */
 object Bench {
   private val excluded = Set("q_dedup_ngram_jaccard")
@@ -58,6 +62,58 @@ object Bench {
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
   }
+
+  /** Committed-baseline drift gate (r10 verdict #1): three straight rounds
+    * hand-adjudicated ±25% single-box noise, so the comparison is now a
+    * machine check against `bench_baseline.json` (BENCH_r10's clean
+    * medians, frozen in-repo) instead of medians re-derived by hand every
+    * round. An entry DRIFTS when its current median exceeds `ratio` × its
+    * committed median AND by more than `minDeltaS` absolute — the ratio
+    * alone would flag 0.2 s → 0.35 s scheduler jitter on the small
+    * entries, and the delta alone would miss a 2× regression there; a real
+    * regression at this catalog's scale moves both. Stream-join entries
+    * compare DATA-BOUND time (median − stream_join_floor, each side
+    * against its own round's floor) because ~60–85% of their wall time is
+    * fixed harness cost the operator doesn't own — the same subtraction
+    * the per-entry `stream_join_data_bound_s` field reports. All-failed
+    * queries (median 0) are `failed`'s concern, not drift's. Returns
+    * (drifted rows (name, base, cur, ratio), names missing a baseline —
+    * i.e. entries newer than the frozen file, for the next re-freeze). */
+  private[graft] def driftOf(results: Seq[(String, Double)],
+                             baseline: Map[String, Double],
+                             joinFloorCur: Double, joinFloorBase: Double,
+                             ratio: Double = 1.5,
+                             minDeltaS: Double = 0.5): (Seq[(String, Double, Double, Double)], Seq[String]) = {
+    val drifted = results.flatMap { case (name, cur) =>
+      baseline.get(name).flatMap { base =>
+        val isJoin = name.startsWith("q_stream_join")
+        val c = if (isJoin) math.max(0.0, cur - joinFloorCur) else cur
+        val b = if (isJoin) math.max(0.0, base - joinFloorBase) else base
+        if (cur > 0.0 && c > ratio * b && c - b > minDeltaS)
+          Some((name, b, c, if (b > 0) c / b else Double.PositiveInfinity))
+        else None
+      }
+    }
+    (drifted, results.collect { case (n, _) if !baseline.contains(n) => n })
+  }
+
+  /** (per-query baseline medians, baseline stream_join_floor_s) from the
+    * committed JSON; None (with a stderr note) if absent/unreadable — the
+    * bench must keep reporting timings even if the gate file is gone. */
+  private def loadBaseline(path: String): Option[(Map[String, Double], Double)] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) { System.err.println(s"[bench] no baseline at $path"); None }
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val it = root.get("queries").fields()
+        val m = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
+        Some((m.result(), root.get("stream_join_floor_s").asDouble()))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline unreadable: $e"); None
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,8 +215,30 @@ object Bench {
     val dataBound = joinEntries
       .map { case (k, v) => "\"" + k + "\":" + sec(math.max(0.0, v - joinFloorS)) }
       .mkString("{", ",", "}")
+    // committed-baseline drift gate (see driftOf): "drifted" is the
+    // machine-checked regression list the round's perf adjudication keys
+    // on; "drift_unbaselined" lists entries newer than the frozen file
+    // (re-freeze the baseline when they accumulate). A missing baseline
+    // file reports drift_baseline_found=false rather than fabricating an
+    // empty gate result.
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val baselineOpt = loadBaseline(baselinePath)
+    val (driftedRows, unbaselined) = baselineOpt match {
+      case Some((bq, bf)) =>
+        driftOf(results.map(t => (t._1, t._2)), bq, joinFloorS, bf)
+      case None => (Nil, Nil)
+    }
+    val driftJson = driftedRows
+      .map { case (k, b, c, r) =>
+        "\"" + k + "\":{\"base\":" + sec(b) + ",\"cur\":" + sec(c) +
+          ",\"ratio\":" + sec(r) + "}"
+      }.mkString("{", ",", "}")
+    val unbJson = unbaselined.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftFields =
+      s""""drifted":$driftJson,"drift_unbaselined":$unbJson,"drift_baseline_found":${baselineOpt.nonEmpty},"drift_ratio":1.5,"drift_min_delta_s":0.5"""
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,$driftFields,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a
     // log-tail capture window, so a parser that only sees the end of the run
     // can find the line's tail but not its head. Emit a second, compact line
@@ -174,7 +252,7 @@ object Bench {
     // "queries" map must never mistake this truncated top-20 map for the
     // complete per-query set (that is the full line / bench_last.json).
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","slowest20":$top,"queries_reported":${math.min(20, results.size)},"queries_run":${results.size},"failed":$failed,"partial_failures":$partial,"runs":$runsN,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,$driftFields,"sf":"$sfDir","full":"target/bench_last.json"}"""
     // Both lines on BOTH streams so the driver's parser finds one regardless
     // of which stream it captures; full line also persisted to a file so a
     // truncated log tail can never lose it.

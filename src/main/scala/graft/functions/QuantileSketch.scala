@@ -52,7 +52,16 @@ object QuantileSketch {
     levels
   }
 
-  class QSketch(capacity: Int, ps: Seq[Double])(
+  /** @param requireExact fail loudly in `finish` if compaction ever fired
+    *   (i.e. any value sits above level 0, so the answer is an estimate).
+    *   The exact-regime catalog entry (q_quantile_sketch) sets this: its
+    *   DuckDB oracle is the exact `quantile_disc`, and the match silently
+    *   depended on every group staying ≤ capacity — at a larger sf the
+    *   entry would drift from its oracle with no guard (r10 ADVICE). With
+    *   the flag the invariant is CHECKED per group, not assumed: a group
+    *   outgrowing the capacity turns a baffling hash mismatch into an
+    *   explicit error naming the fix (raise capacity or accept estimates). */
+  class QSketch(capacity: Int, ps: Seq[Double], requireExact: Boolean = false)(
       implicit bEnc: Encoder[Levels], oEnc: Encoder[Seq[Double]])
     extends Aggregator[Double, Levels, Seq[Double]] {
     require(capacity >= 8, s"capacity ($capacity) must be >= 8")
@@ -78,6 +87,12 @@ object QuantileSketch {
     /** Discrete quantile at weighted rank ceil(p·n) — exact when no
       * compaction fired (all weights 1). */
     def finish(b: Levels): Seq[Double] = {
+      if (requireExact && b.drop(1).exists(_.nonEmpty))
+        throw new IllegalStateException(
+          s"QuantileSketch(requireExact): compaction fired — a group exceeded " +
+            s"capacity $capacity, so the result would be an estimate, not the " +
+            "exact quantile_disc the caller declared. Raise capacity or drop " +
+            "requireExact (and the exact oracle) for this use.")
       val items = (for {
         (lvl, l) <- b.zipWithIndex
         v <- lvl
@@ -98,8 +113,9 @@ object QuantileSketch {
   }
 
   /** One-column aggregate `quantiles(x)` → `array<double>` in `ps` order. */
-  def quantiles(spark: SparkSession, capacity: Int, ps: Seq[Double]): UserDefinedFunction = {
+  def quantiles(spark: SparkSession, capacity: Int, ps: Seq[Double],
+                requireExact: Boolean = false): UserDefinedFunction = {
     import spark.implicits._
-    udaf(new QSketch(capacity, ps))
+    udaf(new QSketch(capacity, ps, requireExact))
   }
 }

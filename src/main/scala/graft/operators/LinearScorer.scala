@@ -65,10 +65,18 @@ object LinearScorer {
     val m: Map[String, Long] = modelTable.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bc = modelTable.sparkSession.sparkContext.broadcast(m)
+    // null text scores 0 — the no-tokens-matched value, NOT a dropped row
+    // (r10 ADVICE: the first cut NPE'd here while the join+agg form silently
+    // dropped the doc via explode-of-null; neither was a decision). 0 is the
+    // all-OOV logit, so the threshold handles null and unseen text the same
+    // way; callers wanting nulls gone filter them explicitly upstream.
     udf { text: String =>
-      var s = 0L
-      text.split(" ", -1).foreach(t => s += bc.value.getOrElse(t, 0L))
-      s
+      if (text == null) 0L
+      else {
+        var s = 0L
+        text.split(" ", -1).foreach(t => s += bc.value.getOrElse(t, 0L))
+        s
+      }
     }
   }
 }

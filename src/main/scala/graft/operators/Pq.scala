@@ -84,6 +84,17 @@ object Pq {
       var cents: DataFrame = ex.filter(col("vec_id") < cfg.k)
         .select(col("m"), col("vec_id").as("cent_id"), col("si"),
           col("x").as("c"))
+      // seed-contract check (r10 ADVICE): the deterministic seed rule takes
+      // the k vectors with vec_id 0..k−1 — on a corpus whose ids are sparse
+      // or offset it would otherwise SILENTLY train fewer than k centroids
+      // per subspace and codes would stop spanning [0, k). One cheap count
+      // on the cached input turns that into a loud error naming the fix.
+      val seedRows = cents.count()
+      val wantRows = cfg.m.toLong * cfg.k * cfg.subDim
+      require(seedRows == wantRows,
+        s"Pq.train seeds codebooks from vec_id 0..${cfg.k - 1}: found " +
+          s"$seedRows seed coord rows, need $wantRows — re-key the corpus " +
+          "to dense 0-based vec_ids (or densify ids upstream) before training")
       for (_ <- 1 to cfg.iters) {
         val upd = assign(ex, cents)
           .join(ex, Seq("vec_id", "m"))

@@ -290,9 +290,13 @@ object Scalars {
     // the memory bound binds). Only binary-exact p values (1/4, 1/2, 3/4,
     // 7/8) so ceil(p·n) never sits on a float boundary in either engine.
     // QuantileSketchSpec measures the compacted regime's rank error.
+    // requireExact (r10 ADVICE): the exact-regime assumption is CHECKED —
+    // a group outgrowing the capacity fails loudly instead of silently
+    // diverging from the exact oracle at a larger sf.
     "q_quantile_sketch" -> { (s, d) =>
       val qs = graft.functions.QuantileSketch.quantiles(
-        s, capacity = 1 << 19, ps = Seq(0.25, 0.5, 0.75, 0.875))
+        s, capacity = 1 << 19, ps = Seq(0.25, 0.5, 0.75, 0.875),
+        requireExact = true)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(qs(col("l_quantity")).as("q"))
@@ -319,12 +323,27 @@ object Scalars {
         .orderBy(col("l_returnflag"))
     },
 
-    // B20 approx distinct (HLL): no DuckDB oracle (sketches differ) —
-    // rows-only check; exactness asserted in ApproxSpec against countDistinct.
+    // B20 approx distinct (HLL), DIFFERENTIAL form (r10 verdict #2): the
+    // sketch estimate itself is engine-private (Spark's HLL++ and DuckDB's
+    // HLL produce different numbers by design), so the hash-checkable row is
+    // the BOUND CHECK — per group, `within_bound` = |approx − exact| ≤
+    // 5·rsd·exact, which the oracle computes as a constant `true` from its
+    // exact count. A broken HLL (or a broken bound) flips the boolean and
+    // the hash catches it; ApproxSpec still pins the tighter empirical
+    // error. 5·rsd, not 3·rsd: HLL++'s error is ~Gaussian with σ = rsd, so
+    // 3σ fails one group in ~370 across rounds/sfs — a flake budget this
+    // catalog doesn't carry; 5σ is ~1e-7 while still 25× tighter than a
+    // trivial bound. Both aggregates run in the SAME one-pass groupBy (the
+    // exact countDistinct is the test-scale oracle anchor; at 100 TB the
+    // sketch runs alone and the bound is monitored on sampled partitions).
     "q_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast("double") <=
+            lit(5 * 0.01) * col("exact_orders")).as("within_bound"))
         .orderBy(col("l_returnflag"))
     })
 
@@ -471,6 +490,17 @@ object Scalars {
         |  md5(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS m5,
         |  coalesce(nullif(n_name, 'NATION_0'), 'ZERO') AS nn
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // the bound check is the hash-checkable claim (see the query comment):
+    // the oracle's exact count must equal Spark's countDistinct, and the
+    // oracle asserts the 5·rsd envelope holds by emitting the constant it
+    // predicts — a Spark-side HLL drifting outside the envelope flips
+    // within_bound and the hash mismatches.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT l_returnflag,

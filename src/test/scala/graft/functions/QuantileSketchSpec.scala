@@ -86,4 +86,20 @@ class QuantileSketchSpec extends SparkSpecBase {
     assert(run(1) === exp)
     assert(run(32) === exp)
   }
+
+  test("requireExact: exact regime still answers, compaction fails loudly") {
+    // r10 ADVICE guard: the exact-oracle catalog entry silently depended on
+    // every group staying <= capacity; with requireExact the invariant is
+    // checked at finish — outgrowing the capacity is an error naming the
+    // fix, not a baffling oracle hash mismatch at a larger sf.
+    val s = spark
+    import s.implicits._
+    val agg = new QuantileSketch.QSketch(capacity = 8, ps = Seq(0.5),
+      requireExact = true)
+    val small = (1 to 8).map(_.toDouble).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small) === Seq(4.0))
+    val big = (1 to 100).map(_.toDouble).foldLeft(agg.zero)(agg.reduce)
+    val e = intercept[IllegalStateException](agg.finish(big))
+    assert(e.getMessage.contains("compaction fired"))
+  }
 }

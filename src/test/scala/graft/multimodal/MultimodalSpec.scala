@@ -68,6 +68,34 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("image decode round-trips a block-uniform gray JPEG exactly (the q_image_decode_jpeg envelope)") {
+    // the lossy-codec exactness envelope the JPEG catalog entry relies on:
+    // 8x8-block-uniform gray content at compression quality 1.0 is DC-only
+    // per block with Cb=Cr=128 exactly, so encode->decode is bit-exact and
+    // a closed-form pixel formula stays oracle-checkable (see Media.jpegDir)
+    val (w, h) = (16, 12)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var want = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ((7 * 37 + (x / 8) * 59 + (y / 8) * 83) % 256)
+      want += g
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = jw.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      jw.setOutput(ios)
+      jw.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); jw.dispose() }
+    val f = Multimodal.decodeImage(7L, bos.toByteArray)
+    assert(f == Multimodal.ImageFeatures(7L, w, h, want, want, want))
+  }
+
   test("wav decode rejects a non-RIFF payload instead of misparsing it") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav(1L, Array.fill[Byte](64)(0x41))

@@ -68,4 +68,20 @@ class LinearScorerSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "model join must broadcast")
   }
+
+  test("scoreUdf scores null text as 0 — the all-OOV convention, not an NPE") {
+    // r10 ADVICE: the first cut NPE'd on null text while the join+agg form
+    // silently dropped the row; neither was a decision. The documented
+    // contract is now logit 0 (no tokens matched) for null input.
+    val docs = docsDf(corpus)
+    val f = LinearScorer.scoreUdf(LinearScorer.model(docs, minCount = 2))
+    val s = spark
+    import s.implicits._
+    val out = Seq((10L, null: String), (11L, "alpha beta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), f(col("text")).as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 0L)
+    assert(out(11L) === refWeight("alpha") + refWeight("beta"))
+  }
 }

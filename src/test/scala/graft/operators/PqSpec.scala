@@ -116,4 +116,13 @@ class PqSpec extends SparkSpecBase {
     info(s"IVF-PQ top-3 agreement with full ADC (nprobe=2/16): $agree/30")
     assert(agree >= 15L, s"cell pruning lost too much: $agree/30")
   }
+
+  test("train refuses a corpus whose vec_ids do not cover 0..k-1 (seed guard)") {
+    // r10 ADVICE: the deterministic seed rule assumes dense 0-based ids —
+    // on a sparse/offset corpus it would silently train < k centroids per
+    // subspace. The guard turns that into a loud contract error.
+    val sparse = vecs.withColumn("vec_id", col("vec_id") * 2 + 1000)
+    val e = intercept[IllegalArgumentException](Pq.train(sparse, cfg))
+    assert(e.getMessage.contains("seed"))
+  }
 }

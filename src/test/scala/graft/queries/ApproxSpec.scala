@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpecBase, Tables}
 
 /** B20: approx_count_distinct (HLL) tracks the exact distinct count within
-  * the declared rsd (q_approx_distinct has no DuckDB oracle — sketches are
-  * engine-private — so THIS is its correctness evidence). */
+  * the declared rsd. Since r11 the catalog entry is DIFFERENTIAL (it emits
+  * the exact count plus a 5·rsd bound check the DuckDB oracle hash-verifies);
+  * this spec keeps the tighter empirical error evidence. */
 class ApproxSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
 
@@ -44,9 +45,14 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
-  test("q_approx_distinct query shape returns one row per returnflag") {
+  test("q_approx_distinct is differential: exact count + a true bound check per group") {
+    // r10 verdict #2: the catalog entry now emits (exact count, 5·rsd bound
+    // check) so the DuckDB oracle hash-checks it — within_bound must be
+    // true on every group or the entry diverges from its oracle.
     val df = graft.SparkEntry.queries("q_approx_distinct")(spark, sf)
-    assert(df.columns.toSeq === Seq("l_returnflag", "approx_orders"))
-    assert(df.count() === 3)
+    assert(df.columns.toSeq === Seq("l_returnflag", "exact_orders", "within_bound"))
+    val rows = df.collect()
+    assert(rows.length === 3)
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} outside 5*rsd"))
   }
 }
