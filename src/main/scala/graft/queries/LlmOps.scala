@@ -148,47 +148,80 @@ object LlmOps {
   /** PQ Lloyd iteration n (mirrors [[graft.operators.Pq.train]]): per-
     * subspace L2 assignment on round-6 distances (cent_id ascending ties),
     * then mean update with empty-cell carry-over. */
-  private def sqlPqIter(n: Int): String = {
-    val prev = s"pc${n - 1}"
-    s"""pd$n AS (SELECT e.vec_id, e.m, p.cent_id,
+  private def sqlPqIter(n: Int, src: String = "pex", f: String = "p"): String = {
+    val prev = s"${f}c${n - 1}"
+    s"""${f}d$n AS (SELECT e.vec_id, e.m, p.cent_id,
        |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
-       |  FROM pex e JOIN $prev p ON p.m = e.m AND p.si = e.si
+       |  FROM $src e JOIN $prev p ON p.m = e.m AND p.si = e.si
        |  GROUP BY 1, 2, 3),
-       |pa$n AS (SELECT vec_id, m, cent_id AS code FROM (
+       |${f}a$n AS (SELECT vec_id, m, cent_id AS code FROM (
        |    SELECT vec_id, m, cent_id, row_number() OVER (
-       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pd$n) t
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}d$n) t
        |  WHERE rn = 1),
-       |pm$n AS (SELECT a.m, a.code AS cent_id, e.si, avg(e.x) AS c
-       |  FROM pa$n a JOIN pex e ON e.vec_id = a.vec_id AND e.m = a.m
+       |${f}m$n AS (SELECT a.m, a.code AS cent_id, e.si, avg(e.x) AS c
+       |  FROM ${f}a$n a JOIN $src e ON e.vec_id = a.vec_id AND e.m = a.m
        |  GROUP BY 1, 2, 3),
-       |pc$n AS (SELECT p.m, p.cent_id, p.si, coalesce(u.c, p.c) AS c
-       |  FROM $prev p LEFT JOIN pm$n u
+       |${f}c$n AS (SELECT p.m, p.cent_id, p.si, coalesce(u.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN ${f}m$n u
        |    ON u.m = p.m AND u.cent_id = p.cent_id AND u.si = p.si)""".stripMargin
   }
 
-  /** Full PQ replay: explode into (m, si) subspace coords, seed codebooks
-    * from the first k vectors, 2 Lloyd rounds, round-6 codebook `pcb`,
-    * final encoding `paF` against it (mirrors Pq.train + Pq.encode with
-    * the shared [[graft.operators.PqConfig]] geometry). */
+  /** The PQ train→encode replay over any exploded-coords CTE `src`
+    * ((vec_id, m, si, x)), CTE names prefixed `f`: seed codebooks from the
+    * first k vectors, 2 Lloyd rounds, round-6 codebook `${f}cb`, final
+    * encoding `${f}aF` against it (mirrors Pq.train + Pq.encode with the
+    * shared [[graft.operators.PqConfig]] geometry). Parameterized so the
+    * residual-IVFADC oracle replays the SAME training machinery over
+    * residual coords (prefix `r`) that the raw PQ entries use over raw
+    * coords (prefix `p`). */
   private val PqCfg = graft.operators.PqConfig()
+  private def sqlPqTrainEncode(src: String, f: String, seedFrom: Int = 0): String =
+    s"""${f}c0 AS (SELECT m, vec_id - $seedFrom AS cent_id, si, x AS c FROM $src
+       |  WHERE vec_id >= $seedFrom AND vec_id < $seedFrom + ${PqCfg.k}),
+       |${sqlPqIter(1, src, f)},
+       |${sqlPqIter(2, src, f)},
+       |${f}cb AS (SELECT m, cent_id, si, floor(c * 1e6 + 0.5) / 1e6 AS c
+       |  FROM ${f}c2),
+       |${f}dF AS (SELECT e.vec_id, e.m, p.cent_id,
+       |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM $src e JOIN ${f}cb p ON p.m = e.m AND p.si = e.si
+       |  GROUP BY 1, 2, 3),
+       |${f}aF AS (SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}dF) t
+       |  WHERE rn = 1)""".stripMargin
+
   private def sqlPqCtes: String =
     s"""pex AS (SELECT vec_id, i // ${PqCfg.subDim} AS m, i % ${PqCfg.subDim} AS si,
        |    embedding[i+1]::DOUBLE AS x
        |  FROM embeddings CROSS JOIN range(${PqCfg.dim}) r(i)),
-       |pc0 AS (SELECT m, vec_id AS cent_id, si, x AS c FROM pex
-       |  WHERE vec_id < ${PqCfg.k}),
-       |${sqlPqIter(1)},
-       |${sqlPqIter(2)},
-       |pcb AS (SELECT m, cent_id, si, floor(c * 1e6 + 0.5) / 1e6 AS c
-       |  FROM pc2),
-       |pdF AS (SELECT e.vec_id, e.m, p.cent_id,
-       |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
-       |  FROM pex e JOIN pcb p ON p.m = e.m AND p.si = e.si
-       |  GROUP BY 1, 2, 3),
-       |paF AS (SELECT vec_id, m, cent_id AS code FROM (
-       |    SELECT vec_id, m, cent_id, row_number() OVER (
-       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM pdF) t
-       |  WHERE rn = 1)""".stripMargin
+       |${sqlPqTrainEncode("pex", "p")}""".stripMargin
+
+  /** The IVF coarse-quantizer replay shared by the IVF-PQ oracles:
+    * first-`numCentroids` centroids, cosine argmax cell per vector,
+    * top-`nprobe` probed cells for the 10 query vectors (mirrors
+    * Pq.ivfParts / the q_embed_ann_ivf baseline). */
+  private def sqlIvfCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+       |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cent_id,
+       |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+       |  FROM e v JOIN e c ON c.vec_id < ${IvfCfg.numCentroids}
+       |  CROSS JOIN range(64) r(i)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT cd.vec_id, cd.cent_id,
+       |    row_number() OVER (PARTITION BY cd.vec_id
+       |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+       |  FROM cdots cd
+       |  JOIN norms nv ON nv.vec_id = cd.vec_id
+       |  JOIN norms nc ON nc.vec_id = cd.cent_id),
+       |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
+       |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
+       |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10)""".stripMargin
 
   // DuckDB mirrors of the shared pieces.
   private def sqlShinglesFrom(src: String) =
@@ -533,6 +566,27 @@ object LlmOps {
       graft.operators.Pq.ivfAdcTopK(vecs, col("vec_id") < 10, k = 3,
         nprobe = IvfCfg.nprobe, numCentroids = IvfCfg.numCentroids, cfg,
         graft.operators.Pq.train(vecs, cfg))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B79 CANONICAL residual IVFADC (r10 verdict #3): PQ trained and
+    // applied on x − centroid(cell) over the TRAINED coarse quantizer
+    // (kmeansFit — the full Jégou 2011 §IV composition; see
+    // Pq.ivfAdcResidualTopK for the measured evidence that the untrained
+    // first-N quantizer INFLATES residual energy 1.5× on this corpus and
+    // must not be used here). Per-(query, probed-cell) distance tables.
+    // The oracle replays kmeans training + assignment + residual
+    // computation + residual PQ training + encoding + per-cell ADC under
+    // one hash — the deepest oracle replay in the catalog.
+    "q_embed_ivfpq_residual" -> { (s, d) =>
+      val emb = embedVecs(s, d)
+      val cents = Ann.kmeansFit(emb, k = IvfCfg.numCentroids, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce"))
+      graft.operators.Pq.ivfAdcResidualTopK(emb, col("vec_id") < 10, k = 3,
+        nprobe = IvfCfg.nprobe, cents, graft.operators.PqConfig(),
+        pqSeedFrom = IvfCfg.numCentroids)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1295,26 +1349,7 @@ object LlmOps {
 
     "q_embed_ivfpq" ->
       s"""WITH $sqlPqCtes,
-         |e AS (SELECT vec_id, embedding FROM embeddings),
-         |norms AS (
-         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
-         |cdots AS (
-         |  SELECT v.vec_id, c.vec_id AS cent_id,
-         |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
-         |  FROM e v JOIN e c ON c.vec_id < ${IvfCfg.numCentroids}
-         |  CROSS JOIN range(64) r(i)
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT cd.vec_id, cd.cent_id,
-         |    row_number() OVER (PARTITION BY cd.vec_id
-         |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
-         |  FROM cdots cd
-         |  JOIN norms nv ON nv.vec_id = cd.vec_id
-         |  JOIN norms nc ON nc.vec_id = cd.cent_id),
-         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1),
-         |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
-         |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
+         |$sqlIvfCtes,
          |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
          |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
          |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
@@ -1326,6 +1361,53 @@ object LlmOps {
          |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
          |  FROM cand c JOIN paF f ON f.vec_id = c.cid
          |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // canonical residual IVFADC: the kmeans replay (sqlKmeansCtes — shared
+    // with q_embed_kmeans / q_embed_ann_ivf_trained) + round-6 trained
+    // centroids + cosine assignment, then the SAME PQ train→encode
+    // machinery over RESIDUAL coords (x − trained cell centroid, prefix r),
+    // and a per-(query, probed cell) distance table — every stage of
+    // Jégou 2011 §IV under one hash
+    "q_embed_ivfpq_residual" ->
+      s"""WITH $sqlKmeansCtes,
+         |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
+         |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
+         |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
+         |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
+         |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 9) AS ccos
+         |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
+         |         JOIN crn ON crn.cent_id = dq.cent_id),
+         |rk AS (SELECT vec_id, cent_id, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM rk WHERE arn = 1),
+         |probes AS (SELECT vec_id AS qid, cent_id AS qcell FROM rk
+         |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
+         |rex AS (SELECT ex.vec_id, ex.i // ${PqCfg.subDim} AS m,
+         |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
+         |  FROM ex JOIN assigned a ON a.vec_id = ex.vec_id
+         |  JOIN cr ON cr.cent_id = a.cell AND cr.i = ex.i),
+         |${sqlPqTrainEncode("rex", "r", seedFrom = IvfCfg.numCentroids)},
+         |qrex AS (SELECT p.qid, p.qcell AS cell, ex.i // ${PqCfg.subDim} AS m,
+         |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
+         |  FROM probes p JOIN ex ON ex.vec_id = p.qid
+         |  JOIN cr ON cr.cent_id = p.qcell AND cr.i = ex.i),
+         |qdt AS (SELECT qx.qid, qx.cell, qx.m, p.cent_id,
+         |    floor(sum((qx.x - p.c)*(qx.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM qrex qx JOIN rcb p ON p.m = qx.m AND p.si = qx.si
+         |  GROUP BY 1, 2, 3, 4),
+         |cand AS (SELECT p.qid, p.qcell AS cell, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.qcell AND a.vec_id != p.qid),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN raF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.cell = c.cell
+         |    AND dt.m = f.m AND dt.cent_id = f.code
          |  GROUP BY 1, 2)
          |SELECT qid, rank, cid AS vec_id, adc FROM (
          |  SELECT qid, cid, adc, row_number() OVER (

@@ -117,6 +117,98 @@ class PqSpec extends SparkSpecBase {
     assert(agree >= 15L, s"cell pruning lost too much: $agree/30")
   }
 
+  /** Exact-L2 top-3 restricted to a candidate set (codes in the probed
+    * cells, self excluded) — the gold that isolates how faithfully a coding
+    * ranks what it actually scans. */
+  private def exactL2Top3(assigned: org.apache.spark.sql.DataFrame,
+                          probes: org.apache.spark.sql.DataFrame,
+                          nQ: Int) = {
+    val cand = assigned
+      .join(probes, assigned("cell") === probes("qcell") &&
+        probes("qid") =!= assigned("vec_id"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val ex = Pq.exploded(vecs, cfg)
+    val qex = ex.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val d = qex.join(ex.withColumnRenamed("vec_id", "cand_id"), Seq("m", "si"))
+      .groupBy(col("qid"), col("cand_id"))
+      .agg(sum((col("qx") - col("x")) * (col("qx") - col("x"))).as("d2"))
+    cand.join(d, Seq("qid", "cand_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cand_id").as("vec_id"))
+  }
+
+  test("residual IVFADC (trained quantizer): energy premise and coding fidelity vs raw, measured") {
+    // r10 verdict #3's acceptance probe, sharpened by what the first cut
+    // taught: residual coding only helps when the coarse centroid is a
+    // TRAINED cell mean. Two measurements: (a) the Jégou premise itself —
+    // mean residual energy under the trained quantizer must be below the
+    // raw second moment (the untrained first-N quantizer measured 1.51x
+    // ABOVE it on these unit-norm embeddings); (b) APPLES-TO-APPLES coding
+    // fidelity — both codings rank the IDENTICAL candidate sets (same
+    // trained cells, same nprobe, 50 queries = 150 comparisons) against
+    // the same exact-L2 gold, so the only variable is what the 8 bytes
+    // encode (x vs x − centroid(cell)).
+    val nQ = 50
+    val isQ = col("vec_id") < nQ
+
+    /** (energy ratio, raw-coding agreement, residual agreement, gold size)
+      * at a coarse-quantizer geometry. */
+    def measure(cells: Int, nprobe: Int): (Double, Long, Long, Long) = {
+      val tcents = Ann.kmeansFit(vecs, k = cells, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce")).cache()
+      val (tAssigned, tProbes) = Pq.assignProbes(vecs, isQ, nprobe, tcents)
+      val energy = vecs.join(tAssigned, "vec_id")
+        .join(broadcast(tcents), col("cell") === col("cent_id"))
+        .select(Ann.vdot(col("e"), col("e")).as("raw2"),
+          Ann.vdot(zip_with(col("e"), col("ce"), (a, b) => a - b),
+            zip_with(col("e"), col("ce"), (a, b) => a - b)).as("res2"))
+        .agg(avg(col("raw2")).as("raw2"), avg(col("res2")).as("res2")).head()
+      val ratio = energy.getDouble(1) / energy.getDouble(0)
+      // raw coding on the SAME trained cells: corpus codes from the raw
+      // codebook, candidates from the trained-cell probes — everything
+      // equal but the residual subtraction
+      val rawCodes = Pq.codesWide(vecs, cfg, cb).join(tAssigned, "vec_id")
+      val rawCand = rawCodes.join(broadcast(tProbes),
+          rawCodes("cell") === tProbes("qcell") &&
+            tProbes("qid") =!= rawCodes("vec_id"))
+        .select(col("qid"), col("vec_id"), col("codes"))
+      val rawTop = Pq.adcRank(rawCand, 3, Pq.dtState(vecs, isQ, cfg, cb))
+        .select(col("qid"), col("vec_id"))
+      val resTop = Pq.ivfAdcResidualTopK(vecs, isQ, k = 3, nprobe = nprobe,
+        tcents, cfg, pqSeedFrom = cells).select(col("qid"), col("vec_id"))
+      val gold = exactL2Top3(tAssigned, tProbes, nQ).cache()
+      val total = gold.count()
+      val aRaw = rawTop.join(gold, Seq("qid", "vec_id"), "left_semi").count()
+      val aRes = resTop.join(gold, Seq("qid", "vec_id"), "left_semi").count()
+      info(f"cells=$cells nprobe=$nprobe: residual/raw energy $ratio%.2fx; " +
+        s"agreement raw $aRaw/$total, residual $aRes/$total")
+      (ratio, aRaw, aRes, total)
+    }
+
+    // catalog geometry (16 cells): the quantizer is coarse, residuals keep
+    // ~90% of the energy, and the two codings measure at parity — reported
+    // so the entry's scaladoc claim stays honest
+    val (r16, raw16, res16, _) = measure(cells = 16, nprobe = 2)
+    assert(r16 < 1.0, f"energy premise failed at 16 cells: $r16%.2fx")
+    assert(res16 >= raw16 - 6,
+      s"residual far below raw even at the coarse geometry: $res16 vs $raw16")
+    // tight-quantizer regime (64 cells ≈ sqrt(n) on this corpus, scan
+    // fraction matched via nprobe): residuals shrink for real and the
+    // residual coding must win — this is the regime the canonical
+    // algorithm is FOR (Jégou 2011 §IV)
+    val (r64, raw64, res64, _) = measure(cells = 64, nprobe = 8)
+    assert(r64 < r16, f"more cells did not shrink residuals: $r64%.2fx vs $r16%.2fx")
+    assert(res64 >= raw64,
+      s"residual coding ($res64) fell below raw coding ($raw64) in the " +
+        "tight-quantizer regime — the canonical form is not earning its keep")
+  }
+
   test("train refuses a corpus whose vec_ids do not cover 0..k-1 (seed guard)") {
     // r10 ADVICE: the deterministic seed rule assumes dense 0-based ids —
     // on a sparse/offset corpus it would silently train < k centroids per
