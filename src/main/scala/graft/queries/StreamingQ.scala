@@ -280,6 +280,38 @@ object StreamingQ {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Dev diagnostic (r10 verdict #7): run one stream-stream interval join
+    * through the exact multi-batch entry machinery and return the per-batch
+    * progress JSON from the query's own handle — `stateOperators` carries
+    * rows-in-state / updates / eviction and commit times, the numbers that
+    * explain a data-bound gap between join flavors. NOT a catalog entry
+    * (progress JSON is engine telemetry, no oracle exists for it). */
+  def joinStateDiag(s0: SparkSession, d: String, joinType: String): Seq[String] = {
+    val s = mbSession(s0)
+    val clicks = mbStream(s, d).filter(col("event_type") === "click")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+    val purchases = mbStream(s, d).filter(col("event_type") === "purchase")
+      .withWatermark("ts", DELAY)
+      .select(col("event_id").as("purch_id"), col("ts").as("purch_ts"),
+        col("user_id").as("p_user"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purch_ts") >= col("click_ts") &&
+        col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 DAY"),
+      joinType)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_join_diag_$joinType").toString
+    val q = joined.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(180000)) { q.stop(); throw new IllegalStateException("diag timeout") }
+    val out = q.recentProgress.toSeq.map(_.json)
+    graft.Fs.deleteRecursively(new java.io.File(ckpt))
+    out
+  }
+
   /** The q_stream_join dataflow with a DELIBERATE per-output-row busy-burn
     * in the join's output projection — a planted join-stage slowdown of a
     * known size, used by [[graft.StreamFloorDemo]] to demonstrate that the
@@ -809,6 +841,96 @@ object StreamingQ {
         .map(_.getName.drop(1).toInt).max
       s.read.parquet(new File(root, s"v$last").getPath)
         .orderBy(col("user_id"))
+    },
+
+    // B80 STREAMING CURATION (r10 verdict #4) — the production ingest shape
+    // the batch dedup pieces prove separately, composed per micro-batch
+    // over the 3-batch document feed: (1) within-batch exact dedup (first
+    // arrival per content sha), (2) bloom-gated exact dedup against the
+    // accumulated sha index (ExactDedup.bloomGatedNew — probe misses bypass
+    // the history join entirely), (3) incremental MinHash+LSH near-dup
+    // against the accumulated signature corpus
+    // (NearDup.minhashPairsIncremental — only delta-touched buckets expand,
+    // history×history pairs never generated). State accumulates across
+    // batches in parquet (hist = every exact-unique arrival, the persisted
+    // index a production ingest maintains; curated = the accepted corpus),
+    // appends only — never read+overwrite (the q_stream_upsert rule).
+    //
+    // Semantics are FIRST-ARRIVAL-WINS, arrival order (batch, doc_id)
+    // lexicographic (batch = doc_id % 3, the docSplitDir rule): a doc is
+    // exact-dropped iff its sha arrived earlier, near-dup-dropped iff a
+    // confirmed pair links it to ANY earlier exact-unique arrival —
+    // including one that was itself near-dup-dropped (the signature index
+    // keeps every exact-unique doc, which is what makes the drop rule
+    // PAIRWISE, not chain-dependent, and therefore SQL-expressible). The
+    // oracle replays the whole composition on the full feed: exact
+    // survivors by arrival rank, the minhash/band chain over them, the
+    // bucket cap counted against the population AT THE LATER SIDE'S
+    // ARRIVAL BATCH (a cumulative count per bucket — exactly what the
+    // incremental run sees), confirm by the same milli-rounded Jaccard,
+    // drop the later side of each confirmed pair. Streaming output ≡ that
+    // full-feed recompute, row for row — cross-batch dup leaks would break
+    // the hash. StreamCurateSpec additionally replays the greedy semantics
+    // driver-side and pins zero leaks.
+    "q_stream_curate" -> { (s0, d) =>
+      val s = mbSession(s0)
+      // pid-scoped for the same reason as q_stream_multisink's root
+      val root = new File("target/qscratch/stream_curate_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val histDir = new File(root, "hist")
+      val curDir = new File(root, "curated")
+      val q = docStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val withSha = batch.withColumn("sha", sha2(col("text"), 256))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sha")).orderBy(col("doc_id"))
+          val batchUniq = withSha.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val hist: Option[DataFrame] =
+            if (histDir.exists()) Some(ss.read.parquet(histDir.getPath)) else None
+          val exactNew = hist match {
+            case None => batchUniq
+            case Some(h) => graft.operators.ExactDedup
+              .bloomGatedNew(h.select(col("sha")), batchUniq)
+              .drop("probe_hit")
+          }
+          val delta = exactNew.persist()
+          try {
+            val histDocs = hist match {
+              case None => delta.select(col("doc_id"), col("text")).filter(lit(false))
+              case Some(h) => h.select(col("doc_id"), col("text"))
+            }
+            val pairs = graft.operators.NearDup.minhashPairsIncremental(
+              histDocs, delta.select(col("doc_id"), col("text")))
+            // the later arrival of each confirmed pair is dropped: a delta
+            // doc_b always (same batch, larger id, or newer batch than a
+            // history doc_a); a delta doc_a only when doc_b is history
+            val ids = delta.select(col("doc_id").as("doc_b"),
+              lit(true).as("bn"))
+            val dropped = pairs.join(ids, Seq("doc_b"), "left")
+              .select(when(coalesce(col("bn"), lit(false)), col("doc_b"))
+                .otherwise(col("doc_a")).as("doc_id"))
+              .distinct()
+            val accepted = delta.join(dropped, Seq("doc_id"), "left_anti")
+            accepted.select(col("doc_id"), col("source"), col("sha"))
+              .write.mode("append").parquet(curDir.getPath)
+            delta.select(col("doc_id"), col("text"), col("sha"))
+              .write.mode("append").parquet(histDir.getPath)
+          } finally { delta.unpersist(); () }
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_curate still running after 180 s — refusing to read a partial corpus")
+      }
+      s.read.parquet(curDir.getPath).orderBy(col("doc_id"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1098,5 +1220,59 @@ object StreamingQ {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
          |  CAST(max(CASE WHEN $sqlBatch0 THEN 0 WHEN $sqlBatch1 THEN 1
          |    ELSE 2 END) AS INT) AS last_batch
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // full-feed replay of the streaming curation (see the q_stream_curate
+    // entry comment for the semantics): arrival order (b = doc_id % 3,
+    // doc_id); exact survivors by arrival rank per sha; the minhash/band
+    // chain (identical constants to the q_dedup_minhash_lsh oracle) over
+    // exact survivors; the bucket cap counted against the CUMULATIVE bucket
+    // population at the later side's arrival batch — what the incremental
+    // run actually sees; milli-rounded Jaccard confirm; drop the later
+    // arrival of each confirmed pair (doc_a < doc_b, so doc_b is later iff
+    // its batch is >= doc_a's)
+    "q_stream_curate" ->
+      """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
+        |es AS (SELECT doc_id, text, source, b FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY sha256(text) ORDER BY b, doc_id) AS rn FROM d) t
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM es) t
+        |  WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, CAST('0x' || substr(md5(u.s), 1, 7) AS BIGINT) AS h
+        |       FROM sh, unnest(shingles) u(s)),
+        |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b
+        |           FROM range(12) r(i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+        |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+        |bands AS (SELECT mh.doc_id, es.b, i // 2 AS band,
+        |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+        |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+        |  FROM mh JOIN es ON es.doc_id = mh.doc_id
+        |  GROUP BY mh.doc_id, es.b, i // 2),
+        |bcnt AS (SELECT band, mh0, mh1, b, count(*) AS nb
+        |         FROM bands GROUP BY 1, 2, 3, 4),
+        |bcum AS (SELECT band, mh0, mh1, b, sum(nb) OVER (
+        |           PARTITION BY band, mh0, mh1 ORDER BY b) AS cum FROM bcnt),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+        |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+        |  JOIN bcum c ON c.band = x.band AND c.mh0 = x.mh0 AND c.mh1 = x.mh1
+        |    AND c.b = greatest(x.b, y.b)
+        |  WHERE c.cum <= 1000),
+        |pairs AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b
+        |  WHERE floor(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |    (len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles))) * 1e3 + 0.5)
+        |    / 1e3 >= 0.8),
+        |dropped AS (SELECT DISTINCT CASE WHEN doc_b % 3 >= doc_a % 3
+        |    THEN doc_b ELSE doc_a END AS doc_id FROM pairs)
+        |SELECT es.doc_id, es.source, sha256(es.text) AS sha
+        |FROM es WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY es.doc_id""".stripMargin)
 }

@@ -430,6 +430,76 @@ object TrainPrep {
         .withColumn("drift_ppm",
           abs(col("share_new_ppm") - col("share_old_ppm")))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // B82 cross-doc frequent-passage SCRUB — the removal half of the
+    // exact-substring story (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better": repeated long substrings across
+    // documents are memorization fuel; q_heavy_hitters MINES them, this
+    // REMOVES them). A token is dropped iff it is covered by any
+    // occurrence of an 8-token passage appearing in ≥ 3 distinct docs; the
+    // query emits per-doc before/removed counts and the sha of the
+    // scrubbed text — the hash proves the exact reconstruction, not just
+    // the counts. Fully relational (no UDF): per-doc grams built by array
+    // ops IN THE SCAN STAGE (transform over sequence — one row per doc
+    // until the gram explode), the frequent set is one distinct+count
+    // aggregate, coverage is a W-row expansion per frequent occurrence,
+    // and the rebuild is one doc-keyed aggregate over kept tokens. At
+    // 100 TB the frequent-gram table is CMS-prefiltered exactly as in
+    // graft.operators.HeavyHitters (probe before the distinct shuffle) —
+    // the scrub side is unchanged.
+    "q_text_scrub_passages" -> { (s, d) =>
+      val W = 8
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val grams = base.filter(size(col("t")) >= W)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $W), i -> array_join(slice(t, i + 1, $W), ' '))"))
+          .as(Seq("p", "gram")))
+      val freq = grams.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("gram"))
+      val covered = grams.join(freq, "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + (W - 1))).as("pos"))
+        .distinct()
+      val tokens = base
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      val scrub = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("scrubbed"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(scrub, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          sha2(coalesce(col("scrubbed"), lit("")), 256).as("scrubbed_sha"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B83 token-budget corpus fill on a SCALABLE global running total
+    // (graft.operators.OrderedCumsum — see its scaladoc for why
+    // `sum OVER (ORDER BY …)` with no partition is the plan that dies at
+    // 100 TB and the two-pass range/offset form that replaces it): order
+    // the corpus longest-first (ties by doc_id), take docs while the
+    // running token total stays within half the corpus's tokens, report
+    // the per-source composition of the fill. The oracle IS the
+    // single-partition window form — proving the scalable plan computes
+    // the identical prefix.
+    "q_token_budget_fill" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val cum = graft.operators.OrderedCumsum.withRunningTotal(docs,
+        Seq(col("toks").desc, col("doc_id")), col("toks"), "cum",
+        partitions = 8)
+      val budget = docs.agg(floor(sum(col("toks")) / 2).cast("long").as("b"))
+      cum.crossJoin(broadcast(budget)).filter(col("cum") <= col("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_taken"), sum(col("toks")).as("tokens_taken"))
+        .orderBy(col("source"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -674,5 +744,41 @@ object TrainPrep {
         |            WHEN v2.doc_id IS NULL THEN 'removed'
         |            WHEN sha_old <> sha_new THEN 'changed'
         |            ELSE 'unchanged' END) <> 'unchanged'
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub_passages" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, r.i AS p,
+        |    array_to_string(t[r.i+1:r.i+8], ' ') AS gram
+        |  FROM t CROSS JOIN range(512) r(i)
+        |  WHERE len(t) >= 8 AND r.i <= len(t) - 8),
+        |freq AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+        |  GROUP BY gram HAVING count(*) >= 3),
+        |covered AS (SELECT DISTINCT g.doc_id, g.p + j.range AS pos
+        |  FROM grams g JOIN freq f ON f.gram = g.gram CROSS JOIN range(8) j),
+        |toks AS (SELECT doc_id, t[r.i+1] AS tok, r.i AS pos
+        |  FROM t CROSS JOIN range(512) r(i) WHERE r.i < len(t)),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+        |scrub AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+        |  (len(string_split(d.text, ' ')) - coalesce(s.n_kept, 0))::BIGINT AS n_removed,
+        |  sha256(coalesce(s.scrubbed, '')) AS scrubbed_sha
+        |FROM documents d LEFT JOIN scrub s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle is the SINGLE-PARTITION window form the operator replaces
+    "q_token_budget_fill" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS toks FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |    sum(toks) OVER (ORDER BY toks DESC, doc_id) AS cum FROM d),
+        |b AS (SELECT (sum(toks) // 2)::BIGINT AS b FROM d)
+        |SELECT source, count(*) AS n_taken,
+        |  sum(toks)::BIGINT AS tokens_taken
+        |FROM c, b WHERE c.cum <= b.b
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -49,7 +49,9 @@ class PlanSweepSpec extends SparkSpecBase {
     // code-table lookups against driver-built query tables; the relational
     // join form it replaces measured 37 s / 1.7 GB shuffle on the soak
     // (Pq.adcRank scaladoc), so here the UDF IS the scale-correct plan
-    "q_embed_pq_adc", "q_embed_ivfpq")
+    "q_embed_pq_adc", "q_embed_ivfpq",
+    // B79 residual form: same ADC pattern with (qid, cell)-keyed tables
+    "q_embed_ivfpq_residual")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
@@ -73,7 +75,10 @@ class PlanSweepSpec extends SparkSpecBase {
     // definition (every vector has codes and a cell), so the co-keyed
     // shuffled join is the only correct plan at 100 TB; AQE broadcasts at
     // toy SF when it measures small
-    "q_embed_ivfpq")
+    "q_embed_ivfpq",
+    // B79 residual form adds corpus ⋈ assignment (residual computation) to
+    // the same shape — again both sides are every vector, never a dimension
+    "q_embed_ivfpq_residual")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

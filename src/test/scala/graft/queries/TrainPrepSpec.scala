@@ -137,6 +137,59 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("q_text_scrub_passages removes exactly the planted shared passage, sha-reconstructed") {
+    // B82 semantics on a planted corpus: an 8-token passage shared by 3
+    // docs must be scrubbed from all three occurrences (every covered
+    // token), docs without it untouched, and the sha must equal the sha of
+    // the independently reconstructed scrubbed string.
+    val s = spark
+    import s.implicits._
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val rows = Seq(
+      (0L, s"alpha beta $passage gamma delta"),
+      (1L, s"$passage zeta"),
+      (2L, s"eta theta iota $passage"),
+      (3L, "plain doc with no shared passage at all here ok"),
+      // a doc holding the passage's tokens NON-adjacently must keep them
+      (4L, "p1 x p2 x p3 x p4 x p5 x p6 x p7 x p8"))
+    val dir = java.nio.file.Files.createTempDirectory("scrub_spec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainPrep.defs("q_text_scrub_passages")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def sha(x: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L) === ((12L, 8L, sha("alpha beta gamma delta"))))
+    assert(out(1L) === ((9L, 8L, sha("zeta"))))
+    assert(out(2L) === ((11L, 8L, sha("eta theta iota"))))
+    assert(out(3L)._2 === 0L)
+    assert(out(4L)._2 === 0L)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("q_token_budget_fill: the scalable cumsum prefix is exactly the budget prefix") {
+    // the fill must equal the longest-first greedy prefix computed
+    // independently driver-side
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val budget = docs.map(_._3).sum / 2
+    var acc = 0L
+    val taken = docs.sortBy(d => (-d._3, d._1)).takeWhile { d =>
+      acc += d._3; acc <= budget
+    }
+    val expect = taken.groupBy(_._2)
+      .map { case (src, xs) => src -> (xs.length.toLong, xs.map(_._3).sum) }
+    val got = TrainPrep.defs("q_token_budget_fill")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
   test("q_corpus_drift: shares are consistent and drift is symmetric-exact") {
     val rows = TrainPrep.defs("q_corpus_drift")(spark, sf).collect()
     assert(rows.nonEmpty)

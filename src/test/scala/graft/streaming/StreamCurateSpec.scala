@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.operators.NearDup
+
+/** B80 q_stream_curate (r10 verdict #4): the per-micro-batch composition of
+  * bloom-gated exact dedup + incremental near-dup must leak ZERO duplicates
+  * across batch boundaries. Evidence here is an INDEPENDENT driver-side
+  * greedy replay of the first-arrival-wins semantics (arrival order =
+  * (doc_id % 3, doc_id), the doc-feed split rule) — the DuckDB oracle is the
+  * hash gate; this spec is the second, structurally different witness, plus
+  * the non-vacuousness checks (drops actually happen, and actually cross
+  * batch boundaries). Runs at sf0.001; the bucket cap (1000) can never bind
+  * on ≤ ~50 docs, so the full-run minhashPairs pair set equals the
+  * per-arrival-capped incremental pair set here. */
+class StreamCurateSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val accepted = graft.SparkEntry.queries("q_stream_curate")(spark, sf)
+    .select(col("doc_id"), col("sha")).collect()
+    .map(r => (r.getLong(0), r.getString(1)))
+
+  /** Arrival key: batch (doc_id % 3) first, then doc_id. */
+  private def arr(id: Long): (Long, Long) = (id % 3, id)
+
+  test("no exact-dup leak: accepted shas are unique and each is the first arrival") {
+    val bySha = accepted.groupBy(_._2)
+    assert(bySha.values.forall(_.length == 1),
+      s"exact dup leaked: ${bySha.filter(_._2.length > 1).keys.take(3)}")
+    // each accepted doc is the arrival-minimal holder of its sha in the feed
+    val allShas = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firstArrival = allShas.groupBy(_._2)
+      .map { case (sha, xs) => sha -> xs.map(_._1).minBy(arr) }
+    accepted.foreach { case (id, sha) =>
+      assert(firstArrival(sha) == id,
+        s"doc $id accepted but ${firstArrival(sha)} arrived earlier with the same sha")
+    }
+  }
+
+  test("streaming accepted set equals the greedy full-feed replay; drops cross batches") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // exact survivors under the arrival rule
+    val allShas = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exactSurvivors = allShas.groupBy(_._2)
+      .map { case (_, xs) => xs.map(_._1).minBy(arr) }.toSet
+    val es = docs.filter(col("doc_id").isInCollection(exactSurvivors))
+    // full-run confirmed near-dup pairs over the exact survivors (cap
+    // unbindable at this scale — see class doc), later arrival dropped
+    val pairs = NearDup.minhashPairs(es).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map { case (a, b) =>
+      if (Ordering[(Long, Long)].lt(arr(a), arr(b))) b else a
+    }.toSet
+    val expect = (exactSurvivors -- dropped).toSeq.sorted
+    assert(accepted.map(_._1).toSeq.sorted === expect,
+      "streaming accepted set diverges from the greedy full-feed replay")
+    // non-vacuous: the feed must actually exercise cross-batch near-dup
+    // drops, or this spec proves nothing about batch boundaries
+    assert(dropped.nonEmpty, "fixture has no near-dup drops at all")
+    val crossBatch = pairs.exists { case (a, b) =>
+      val d = if (Ordering[(Long, Long)].lt(arr(a), arr(b))) b else a
+      val k = if (d == a) b else a
+      d % 3 != k % 3
+    }
+    assert(crossBatch, "no confirmed pair crosses a batch boundary — " +
+      "the cross-batch leak claim is untested at this fixture")
+  }
+}
