@@ -500,9 +500,70 @@ object TrainPrep {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_taken"), sum(col("toks")).as("tokens_taken"))
         .orderBy(col("source"))
+    },
+
+    // B84 BPE merge induction (graft.operators.Bpe — scale posture, the
+    // relational greedy-application argument, and the Sennrich 2016
+    // citation documented there): learn the first 3 merge-table rows from
+    // the corpus's word-frequency table. The oracle replays ALL THREE
+    // rounds — pair statistics, deterministic argmax, and the
+    // gaps-and-islands greedy application — as chained CTEs, so every
+    // merge decision and its count are hash-checked across engines.
+    "q_bpe_merges" -> { (s, d) =>
+      graft.operators.Bpe.merges(Tables.documents(s, d), rounds = 3)
+        .orderBy(col("round"))
     })
 
+  /** One BPE oracle round: s{r-1} → s{r} (mirrors Bpe.pairCounts +
+    * Bpe.applyMerge — pair stats with overlaps, argmax with the
+    * (cnt DESC, a, b) tie-break, gaps-and-islands greedy application).
+    * range(64) is a constant table bound (DuckDB's range table function
+    * refuses lateral column args); symbol sequences are ≤ word length + 1
+    * ≪ 64, enforced by the WHERE. */
+  private def sqlBpeRound(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS (SELECT t.s[rr.i+1] AS a, t.s[rr.i+2] AS b,
+       |    sum(t.f)::BIGINT AS cnt
+       |  FROM $prev t CROSS JOIN range(64) rr(i)
+       |  WHERE rr.i <= len(t.s) - 2 GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS (SELECT t.word, rr.i
+       |  FROM $prev t CROSS JOIN b$r CROSS JOIN range(64) rr(i)
+       |  WHERE rr.i <= len(t.s) - 2 AND t.s[rr.i+1] = b$r.a
+       |    AND t.s[rr.i+2] = b$r.b),
+       |g$r AS (SELECT word, i,
+       |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |  FROM m$r),
+       |c$r AS (SELECT word, i FROM (SELECT word, i, row_number() OVER (
+       |    PARTITION BY word, grp ORDER BY i) AS rn2 FROM g$r) t
+       |  WHERE rn2 % 2 = 1),
+       |e$r AS (SELECT t.word, t.f, rr.i,
+       |    CASE WHEN c.i IS NOT NULL THEN b$r.a || b$r.b
+       |         ELSE t.s[rr.i+1] END AS sym
+       |  FROM $prev t CROSS JOIN b$r CROSS JOIN range(64) rr(i)
+       |  LEFT JOIN c$r c ON c.word = t.word AND c.i = rr.i
+       |  WHERE rr.i < len(t.s) AND NOT EXISTS (
+       |    SELECT 1 FROM c$r d WHERE d.word = t.word AND d.i = rr.i - 1)),
+       |s$r AS (SELECT word, f, list(sym ORDER BY i) AS s
+       |  FROM e$r GROUP BY word, f)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      s"""WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT word, f,
+         |    list_append(list_transform(range(len(word)), i -> word[i+1:i+1]),
+         |      '</w>') AS s FROM wf),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)}
+         |SELECT 1 AS round, a AS sym_a, b AS sym_b, cnt FROM b1
+         |UNION ALL SELECT 2, a, b, cnt FROM b2
+         |UNION ALL SELECT 3, a, b, cnt FROM b3
+         |ORDER BY round""".stripMargin,
+
     "q_model_apply" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

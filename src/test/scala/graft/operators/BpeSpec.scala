@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** graft.operators.Bpe (SURVEY.md §2 B84): the merge loop must follow the
+  * textbook semantics exactly — overlapping pair counting, (cnt DESC, pair
+  * ASC) tie-break, and GREEDY left-to-right application with the
+  * every-other-match rule inside identical-symbol runs (the one case where
+  * matches overlap). All expectations here are hand-derived. */
+class BpeSpec extends SparkSpecBase {
+
+  private def docsDf(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("three rounds on a planted corpus: counts, tie-breaks, and greedy application") {
+    // corpus: aaab x2, aab x1 → symbols aaab=[a,a,a,b,</w>], aab=[a,a,b,</w>]
+    // round 1: (a,a) counted WITH overlap = 2*2 + 1 = 5 beats (a,b)=3,
+    //   (b,</w>)=3; applying merges only the FIRST aa of aaab (greedy):
+    //   aaab→[aa,a,b,</w>], aab→[aa,b,</w>]
+    // round 2: (b,</w>) = 3 beats (aa,a)=2, (a,b)=2, (aa,b)=1
+    // round 3: tie at 2 between (a,b</w>) and (aa,a) → pair-ASC picks
+    //   ("a","b</w>")
+    val got = Bpe.merges(docsDf("aaab aaab aab"), rounds = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1, "a", "a", 5L),
+      (2, "b", "</w>", 3L),
+      (3, "a", "b</w>", 2L)))
+  }
+
+  test("applyMerge keeps every other match inside an identical-symbol run") {
+    // "aaaa" = [a,a,a,a,</w>]: matches at 0,1,2 chain — greedy takes 0 and
+    // 2 → [aa,aa,</w>]; "aaa" = [a,a,a,</w>]: matches 0,1 → take 0 →
+    // [aa,a,</w>]
+    val syms = Bpe.symbolTable(docsDf("aaaa aaa"))
+    val out = Bpe.applyMerge(syms, "a", "a")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(out("aaaa") === Seq("aa", "aa", "</w>"))
+    assert(out("aaa") === Seq("aa", "a", "</w>"))
+  }
+
+  test("symbol table weights by word frequency and terminates words") {
+    val st = Bpe.symbolTable(docsDf("to to to go"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap
+    assert(st("to") === ((3L, Seq("t", "o", "</w>"))))
+    assert(st("go") === ((1L, Seq("g", "o", "</w>"))))
+  }
+}
