@@ -313,6 +313,25 @@ object LlmOps {
       minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // B85 cross-source duplication matrix — WHO copies from WHOM: the
+    // confirmed near-dup pairs aggregated by unordered source pair, the
+    // provenance view that finds mirror sites / syndicated feeds before
+    // they skew a mixture (a per-(source×source) release artifact, like
+    // q_corpus_drift one level deeper). Costs one broadcast-ineligible
+    // doc-keyed join per side ON TOP of the already-bounded LSH pair set
+    // (pairs ≪ corpus by construction), then |sources|² arithmetic.
+    "q_dedup_source_matrix" -> { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    },
+
     // B50 incremental dedup: the per-batch ingest form — delta docs
     // (doc_id % 10 = 7, the "today's batch" split) deduped against history
     // WITHOUT regenerating history×history pairs; candidates come only
@@ -1114,6 +1133,17 @@ object LlmOps {
          |SELECT doc_a, doc_b, jac FROM pairs
          |WHERE jac >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_source_matrix" ->
+      s"""WITH $sqlShingles,
+         |$sqlMinhashPairs,
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_x,
+         |  greatest(a.source, b.source) AS source_y,
+         |  count(*) AS n_pairs
+         |FROM pairs p JOIN ds a ON a.doc_id = p.doc_a
+         |JOIN ds b ON b.doc_id = p.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $sqlShingles,

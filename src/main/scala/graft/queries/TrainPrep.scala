@@ -502,6 +502,51 @@ object TrainPrep {
         .orderBy(col("source"))
     },
 
+    // B86 exact-integer two-sample Kolmogorov–Smirnov drift on classifier
+    // scores — the release gate for "did my quality filter's score
+    // distribution MOVE between snapshots" (a mean shift is visible in
+    // q_corpus_drift-style aggregates; a reshaped distribution at equal
+    // mean is not — KS is the standard two-sample statistic for that).
+    // Per source, D = max over score values of |cdf_old − cdf_new|,
+    // computed EXACTLY as max |cum_old·n_new − cum_new·n_old| — integer
+    // end to end, no float CDFs to diverge cross-engine (|cum·n| ≤
+    // n_old·n_new, so int64 holds to corpora of ~3·10⁹ per side; past
+    // that, scale the statistic in decimal). Old snapshot = doc_id % 10
+    // ≠ 7 (the incremental-delta convention), new = the full corpus.
+    // Cost: the B71 scoring shuffle, one (source, logit) count aggregate,
+    // a per-source window over DISTINCT logit values (bounded by score
+    // support, not corpus size), then |sources| rows of arithmetic.
+    "q_score_ks_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer.score(docs, m, 0L)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("logit_micro"))
+      val counts = scored.groupBy(col("source"), col("logit_micro"))
+        .agg(sum(when(col("doc_id") % 10 =!= 7, 1L).otherwise(0L)).as("c_old"),
+          count(lit(1)).as("c_new"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("logit_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum_old", sum(col("c_old")).over(w))
+        .withColumn("cum_new", sum(col("c_new")).over(w))
+      val tot = counts.groupBy(col("source"))
+        .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+      cum.join(tot, Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+          max(abs(col("cum_old") * col("n_new") -
+            col("cum_new") * col("n_old"))).as("ks_num"))
+        // a two-sample statistic needs both samples: a source absent from
+        // the old snapshot (the fixture HAS two — every doc_id ≡ 7 mod 10)
+        // has no old distribution to compare against; its appearance is
+        // q_corpus_drift's finding, not a KS value (and not a ÷0)
+        .filter(col("n_old") > 0)
+        .withColumn("ks_ppm", expr("ks_num * 1000000 DIV (n_old * n_new)"))
+        .orderBy(col("source"))
+    },
+
     // B84 BPE merge induction (graft.operators.Bpe — scale posture, the
     // relational greedy-application argument, and the Sennrich 2016
     // citation documented there): learn the first 3 merge-table rows from
@@ -563,6 +608,39 @@ object TrainPrep {
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    "q_score_ks_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |ds AS (SELECT d.source, d.doc_id, sc.logit_micro
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+        |cnt AS (SELECT source, logit_micro,
+        |    CAST(sum(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+        |    count(*)::BIGINT AS c_new
+        |  FROM ds GROUP BY 1, 2),
+        |cum AS (SELECT source, logit_micro, c_old, c_new,
+        |    sum(c_old) OVER (PARTITION BY source ORDER BY logit_micro) AS cum_old,
+        |    sum(c_new) OVER (PARTITION BY source ORDER BY logit_micro) AS cum_new
+        |  FROM cnt),
+        |tot AS (SELECT source, sum(c_old)::BIGINT AS n_old,
+        |    sum(c_new)::BIGINT AS n_new FROM cnt GROUP BY source)
+        |SELECT c.source, max(t.n_old)::BIGINT AS n_old,
+        |  max(t.n_new)::BIGINT AS n_new,
+        |  max(abs(c.cum_old * t.n_new - c.cum_new * t.n_old))::BIGINT AS ks_num,
+        |  (max(abs(c.cum_old * t.n_new - c.cum_new * t.n_old)) * 1000000
+        |    // (max(t.n_old) * max(t.n_new)))::BIGINT AS ks_ppm
+        |FROM cum c JOIN tot t USING (source)
+        |GROUP BY c.source HAVING max(t.n_old) > 0
+        |ORDER BY c.source""".stripMargin,
 
     "q_model_apply" ->
       """WITH tok AS (

@@ -190,6 +190,52 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("q_score_ks_drift: integer KS equals a driver-side reference; new sources excluded") {
+    val rows = TrainPrep.defs("q_score_ks_drift")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    // independent reference: collect per-doc logits (the spec-scale corpus
+    // is small), recompute every source's exact-integer KS in plain Scala
+    val docs = graft.Tables.documents(spark, sf)
+    val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+    val scored = graft.operators.LinearScorer.score(docs, m, 0L)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("logit_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = scored.groupBy(_._1)
+    bySrc.foreach { case (src, xs) =>
+      val old = xs.filter(_._2 % 10 != 7).map(_._3)
+      val nw = xs.map(_._3)
+      if (old.isEmpty) {
+        assert(!rows.contains(src), s"$src has no old sample but a KS row")
+      } else {
+        val vals = nw.distinct.sorted
+        val d = vals.map { v =>
+          math.abs(old.count(_ <= v).toLong * nw.length -
+            nw.count(_ <= v).toLong * old.length)
+        }.max
+        val (nOld, nNew, ksNum, ksPpm) = rows(src)
+        assert((nOld, nNew, ksNum) === ((old.length.toLong, nw.length.toLong, d)))
+        assert(ksPpm === d * 1000000L / (nOld * nNew))
+      }
+    }
+    // non-vacuous: the fixture must actually HAVE a new-only source
+    assert(bySrc.exists(_._2.forall(_._2 % 10 == 7)),
+      "no new-only source in the fixture — the exclusion rule is untested")
+  }
+
+  test("q_dedup_source_matrix: cells sum to the confirmed pair count, keys ordered") {
+    val rows = graft.SparkEntry.queries("q_dedup_source_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf).count()
+    assert(rows.map(_._3).sum === pairs,
+      "matrix cells must partition the confirmed near-dup pairs")
+    rows.foreach { case (x, y, n) =>
+      assert(x <= y, s"unordered cell ($x, $y)"); assert(n > 0)
+    }
+  }
+
   test("q_corpus_drift: shares are consistent and drift is symmetric-exact") {
     val rows = TrainPrep.defs("q_corpus_drift")(spark, sf).collect()
     assert(rows.nonEmpty)
