@@ -16,9 +16,16 @@ object VecScaleMain {
     val p = java.nio.file.Paths.get(out)
     val existing =
       if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
-    // replace a previous run's section if present, else append
+    // replace a previous run's section if present, else append. The old
+    // section ends at the NEXT "\n## " header (ADVICE r11): content that
+    // was appended after it must survive a re-run, so splice prefix +
+    // trailing sections and put the fresh section at the end.
     val headerIdx = existing.indexOf("\n## Vector scale 10x")
-    val base = if (headerIdx >= 0) existing.substring(0, headerIdx) else existing
+    val base = if (headerIdx >= 0) {
+      val next = existing.indexOf("\n## ", headerIdx + 1)
+      val tail = if (next >= 0) existing.substring(next) else ""
+      existing.substring(0, headerIdx) + tail
+    } else existing
     java.nio.file.Files.writeString(p, base + md)
     println(s"[vecscale] appended section to $out")
     println(md)

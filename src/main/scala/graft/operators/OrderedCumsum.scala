@@ -38,6 +38,20 @@ object OrderedCumsum {
   def withRunningTotal(df: DataFrame, sortKeys: Seq[Column], value: Column,
                        out: String, partitions: Int): DataFrame = {
     require(partitions >= 1, s"partitions ($partitions) must be >= 1")
+    // loud type contract (ADVICE r11): per-partition totals are collected
+    // as long offsets below; a fractional value column would have its
+    // offsets silently truncated while local prefixes stay exact,
+    // corrupting every partition after the first. Refuse instead.
+    val vt = df.select(value.as("__cumsum_v")).schema.head.dataType
+    require(
+      Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"OrderedCumsum.withRunningTotal requires an integral value column, " +
+        s"got $vt — cross-partition offsets are exchanged as int64; scale " +
+        s"fractional values to integers (e.g. micro-units) first")
     // persisted because the totals action and the downstream join are
     // separate jobs over the same range exchange: the cache guarantees both
     // see ONE pid assignment. (Even on cache eviction the result stays

@@ -510,8 +510,10 @@ object TrainPrep {
     // Per source, D = max over score values of |cdf_old − cdf_new|,
     // computed EXACTLY as max |cum_old·n_new − cum_new·n_old| — integer
     // end to end, no float CDFs to diverge cross-engine (|cum·n| ≤
-    // n_old·n_new, so int64 holds to corpora of ~3·10⁹ per side; past
-    // that, scale the statistic in decimal). Old snapshot = doc_id % 10
+    // n_old·n_new, so int64 holds the STATISTIC to corpora of ~3·10⁹ per
+    // side; the ppm scaling multiplies by 10⁶ on top, so it runs in
+    // 128-bit — DECIMAL(38,0) here, HUGEINT in the oracle — and casts the
+    // ≤10⁶ result back to int64). Old snapshot = doc_id % 10
     // ≠ 7 (the incremental-delta convention), new = the full corpus.
     // Cost: the B71 scoring shuffle, one (source, logit) count aggregate,
     // a per-source window over DISTINCT logit values (bounded by score
@@ -543,7 +545,10 @@ object TrainPrep {
         // has no old distribution to compare against; its appearance is
         // q_corpus_drift's finding, not a KS value (and not a ÷0)
         .filter(col("n_old") > 0)
-        .withColumn("ks_ppm", expr("ks_num * 1000000 DIV (n_old * n_new)"))
+        .withColumn("ks_ppm", expr(
+          "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000 DIV " +
+            "(CAST(n_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0))) " +
+            "AS BIGINT)"))
         .orderBy(col("source"))
     },
 
@@ -564,7 +569,9 @@ object TrainPrep {
     * (cnt DESC, a, b) tie-break, gaps-and-islands greedy application).
     * range(64) is a constant table bound (DuckDB's range table function
     * refuses lateral column args); symbol sequences are ≤ word length + 1
-    * ≪ 64, enforced by the WHERE. */
+    * ≪ 64. The WHERE only CLIPS to the bound — it cannot detect a fixture
+    * that violates it — so OracleBoundsSpec asserts max word length ≤ 63
+    * against every testdata sf on the box (ADVICE r11 guard). */
   private def sqlBpeRound(r: Int): String = {
     val prev = s"s${r - 1}"
     s"""p$r AS (SELECT t.s[rr.i+1] AS a, t.s[rr.i+2] AS b,
@@ -636,8 +643,9 @@ object TrainPrep {
         |SELECT c.source, max(t.n_old)::BIGINT AS n_old,
         |  max(t.n_new)::BIGINT AS n_new,
         |  max(abs(c.cum_old * t.n_new - c.cum_new * t.n_old))::BIGINT AS ks_num,
-        |  (max(abs(c.cum_old * t.n_new - c.cum_new * t.n_old)) * 1000000
-        |    // (max(t.n_old) * max(t.n_new)))::BIGINT AS ks_ppm
+        |  (CAST(max(abs(c.cum_old * t.n_new - c.cum_new * t.n_old)) AS HUGEINT)
+        |    * 1000000
+        |    // (CAST(max(t.n_old) AS HUGEINT) * max(t.n_new)))::BIGINT AS ks_ppm
         |FROM cum c JOIN tot t USING (source)
         |GROUP BY c.source HAVING max(t.n_old) > 0
         |ORDER BY c.source""".stripMargin,
@@ -885,6 +893,9 @@ object TrainPrep {
         |            ELSE 'unchanged' END) <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
 
+    // range(512) is a constant position-table bound (same DuckDB lateral
+    // limitation as the BPE oracle); it clips, it doesn't detect —
+    // OracleBoundsSpec asserts max tokens/doc ≤ 512 at every testdata sf.
     "q_text_scrub_passages" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT doc_id, r.i AS p,
