@@ -92,6 +92,20 @@ object Bpe {
     * table, in induction order. Each round's argmax is a ONE-row collect
     * (the O(model) driver state); ties break (cnt DESC, a ASC, b ASC). */
   def merges(docs: DataFrame, rounds: Int): DataFrame = {
+    val (tbl, syms) = mergesWithVocab(docs, rounds)
+    syms.unpersist(blocking = false)
+    tbl
+  }
+
+  /** [[merges]] plus the FINAL symbol table (word, f, s) — the trained
+    * tokenizer already applied to its own training vocabulary, which is
+    * what the tokenize-with-learned-merges path consumes (r11 verdict #4).
+    * Re-segmenting a fresh symbol table with the returned merge list via
+    * [[applyMerges]] produces the identical table (BpeSpec pins the
+    * equality) — returning the training-side state just avoids paying the
+    * application twice. The symbol table is returned PERSISTED; callers
+    * that only want the merge table use [[merges]], which unpersists it. */
+  def mergesWithVocab(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -111,7 +125,14 @@ object Bpe {
       syms.unpersist(blocking = false)
       syms = next
     }
-    syms.unpersist(blocking = false)
-    out.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+    (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), syms)
   }
+
+  /** Apply a LEARNED merge table (induction order) to a symbol table — the
+    * tokenizer's APPLY side (Sennrich 2016): a corpus is re-segmented with
+    * the frozen merge list, no pair statistics involved. Same greedy
+    * gaps-and-islands rule per merge; on the training corpus the result
+    * equals the training-side state [[mergesWithVocab]] returns. */
+  def applyMerges(syms: DataFrame, learned: Seq[(String, String)]): DataFrame =
+    learned.foldLeft(syms) { case (t, (a, b)) => applyMerge(t, a, b) }
 }

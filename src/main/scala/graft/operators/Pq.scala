@@ -369,4 +369,44 @@ object Pq {
     val scored = codesWide(vecs, cfg, cents).crossJoin(broadcast(qids))
     adcRank(scored.select(col("qid"), col("vec_id"), col("codes")), k, dt)
   }
+
+  /** IVFADC-R (Jégou 2011 §V; r11 verdict #2): ADC shortlist → EXACT L2
+    * re-rank — the step production PQ search always runs and the one the
+    * ANN family stopped short of. The 8-byte codes are deliberately lossy
+    * (PqSpec: ADC top-3∩exact-top-3 ≈ 0.7 on this corpus, but exact-top-3
+    * survives an ADC top-50 shortlist at ≥ 0.93): refining the shortlist
+    * with exact distances over the shortlist's RAW vectors converts
+    * shortlist recall into top-k recall at the cost of fetching
+    * `shortlist` raw vectors per query.
+    *
+    * Engine shape: the shortlist (n_q·shortlist (qid, vec_id) rows —
+    * O(model)) is BROADCAST against the exploded corpus, so the raw-vector
+    * fetch is one map-side semi-join on the full scan, never a shuffle of
+    * the corpus; at 100 TB the same step is an id-keyed point lookup into
+    * the vector store. Exact distances re-aggregate the fetched coords
+    * (n_q·shortlist·dim rows), and the final window ranks ≤ `shortlist`
+    * rows per query — all post-shortlist cost is O(n_q·shortlist·dim),
+    * independent of corpus size. Per-coordinate squared differences summed
+    * then round-6'd, mirroring the oracle's replay term-for-term (the
+    * q_embed_kmeans float discipline). Returns (qid, rank, vec_id, d2)
+    * with d2 the EXACT round-6 squared L2, self-match included (the
+    * adcTopK convention). */
+  def adcRerankTopK(vecs: DataFrame, isQuery: Column, k: Int, shortlist: Int,
+                    cfg: PqConfig, cents: DataFrame): DataFrame = {
+    require(k <= shortlist, s"k ($k) must be <= shortlist ($shortlist)")
+    val sl = adcTopK(vecs, isQuery, shortlist, cfg, cents)
+      .select(col("qid"), col("vec_id"))
+    val ex = exploded(vecs, cfg)
+    val cand = ex.join(broadcast(sl), Seq("vec_id"))
+    val qex = exploded(vecs.filter(isQuery), cfg)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val d = cand.join(broadcast(qex), Seq("qid", "m", "si"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round6(sum((col("qx") - col("x")) * (col("qx") - col("x"))))
+        .as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("d2"))
+  }
 }

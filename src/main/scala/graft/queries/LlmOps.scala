@@ -574,6 +574,22 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B79 IVFADC-R (Jégou 2011 §V — see Pq.adcRerankTopK): the ADC top-50
+    // shortlist refined by EXACT L2 over the shortlist's raw vectors —
+    // the re-rank step production PQ search always runs (PqSpec measures
+    // the dial: shortlist recall ≈0.93 converts into re-ranked top-3
+    // recall, vs ≈0.7 for raw ADC top-3). Oracle extends the q_embed_pq_adc
+    // replay with the shortlist window + per-coordinate exact re-rank, so
+    // the codes, the shortlist boundary, and every exact distance sit
+    // under one hash.
+    "q_embed_adc_rerank" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      graft.operators.Pq.adcRerankTopK(vecs, col("vec_id") < 10, k = 3,
+        shortlist = 50, cfg, graft.operators.Pq.train(vecs, cfg))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B79 IVF-PQ (the FAISS IVFADC composition — see Pq.ivfAdcTopK): IVF
     // cells bound WHICH codes a query scans, PQ bounds WHAT a candidate
     // costs; the oracle replays coarse assignment + probes + PQ training +
@@ -1375,6 +1391,34 @@ object LlmOps {
          |SELECT qid, rank, vec_id, adc FROM (
          |  SELECT qid, vec_id, adc, row_number() OVER (
          |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // IVFADC-R: the q_embed_pq_adc replay + top-50 shortlist window +
+    // exact per-coordinate L2 re-rank of the shortlist (Jégou 2011 §V)
+    "q_embed_adc_rerank" ->
+      s"""WITH $sqlPqCtes,
+         |qex AS (SELECT * FROM pex WHERE vec_id < 10),
+         |dt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM qex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT dt.qid, a.vec_id,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM paF a JOIN dt ON dt.m = a.m AND dt.cent_id = a.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY adc, vec_id) AS srank FROM adc) t
+         |  WHERE srank <= 50),
+         |exd AS (SELECT s.qid, s.vec_id,
+         |    floor(sum((q.x - v.x)*(q.x - v.x)) * 1e6 + 0.5) / 1e6 AS d2
+         |  FROM short s
+         |  JOIN pex q ON q.vec_id = s.qid
+         |  JOIN pex v ON v.vec_id = s.vec_id AND v.m = q.m AND v.si = q.si
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, vec_id, d2 FROM (
+         |  SELECT qid, vec_id, d2, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d2, vec_id) AS rank FROM exd) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q_embed_ivfpq" ->

@@ -931,6 +931,109 @@ object StreamingQ {
           "q_stream_curate still running after 180 s — refusing to read a partial corpus")
       }
       s.read.parquet(curDir.getPath).orderBy(col("doc_id"))
+    },
+
+    // B81 SCORED streaming curation (r11 verdict #5) — q_stream_curate
+    // ships every dedup survivor; production ingest ALSO gates on quality
+    // online: a FROZEN classifier (B71's broadcast-model scoreUdf — the
+    // stream-sanctioned shuffle-free form q_stream_model_apply pins) and a
+    // FROZEN per-source calibrated cutoff table (B73's exact per-source
+    // P75, |sources| rows collected once before the stream starts — the
+    // "yesterday's model" a real pipeline deploys). Composition rule:
+    // scoring decides only what reaches the CURATED sink; score-rejected
+    // docs still enter the sha + signature history index, so dedup
+    // semantics stay exactly q_stream_curate's pairwise first-arrival-wins
+    // (a later duplicate of a low-quality doc is still a duplicate —
+    // dropping the rejected doc from the index would resurrect its copies;
+    // StreamCurateSpec asserts rejected docs sit in the index). Oracle =
+    // the full-feed q_stream_curate replay + the same frozen model/cutoff
+    // SQL (q_model_apply + q_score_calibrate machinery) filtering the
+    // survivors.
+    "q_stream_curate_scored" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_curate_scored_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val histDir = new File(root, "hist")
+      val curDir = new File(root, "curated")
+      // frozen model + per-source P75 cutoffs, trained on the full corpus
+      // BEFORE the stream starts (offline training, online apply)
+      val docsAll = graft.Tables.documents(s, d)
+      val model = graft.operators.LinearScorer.model(docsAll, minCount = 3)
+      val scoreU = graft.operators.LinearScorer.scoreUdf(model)
+      val scoredAll = docsAll.select(col("source"),
+        scoreU(col("text")).as("logit_micro"))
+      val h = scoredAll.groupBy(col("source"), col("logit_micro"))
+        .agg(count(lit(1)).as("c"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("logit_micro"))
+        .rowsBetween(Long.MinValue, 0)
+      val cum = h.withColumn("cum", sum(col("c")).over(cw))
+      val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cutRows = cum.join(tot, "source")
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") >= expr("(3 * n + 3) DIV 4"),
+          col("logit_micro"))).as("p75_micro"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      val cutDf = cutRows.toDF("source", "p75_micro")
+      val q = docStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val withSha = batch.withColumn("sha", sha2(col("text"), 256))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sha")).orderBy(col("doc_id"))
+          val batchUniq = withSha.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val hist: Option[DataFrame] =
+            if (histDir.exists()) Some(ss.read.parquet(histDir.getPath)) else None
+          val exactNew = hist match {
+            case None => batchUniq
+            case Some(hh) => graft.operators.ExactDedup
+              .bloomGatedNew(hh.select(col("sha")), batchUniq)
+              .drop("probe_hit")
+          }
+          val delta = exactNew.persist()
+          try {
+            val histDocs = hist match {
+              case None => delta.select(col("doc_id"), col("text")).filter(lit(false))
+              case Some(hh) => hh.select(col("doc_id"), col("text"))
+            }
+            val pairs = graft.operators.NearDup.minhashPairsIncremental(
+              histDocs, delta.select(col("doc_id"), col("text")))
+            val ids = delta.select(col("doc_id").as("doc_b"),
+              lit(true).as("bn"))
+            val dropped = pairs.join(ids, Seq("doc_b"), "left")
+              .select(when(coalesce(col("bn"), lit(false)), col("doc_b"))
+                .otherwise(col("doc_a")).as("doc_id"))
+              .distinct()
+            val accepted = delta.join(dropped, Seq("doc_id"), "left_anti")
+            // the online quality gate: frozen scorer + frozen cutoffs,
+            // both broadcast — scoring stays stateless and map-side
+            val kept = accepted
+              .withColumn("logit_micro", scoreU(col("text")))
+              .join(broadcast(cutDf), Seq("source"))
+              .filter(col("logit_micro") >= col("p75_micro"))
+            kept.select(col("doc_id"), col("source"), col("sha"),
+              col("logit_micro"))
+              .write.mode("append").parquet(curDir.getPath)
+            // EVERY exact-new doc enters the history index, scored or not
+            delta.select(col("doc_id"), col("text"), col("sha"))
+              .write.mode("append").parquet(histDir.getPath)
+          } finally { delta.unpersist(); () }
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_curate_scored still running after 180 s — refusing to " +
+            "read a partial corpus")
+      }
+      s.read.parquet(curDir.getPath).orderBy(col("doc_id"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1274,5 +1377,83 @@ object StreamingQ {
         |    THEN doc_b ELSE doc_a END AS doc_id FROM pairs)
         |SELECT es.doc_id, es.source, sha256(es.text) AS sha
         |FROM es WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY es.doc_id""".stripMargin,
+
+    // the q_stream_curate replay + the frozen-model quality gate: the B71
+    // scorer and B73 per-source P75 cutoff recomputed over the FULL corpus
+    // (the offline-trained state the stream deploys), filtering the dedup
+    // survivors — score-rejected docs still participate in the dedup
+    // chain (es / pairs / dropped are untouched), only the final SELECT
+    // gains the score rule
+    "q_stream_curate_scored" ->
+      """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
+        |es AS (SELECT doc_id, text, source, b FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY sha256(text) ORDER BY b, doc_id) AS rn FROM d) t
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM es) t
+        |  WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, CAST('0x' || substr(md5(u.s), 1, 7) AS BIGINT) AS h
+        |       FROM sh, unnest(shingles) u(s)),
+        |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b
+        |           FROM range(12) r(i)),
+        |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+        |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+        |bands AS (SELECT mh.doc_id, es.b, i // 2 AS band,
+        |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+        |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+        |  FROM mh JOIN es ON es.doc_id = mh.doc_id
+        |  GROUP BY mh.doc_id, es.b, i // 2),
+        |bcnt AS (SELECT band, mh0, mh1, b, count(*) AS nb
+        |         FROM bands GROUP BY 1, 2, 3, 4),
+        |bcum AS (SELECT band, mh0, mh1, b, sum(nb) OVER (
+        |           PARTITION BY band, mh0, mh1 ORDER BY b) AS cum FROM bcnt),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+        |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+        |  JOIN bcum c ON c.band = x.band AND c.mh0 = x.mh0 AND c.mh1 = x.mh1
+        |    AND c.b = greatest(x.b, y.b)
+        |  WHERE c.cum <= 1000),
+        |pairs AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b
+        |  WHERE floor(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |    (len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles))) * 1e3 + 0.5)
+        |    / 1e3 >= 0.8),
+        |dropped AS (SELECT DISTINCT CASE WHEN doc_b % 3 >= doc_a % 3
+        |    THEN doc_b ELSE doc_a END AS doc_id FROM pairs),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |ds AS (SELECT dd.source, dd.doc_id, sc.logit_micro
+        |  FROM documents dd JOIN sc ON sc.doc_id = dd.doc_id),
+        |hst AS (SELECT source, logit_micro, count(*)::BIGINT AS c
+        |        FROM ds GROUP BY 1, 2),
+        |cm AS (SELECT source, logit_micro, c, sum(c) OVER (
+        |         PARTITION BY source ORDER BY logit_micro) AS cum FROM hst),
+        |tt AS (SELECT source, sum(c)::BIGINT AS n FROM hst GROUP BY source),
+        |cut AS (SELECT cm.source,
+        |    min(CASE WHEN cm.cum >= (3 * tt.n + 3) // 4
+        |        THEN cm.logit_micro END) AS p75_micro
+        |  FROM cm JOIN tt ON tt.source = cm.source GROUP BY cm.source)
+        |SELECT es.doc_id, es.source, sha256(es.text) AS sha,
+        |  sc.logit_micro
+        |FROM es
+        |JOIN sc ON sc.doc_id = es.doc_id
+        |JOIN cut ON cut.source = es.source
+        |WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND sc.logit_micro >= cut.p75_micro
         |ORDER BY es.doc_id""".stripMargin)
 }

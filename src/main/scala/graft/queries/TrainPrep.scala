@@ -562,6 +562,35 @@ object TrainPrep {
     "q_bpe_merges" -> { (s, d) =>
       graft.operators.Bpe.merges(Tables.documents(s, d), rounds = 3)
         .orderBy(col("round"))
+    },
+
+    // B84 tokenizer-loop closure (r11 verdict #4): q_bpe_merges LEARNS the
+    // merge table; this entry TOKENIZES WITH IT — the learned merges
+    // applied greedily (the proven gaps-and-islands rule) to the corpus,
+    // then per-doc LEARNED token counts against the character baseline
+    // (len+1 symbols per word — what the corpus costs with zero merges).
+    // The trained vocabulary IS the application of the learned table to
+    // the training corpus (BpeSpec pins applyMerges ≡ the training-side
+    // state), so the entry reuses mergesWithVocab's final symbol table
+    // rather than paying the application twice. The doc-words ⋈ word-type
+    // join is corpus-keyed on BOTH sides (word types grow with the corpus,
+    // heavy-tailed — not a broadcastable dimension), so the shuffled join
+    // is the correct 100 TB plan; AQE broadcasts at toy SF when it
+    // measures small. Oracle = the q_bpe_merges chained-CTE replay
+    // extended with the per-doc count join.
+    "q_text_tokens_learned" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, vocabSyms) =
+        graft.operators.Bpe.mergesWithVocab(docs, rounds = 3)
+      val vocab = vocabSyms
+        .select(col("word"), size(col("s")).cast("long").as("toks_w"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("toks_w")).as("n_tokens_learned"),
+          sum(length(col("word")) + 1).as("n_tokens_char"))
+        .orderBy(col("doc_id"))
     })
 
   /** One BPE oracle round: s{r-1} → s{r} (mirrors Bpe.pairCounts +
@@ -615,6 +644,26 @@ object TrainPrep {
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    // the q_bpe_merges replay (3 learned rounds applied to the vocabulary)
+    // + the per-doc token-count join against the final symbol table s3
+    "q_text_tokens_learned" ->
+      s"""WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT word, f,
+         |    list_append(list_transform(range(len(word)), i -> word[i+1:i+1]),
+         |      '</w>') AS s FROM wf),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)},
+         |wt AS (SELECT word, len(s)::BIGINT AS toks_w FROM s3),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT dw.doc_id, sum(wt.toks_w)::BIGINT AS n_tokens_learned,
+         |  sum(len(dw.word) + 1)::BIGINT AS n_tokens_char
+         |FROM dw JOIN wt ON wt.word = dw.word
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
 
     "q_score_ks_drift" ->
       """WITH tok AS (

@@ -44,6 +44,34 @@ class BpeSpec extends SparkSpecBase {
     assert(out("aaa") === Seq("aa", "a", "</w>"))
   }
 
+  test("applying the learned merge table reproduces the training-side symbol table") {
+    // r11 verdict #4: the tokenizer APPLY path (a fresh symbol table
+    // re-segmented with the frozen merge list via applyMerges) must equal
+    // the state training itself reached — two different code paths
+    // (incremental persist-per-round vs one lazy fold) over the same rule.
+    val docs = docsDf("aaab aaab aab to to go")
+    val (tbl, trained) = Bpe.mergesWithVocab(docs, rounds = 3)
+    val learned = tbl.orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val applied = Bpe.applyMerges(Bpe.symbolTable(docs), learned)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    val t = trained
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(applied === t)
+    trained.unpersist(blocking = false)
+  }
+
+  test("learned-merge tokenization: hand-derived segmentations") {
+    // corpus aaab x2, aab -> merges (a,a), (b,</w>), (a,b</w>) (first test);
+    // aaab: [a,a,a,b,</w>] -> [aa,a,b,</w>] -> [aa,a,b</w>] -> [aa,ab</w>]
+    // aab:  [a,a,b,</w>]   -> [aa,b,</w>]   -> [aa,b</w>]  -> (aa != a: stop)
+    val (_, vocab) = Bpe.mergesWithVocab(docsDf("aaab aaab aab"), rounds = 3)
+    val m = vocab.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(m("aaab") === Seq("aa", "ab</w>"))
+    assert(m("aab") === Seq("aa", "b</w>"))
+    vocab.unpersist(blocking = false)
+  }
+
   test("symbol table weights by word frequency and terminates words") {
     val st = Bpe.symbolTable(docsDf("to to to go"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap

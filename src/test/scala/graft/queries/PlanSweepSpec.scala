@@ -51,7 +51,10 @@ class PlanSweepSpec extends SparkSpecBase {
     // (Pq.adcRank scaladoc), so here the UDF IS the scale-correct plan
     "q_embed_pq_adc", "q_embed_ivfpq",
     // B79 residual form: same ADC pattern with (qid, cell)-keyed tables
-    "q_embed_ivfpq_residual")
+    "q_embed_ivfpq_residual",
+    // B79 IVFADC-R: the shortlist stage IS adcTopK (same sanctioned ADC
+    // UDF); everything after it is relational over O(n_q·shortlist) rows
+    "q_embed_adc_rerank")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
@@ -78,7 +81,12 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_embed_ivfpq",
     // B79 residual form adds corpus ⋈ assignment (residual computation) to
     // the same shape — again both sides are every vector, never a dimension
-    "q_embed_ivfpq_residual")
+    "q_embed_ivfpq_residual",
+    // B84 apply side: doc-word instances ⋈ the word-TYPE table — the type
+    // table is heavy-tailed corpus vocabulary (grows with the corpus, not
+    // a dimension), so the shuffled join is the 100 TB plan; AQE
+    // broadcasts at toy SF when it measures small
+    "q_text_tokens_learned")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -71,4 +71,47 @@ class StreamCurateSpec extends SparkSpecBase {
     assert(crossBatch, "no confirmed pair crosses a batch boundary — " +
       "the cross-batch leak claim is untested at this fixture")
   }
+
+  test("scored curation: quality gate filters the sink, never the dedup index") {
+    // r11 verdict #5: q_stream_curate_scored = the same dedup composition
+    // with a frozen classifier + per-source P75 cutoff gating only what
+    // reaches the curated sink. Three claims: (1) its curated set is
+    // EXACTLY the unscored entry's accepted set filtered by the score
+    // rule (driver-side replay below); (2) the gate is non-vacuous (P75
+    // rejects most survivors); (3) score-REJECTED docs still sit in the
+    // persisted history index — dropping them would resurrect their
+    // later duplicates.
+    val scoredOut = graft.SparkEntry.queries("q_stream_curate_scored")(spark, sf)
+      .select(col("doc_id"), col("logit_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val acc = accepted.map(_._1).toSet
+    // driver-side frozen-model replay: full-corpus logits + per-source P75
+    val docsAll = graft.Tables.documents(spark, sf)
+    val model = graft.operators.LinearScorer.model(docsAll, minCount = 3)
+    val logits = graft.operators.LinearScorer.score(docsAll, model, 0L)
+      .select(col("doc_id"), col("logit_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcOf = docsAll.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val p75 = logits.toSeq.groupBy(x => srcOf(x._1)).map { case (s, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val r = (3 * sorted.length + 3) / 4
+      s -> sorted(r - 1)
+    }
+    val expect = acc.filter(id => logits(id) >= p75(srcOf(id)))
+    assert(scoredOut.keySet === expect,
+      "scored curated set diverges from accepted ∩ frozen score rule")
+    scoredOut.foreach { case (id, l) => assert(l === logits(id)) }
+    val rejected = acc -- scoredOut.keySet
+    assert(rejected.nonEmpty, "P75 gate rejected nothing — vacuous fixture")
+    // the entry's pid-scoped state root (same JVM => same pid)
+    val histDir = new java.io.File("target/qscratch/stream_curate_scored_" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") +
+      "_p" + ProcessHandle.current().pid(), "hist")
+    assert(histDir.exists(), s"history index missing at $histDir")
+    val hist = spark.read.parquet(histDir.getPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rejected.subsetOf(hist),
+      s"score-rejected docs missing from the dedup index: ${(rejected -- hist).take(3)}")
+  }
 }
