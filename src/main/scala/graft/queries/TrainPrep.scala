@@ -445,38 +445,13 @@ object TrainPrep {
     // until the gram explode), the frequent set is one distinct+count
     // aggregate, coverage is a W-row expansion per frequent occurrence,
     // and the rebuild is one doc-keyed aggregate over kept tokens. At
-    // 100 TB the frequent-gram table is CMS-prefiltered exactly as in
-    // graft.operators.HeavyHitters (probe before the distinct shuffle) —
-    // the scrub side is unchanged.
+    // 100 TB the frequent-gram table is CMS-prefiltered before the
+    // distinct shuffle — since r12 an IMPLEMENTED path
+    // (ScrubPassages.scrub(prefilter = true); ScrubPrefilterSpec pins
+    // output equality, the SCALE.md soak measures the byte cut), kept OFF
+    // here so the oracled plan stays UDF-free.
     "q_text_scrub_passages" -> { (s, d) =>
-      val W = 8
-      val docs = Tables.documents(s, d)
-      val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val grams = base.filter(size(col("t")) >= W)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(t) - $W), i -> array_join(slice(t, i + 1, $W), ' '))"))
-          .as(Seq("p", "gram")))
-      val freq = grams.select(col("gram"), col("doc_id")).distinct()
-        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 3).select(col("gram"))
-      val covered = grams.join(freq, "gram")
-        .select(col("doc_id"),
-          explode(sequence(col("p"), col("p") + (W - 1))).as("pos"))
-        .distinct()
-      val tokens = base
-        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-      val scrub = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("scrubbed"))
-      docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .join(scrub, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          sha2(coalesce(col("scrubbed"), lit("")), 256).as("scrubbed_sha"))
+      graft.operators.ScrubPassages.scrub(Tables.documents(s, d))
         .orderBy(col("doc_id"))
     },
 
