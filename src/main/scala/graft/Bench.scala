@@ -62,8 +62,15 @@ package graft
   *    at least one run sat inside the gate (an outlier dragged the median:
   *    box load). Line-level `"load_avg_per_run"` (1-min system load sampled
   *    before each sweep; -1 where the JVM can't read it) + `"load_avg_end"`
-  *    + `"ncpus"` give the environmental context — load ≫ ncpus across the
-  *    sweeps corroborates `noise_suspect` without re-running anything.
+  *    + `"ncpus"` give the environmental context. Reading rule: only the
+  *    BEFORE-SWEEP-1 sample is a clean external-contention signal — later
+  *    samples (and load_avg_end) largely carry the PREVIOUS sweep's own
+  *    32-thread load still decaying, so a high sample there is expected,
+  *    not evidence. External load ≫ 0 before sweep 1, or run_totals all
+  *    elevated with every drift row `noise_suspect`, corroborates a loaded
+  *    box without re-running anything (r12: two sweeps ~20% high, 0
+  *    systematic rows, max min_over_base 1.38 — adjudicated from the
+  *    artifact alone).
   */
 object Bench {
   private val excluded = Set("q_dedup_ngram_jaccard")
