@@ -128,6 +128,36 @@ object Bpe {
     (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), syms)
   }
 
+  /** Corpus token totals per training round — the COMPRESSION CURVE each
+    * merge buys, the acceptance metric a tokenizer trainer actually
+    * watches (round 0 = the chars + `</w>` baseline; Sennrich 2016 §3).
+    * Same training loop as [[mergesWithVocab]], plus ONE 1-row aggregate
+    * per round on the vocabulary table (total = Σ f · |s| — the exact
+    * token count of the corpus re-segmented with the merges so far).
+    * Returns (round, total_tokens) for rounds 0..`rounds`. */
+  def compressionCurve(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def total(s: DataFrame): Long =
+      s.agg(sum(col("f") * size(col("s")))).head().getLong(0)
+    var syms = symbolTable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer((0, total(syms)))
+    for (r <- 1 to rounds) {
+      val best = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      require(best.nonEmpty, s"round $r: no pairs left to merge")
+      val next = applyMerge(syms, best(0).getString(0), best(0).getString(1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += ((r, total(next)))
+      syms.unpersist(blocking = false)
+      syms = next
+    }
+    syms.unpersist(blocking = false)
+    out.toSeq.toDF("round", "total_tokens")
+  }
+
   /** Apply a LEARNED merge table (induction order) to a symbol table — the
     * tokenizer's APPLY side (Sennrich 2016): a corpus is re-segmented with
     * the frozen merge list, no pair statistics involved. Same greedy

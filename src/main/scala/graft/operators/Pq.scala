@@ -396,6 +396,33 @@ object Pq {
     require(k <= shortlist, s"k ($k) must be <= shortlist ($shortlist)")
     val sl = adcTopK(vecs, isQuery, shortlist, cfg, cents)
       .select(col("qid"), col("vec_id"))
+    rerankExact(vecs, isQuery, k, sl, cfg)
+  }
+
+  /** IVF-bounded IVFADC-R — the literal production pipeline Jégou 2011
+    * names: IVF probes bound WHICH codes a query scans, ADC ranks them
+    * from 8-byte codes, and the top-`shortlist` survivors are re-ranked by
+    * EXACT L2 over their raw vectors. Same cost structure as
+    * [[adcRerankTopK]]'s re-rank (broadcast shortlist semi-join fetch +
+    * O(n_q·shortlist·dim) exact work) on top of [[ivfAdcTopK]]'s bounded
+    * scan; self excluded (the ivfAdcTopK convention). Returns
+    * (qid, rank, vec_id, d2). */
+  def ivfAdcRerankTopK(vecs: DataFrame, isQuery: Column, k: Int,
+                       shortlist: Int, nprobe: Int, numCentroids: Int,
+                       cfg: PqConfig, cents: DataFrame): DataFrame = {
+    require(k <= shortlist, s"k ($k) must be <= shortlist ($shortlist)")
+    val sl = ivfAdcTopK(vecs, isQuery, shortlist, nprobe, numCentroids,
+      cfg, cents).select(col("qid"), col("vec_id"))
+    rerankExact(vecs, isQuery, k, sl, cfg)
+  }
+
+  /** The shared exact re-rank stage: fetch the raw coordinates of the
+    * (qid, vec_id) shortlist via ONE broadcast semi-join against the
+    * corpus scan, re-aggregate exact per-coordinate squared L2 (round-6,
+    * mirroring the oracle term-for-term), window-rank ≤ shortlist rows
+    * per query. All post-shortlist cost is O(n_q·shortlist·dim). */
+  private def rerankExact(vecs: DataFrame, isQuery: Column, k: Int,
+                          sl: DataFrame, cfg: PqConfig): DataFrame = {
     val ex = exploded(vecs, cfg)
     val cand = ex.join(broadcast(sl), Seq("vec_id"))
     val qex = exploded(vecs.filter(isQuery), cfg)

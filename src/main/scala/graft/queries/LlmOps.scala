@@ -604,6 +604,22 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B90 IVF-bounded IVFADC-R (Jégou 2011 §V over §III — see
+    // Pq.ivfAdcRerankTopK): the LITERAL production pipeline — IVF probes
+    // bound which codes a query scans, ADC ranks the 8-byte codes, and
+    // the top-20 survivors are re-ranked by exact L2 over raw vectors.
+    // Oracle = the q_embed_ivfpq replay + shortlist window + exact
+    // re-rank — every stage of the three-letter acronym under one hash.
+    "q_embed_ivfpq_rerank" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      graft.operators.Pq.ivfAdcRerankTopK(vecs, col("vec_id") < 10, k = 3,
+        shortlist = 20, nprobe = IvfCfg.nprobe,
+        numCentroids = IvfCfg.numCentroids, cfg,
+        graft.operators.Pq.train(vecs, cfg))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B79 CANONICAL residual IVFADC (r10 verdict #3): PQ trained and
     // applied on x − centroid(cell) over the TRAINED coarse quantizer
     // (kmeansFit — the full Jégou 2011 §IV composition; see
@@ -1439,6 +1455,39 @@ object LlmOps {
          |SELECT qid, rank, cid AS vec_id, adc FROM (
          |  SELECT qid, cid, adc, row_number() OVER (
          |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // IVF-bounded IVFADC-R: the q_embed_ivfpq replay + top-20 shortlist
+    // window + exact per-coordinate L2 re-rank (self already excluded by
+    // the cand CTE)
+    "q_embed_ivfpq_rerank" ->
+      s"""WITH $sqlPqCtes,
+         |$sqlIvfCtes,
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY adc, cid) AS srank FROM adc) t
+         |  WHERE srank <= 20),
+         |exd AS (SELECT s.qid, s.cid,
+         |    floor(sum((q.x - v.x)*(q.x - v.x)) * 1e6 + 0.5) / 1e6 AS d2
+         |  FROM short s
+         |  JOIN pex q ON q.vec_id = s.qid
+         |  JOIN pex v ON v.vec_id = s.cid AND v.m = q.m AND v.si = q.si
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, d2 FROM (
+         |  SELECT qid, cid, d2, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d2, cid) AS rank FROM exd) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // canonical residual IVFADC: the kmeans replay (sqlKmeansCtes — shared

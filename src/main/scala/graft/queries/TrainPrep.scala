@@ -539,6 +539,56 @@ object TrainPrep {
         .orderBy(col("round"))
     },
 
+    // B91 n-gram-LM coverage quality score — the EXACT-INTEGER analog of
+    // perplexity filtering (KenLM-style LM scoring ranks docs by how
+    // "expected" their n-grams are; log-probs are floats that can never
+    // hash-compare cross-engine, but the operative curation signal — how
+    // much of a doc's bigram stream the corpus LM has support for —
+    // survives as a rational): per doc, the ppm share of its adjacent
+    // bigrams occurring ≥ 3 times corpus-wide. Low coverage = gibberish,
+    // boilerplate-mangled, or wrong-language text; the standard
+    // complement to the B71 keyword scorer (which sees tokens, not
+    // transitions). Cost: one bigram-count aggregate + one doc-bigrams ⋈
+    // bigram-TYPE join (heavy-tailed vocabulary — a corpus-scaled side,
+    // so the shuffled join is the 100 TB plan, declared in PlanSweep) +
+    // one per-doc count aggregate. Oracle positions use the same
+    // range(512) table OracleBoundsSpec guards for the scrub.
+    "q_text_bigram_coverage" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bigram"))
+      val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .select(col("bigram"), lit(true).as("hit"))
+      bg.join(freq, Seq("bigram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_covered"))
+        .withColumn("coverage_ppm",
+          expr("n_covered * 1000000 DIV n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // B92 BPE compression curve (graft.operators.Bpe.compressionCurve —
+    // the acceptance metric a tokenizer trainer watches per merge): exact
+    // corpus token totals after each of 3 learned merges, round 0 = the
+    // chars+terminator baseline, plus the integer-ppm ratio vs round 0.
+    // The curve is what justifies (or stops) further merges. Oracle =
+    // the q_bpe_merges chained replay + one Σ f·|s| per round.
+    "q_bpe_compression" -> { (s, d) =>
+      val curve = graft.operators.Bpe
+        .compressionCurve(Tables.documents(s, d), rounds = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val t0 = curve.head._2
+      val rows = curve.map { case (r, t) => (r, t, t * 1000000L / t0) }.toSeq
+      import s.implicits._
+      rows.toDF("round", "total_tokens", "ratio_ppm")
+    },
+
     // B84 tokenizer-loop closure (r11 verdict #4): q_bpe_merges LEARNS the
     // merge table; this entry TOKENIZES WITH IT — the learned merges
     // applied greedily (the proven gaps-and-islands rule) to the corpus,
@@ -619,6 +669,43 @@ object TrainPrep {
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    // bigram positions from the same range(512) constant table the scrub
+    // oracle uses (OracleBoundsSpec guards tokens/doc <= 512)
+    "q_text_bigram_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[r.i+1] || ' ' || t[r.i+2] AS bigram
+        |  FROM t CROSS JOIN range(512) r(i)
+        |  WHERE len(t) >= 2 AND r.i <= len(t) - 2),
+        |freq AS (SELECT bigram FROM bg GROUP BY bigram HAVING count(*) >= 3)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  CAST(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  (CAST(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // count(*))::BIGINT AS coverage_ppm
+        |FROM bg b LEFT JOIN freq f ON f.bigram = b.bigram
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // the q_bpe_merges replay + one exact corpus token total per round
+    "q_bpe_compression" ->
+      s"""WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT word, f,
+         |    list_append(list_transform(range(len(word)), i -> word[i+1:i+1]),
+         |      '</w>') AS s FROM wf),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)},
+         |tot AS (
+         |  SELECT 0 AS round, sum(f * len(s))::BIGINT AS total_tokens FROM s0
+         |  UNION ALL SELECT 1, sum(f * len(s))::BIGINT FROM s1
+         |  UNION ALL SELECT 2, sum(f * len(s))::BIGINT FROM s2
+         |  UNION ALL SELECT 3, sum(f * len(s))::BIGINT FROM s3),
+         |base AS (SELECT total_tokens AS t0 FROM tot WHERE round = 0)
+         |SELECT round, total_tokens,
+         |  (total_tokens * 1000000 // t0)::BIGINT AS ratio_ppm
+         |FROM tot CROSS JOIN base ORDER BY round""".stripMargin,
 
     // the q_bpe_merges replay (3 learned rounds applied to the vocabulary)
     // + the per-doc token-count join against the final symbol table s3

@@ -72,6 +72,16 @@ class BpeSpec extends SparkSpecBase {
     vocab.unpersist(blocking = false)
   }
 
+  test("compression curve: hand-derived corpus token totals per round") {
+    // corpus aaab x2, aab: round 0 = chars+</w> = 2·5 + 4 = 14;
+    // after (a,a): 2·4 + 3 = 11; after (b,</w>): 2·3 + 2 = 8;
+    // after (a,b</w>): 2·2 + 2 = 6 — each merge's marginal win measured
+    val got = Bpe.compressionCurve(docsDf("aaab aaab aab"), rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((0, 14L), (1, 11L), (2, 8L), (3, 6L)))
+  }
+
   test("symbol table weights by word frequency and terminates words") {
     val st = Bpe.symbolTable(docsDf("to to to go"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap

@@ -134,6 +134,49 @@ class PqSpec extends SparkSpecBase {
       s"re-ranked top-3 recall below the 0.8 shortlist floor: ${measured(1)._3}/30")
   }
 
+  test("IVF-bounded IVFADC-R: re-rank recovers exactly the shortlist's cell-bounded gold") {
+    // the full production pipeline (IVF probe → ADC shortlist → exact
+    // re-rank): against the exact-L2 gold RESTRICTED to the probed cells
+    // (what the scan can see), the re-ranked top-3 must equal the
+    // shortlist ∩ gold — the same structural theorem as the full-scan
+    // IVFADC-R, now through the cell-bounded candidate path.
+    val isQ = col("vec_id") < 10
+    val (_, assigned, probes) = Pq.ivfParts(vecs, isQ, nprobe = 2,
+      numCentroids = 16)
+    // gold under the operator's own (round-6 d2, vec_id) ordering — the
+    // equality below is only a theorem under a shared ordering
+    val candSet = assigned
+      .join(probes, assigned("cell") === probes("qcell") &&
+        probes("qid") =!= assigned("vec_id"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val ex = Pq.exploded(vecs, cfg)
+    val qx = ex.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val dAll = qx.join(ex.withColumnRenamed("vec_id", "cand_id"), Seq("m", "si"))
+      .groupBy(col("qid"), col("cand_id"))
+      .agg((floor(sum((col("qx") - col("x")) * (col("qx") - col("x"))) * 1e6
+        + 0.5) / 1e6).as("d2"))
+    val gold = candSet.join(dAll, Seq("qid", "cand_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cand_id").as("vec_id")).cache()
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("qid"), col("vec_id"))
+        .join(gold, Seq("qid", "vec_id"), "left_semi").count()
+    val short20 = hits(Pq.ivfAdcTopK(vecs, isQ, k = 20, nprobe = 2,
+      numCentroids = 16, cfg, cb))
+    val rr = hits(Pq.ivfAdcRerankTopK(vecs, isQ, k = 3, shortlist = 20,
+      nprobe = 2, numCentroids = 16, cfg, cb))
+    val total = gold.count()
+    info(s"cell-bounded gold $total rows; gold-in-shortlist-20 $short20; " +
+      s"re-ranked top-3 $rr")
+    assert(rr === short20,
+      "re-rank must recover exactly the shortlist's gold members")
+    assert(total >= 20L, "gold too small to exercise the shortlist boundary")
+  }
+
   test("IVF-PQ: cell-bounded candidates, ADC values consistent with full scan") {
     val ivfpq = Pq.ivfAdcTopK(vecs, col("vec_id") < 10, k = 3, nprobe = 2,
       numCentroids = 16, cfg, cb).cache()

@@ -54,7 +54,9 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_embed_ivfpq_residual",
     // B79 IVFADC-R: the shortlist stage IS adcTopK (same sanctioned ADC
     // UDF); everything after it is relational over O(n_q·shortlist) rows
-    "q_embed_adc_rerank")
+    "q_embed_adc_rerank",
+    // B90: the IVF-bounded composition of the same two sanctioned stages
+    "q_embed_ivfpq_rerank")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
@@ -86,7 +88,13 @@ class PlanSweepSpec extends SparkSpecBase {
     // table is heavy-tailed corpus vocabulary (grows with the corpus, not
     // a dimension), so the shuffled join is the 100 TB plan; AQE
     // broadcasts at toy SF when it measures small
-    "q_text_tokens_learned")
+    "q_text_tokens_learned",
+    // B90: inherits q_embed_ivfpq's codes ⋈ cell-assignment join (both
+    // sides are every vector)
+    "q_embed_ivfpq_rerank",
+    // B91: doc-bigram instances ⋈ the bigram-TYPE table — same
+    // heavy-tailed-vocabulary argument as q_text_tokens_learned
+    "q_text_bigram_coverage")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -250,4 +250,38 @@ class TrainPrepSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_old") > 0L || r.getAs[Long]("n_new") > 0L)
     }
   }
+
+  test("q_text_bigram_coverage: ppm equals a driver-side bigram recount") {
+    // B91: the integer-exact analog of LM-perplexity filtering — verify
+    // every row against an independent in-memory recount of corpus bigram
+    // frequencies and per-doc coverage, plus non-vacuousness on both
+    // sides of the threshold.
+    val rows = TrainPrep.defs("q_text_bigram_coverage")(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    val corpus = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    texts.foreach { case (_, t) => bigrams(t).foreach(b => corpus(b) += 1) }
+    val expect = texts.collect { case (id, t) if bigrams(t).nonEmpty =>
+      val bs = bigrams(t)
+      val cov = bs.count(b => corpus(b) >= 3).toLong
+      id -> ((bs.size.toLong, cov, cov * 1000000L / bs.size))
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (n, cov, ppm) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(r.getAs[Long]("n_covered") === cov)
+      assert(r.getAs[Long]("coverage_ppm") === ppm)
+    }
+    assert(rows.exists(_.getAs[Long]("coverage_ppm") > 0L),
+      "no covered bigrams anywhere — threshold side untested")
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_covered") < r.getAs[Long]("n_bigrams")),
+      "every bigram covered — the uncovered side is untested")
+  }
 }
