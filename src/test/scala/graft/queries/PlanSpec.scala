@@ -277,4 +277,36 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"),
       s"pass 2 must exact-count via hash aggregate:\n$p")
   }
+
+  test("IVFADC-R re-rank fetches the shortlist via broadcast joins and prunes the rank window") {
+    // B87/B90: the raw-vector fetch must be a BROADCAST semi-join of the
+    // n_q·S shortlist id set against the corpus scan — a shuffled join
+    // there would move the corpus to fetch 50 rows per query — and the
+    // rank <= k filter must push into the window as a group limit (no
+    // full per-query sort survives it).
+    def shuffledJoins(p: String): Int =
+      p.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    // full-scan variant: NO shuffled join anywhere — shortlist and
+    // re-rank are both broadcast-shaped
+    val full = plan("q_embed_adc_rerank")
+    assert(full.contains("BroadcastHashJoin"),
+      s"q_embed_adc_rerank: shortlist fetch lost its broadcast:\n$full")
+    assert(shuffledJoins(full) === 0,
+      s"q_embed_adc_rerank: a shuffled join crept in:\n$full")
+    assert(full.contains("WindowGroupLimit"),
+      s"q_embed_adc_rerank: the rank<=k filter no longer prunes the window:\n$full")
+    // IVF-bounded variant: exactly ONE shuffled join — the DECLARED
+    // corpus-sized codes ⋈ cell-assignment join inside the shortlist
+    // stage (the q_embed_ivfpq shuffleJoinOk row); the re-rank stage
+    // itself must stay broadcast
+    val ivf = plan("q_embed_ivfpq_rerank")
+    assert(ivf.contains("BroadcastHashJoin"),
+      s"q_embed_ivfpq_rerank: shortlist fetch lost its broadcast:\n$ivf")
+    assert(shuffledJoins(ivf) === 1,
+      s"q_embed_ivfpq_rerank: expected exactly the declared codes-assignment " +
+        s"shuffled join, found ${shuffledJoins(ivf)}:\n$ivf")
+    assert(ivf.contains("WindowGroupLimit"),
+      s"q_embed_ivfpq_rerank: the rank<=k filter no longer prunes the window:\n$ivf")
+  }
 }
