@@ -584,7 +584,11 @@ object TrainPrep {
         .orderBy(col("round")).collect()
         .map(r => (r.getInt(0), r.getLong(1)))
       val t0 = curve.head._2
-      val rows = curve.map { case (r, t) => (r, t, t * 1000000L / t0) }.toSeq
+      // ppm scaling in BigInt (HUGEINT in the oracle): t·10⁶ wraps int64
+      // past ~9.2e12 corpus tokens — the q_score_ks_drift 128-bit rule
+      val rows = curve.map { case (r, t) =>
+        (r, t, (BigInt(t) * 1000000 / BigInt(t0)).toLong)
+      }.toSeq
       import s.implicits._
       rows.toDF("round", "total_tokens", "ratio_ppm")
     },
@@ -704,7 +708,8 @@ object TrainPrep {
          |  UNION ALL SELECT 3, sum(f * len(s))::BIGINT FROM s3),
          |base AS (SELECT total_tokens AS t0 FROM tot WHERE round = 0)
          |SELECT round, total_tokens,
-         |  (total_tokens * 1000000 // t0)::BIGINT AS ratio_ppm
+         |  (CAST(total_tokens AS HUGEINT) * 1000000
+         |    // CAST(t0 AS HUGEINT))::BIGINT AS ratio_ppm
          |FROM tot CROSS JOIN base ORDER BY round""".stripMargin,
 
     // the q_bpe_merges replay (3 learned rounds applied to the vocabulary)
