@@ -882,47 +882,18 @@ object StreamingQ {
       root.mkdirs()
       val histDir = new File(root, "hist")
       val curDir = new File(root, "curated")
+      // exactly-once since r12: the batch body lives in
+      // graft.operators.StreamCurate (batchId-keyed overwrites + strictly-
+      // below-batchId state reads — an at-least-once foreachBatch retry
+      // rewrites identical state instead of double-appending; replay
+      // pinned in StreamCurateSpec). Normal execution reads exactly what
+      // the r11 append form read, so the oracle is unchanged.
       val q = docStream(s, d).writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", new File(root, "_ckpt").getPath)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val withSha = batch.withColumn("sha", sha2(col("text"), 256))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("sha")).orderBy(col("doc_id"))
-          val batchUniq = withSha.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-          val hist: Option[DataFrame] =
-            if (histDir.exists()) Some(ss.read.parquet(histDir.getPath)) else None
-          val exactNew = hist match {
-            case None => batchUniq
-            case Some(h) => graft.operators.ExactDedup
-              .bloomGatedNew(h.select(col("sha")), batchUniq)
-              .drop("probe_hit")
-          }
-          val delta = exactNew.persist()
-          try {
-            val histDocs = hist match {
-              case None => delta.select(col("doc_id"), col("text")).filter(lit(false))
-              case Some(h) => h.select(col("doc_id"), col("text"))
-            }
-            val pairs = graft.operators.NearDup.minhashPairsIncremental(
-              histDocs, delta.select(col("doc_id"), col("text")))
-            // the later arrival of each confirmed pair is dropped: a delta
-            // doc_b always (same batch, larger id, or newer batch than a
-            // history doc_a); a delta doc_a only when doc_b is history
-            val ids = delta.select(col("doc_id").as("doc_b"),
-              lit(true).as("bn"))
-            val dropped = pairs.join(ids, Seq("doc_b"), "left")
-              .select(when(coalesce(col("bn"), lit(false)), col("doc_b"))
-                .otherwise(col("doc_a")).as("doc_id"))
-              .distinct()
-            val accepted = delta.join(dropped, Seq("doc_id"), "left_anti")
-            accepted.select(col("doc_id"), col("source"), col("sha"))
-              .write.mode("append").parquet(curDir.getPath)
-            delta.select(col("doc_id"), col("text"), col("sha"))
-              .write.mode("append").parquet(histDir.getPath)
-          } finally { delta.unpersist(); () }
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCurate.curateBatch(batch, bid, histDir,
+            curDir, score = None)
         }
         .start()
       if (!q.awaitTermination(180000)) {
@@ -930,7 +901,7 @@ object StreamingQ {
         throw new IllegalStateException(
           "q_stream_curate still running after 180 s — refusing to read a partial corpus")
       }
-      s.read.parquet(curDir.getPath).orderBy(col("doc_id"))
+      graft.operators.StreamCurate.readAll(s, curDir).orderBy(col("doc_id"))
     },
 
     // B81 SCORED streaming curation (r11 verdict #5) — q_stream_curate
@@ -979,52 +950,14 @@ object StreamingQ {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       import s.implicits._
       val cutDf = cutRows.toDF("source", "p75_micro")
+      // same exactly-once batch body as q_stream_curate, plus the frozen
+      // quality gate on the curated sink only (StreamCurate.curateBatch)
       val q = docStream(s, d).writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", new File(root, "_ckpt").getPath)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val withSha = batch.withColumn("sha", sha2(col("text"), 256))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("sha")).orderBy(col("doc_id"))
-          val batchUniq = withSha.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-          val hist: Option[DataFrame] =
-            if (histDir.exists()) Some(ss.read.parquet(histDir.getPath)) else None
-          val exactNew = hist match {
-            case None => batchUniq
-            case Some(hh) => graft.operators.ExactDedup
-              .bloomGatedNew(hh.select(col("sha")), batchUniq)
-              .drop("probe_hit")
-          }
-          val delta = exactNew.persist()
-          try {
-            val histDocs = hist match {
-              case None => delta.select(col("doc_id"), col("text")).filter(lit(false))
-              case Some(hh) => hh.select(col("doc_id"), col("text"))
-            }
-            val pairs = graft.operators.NearDup.minhashPairsIncremental(
-              histDocs, delta.select(col("doc_id"), col("text")))
-            val ids = delta.select(col("doc_id").as("doc_b"),
-              lit(true).as("bn"))
-            val dropped = pairs.join(ids, Seq("doc_b"), "left")
-              .select(when(coalesce(col("bn"), lit(false)), col("doc_b"))
-                .otherwise(col("doc_a")).as("doc_id"))
-              .distinct()
-            val accepted = delta.join(dropped, Seq("doc_id"), "left_anti")
-            // the online quality gate: frozen scorer + frozen cutoffs,
-            // both broadcast — scoring stays stateless and map-side
-            val kept = accepted
-              .withColumn("logit_micro", scoreU(col("text")))
-              .join(broadcast(cutDf), Seq("source"))
-              .filter(col("logit_micro") >= col("p75_micro"))
-            kept.select(col("doc_id"), col("source"), col("sha"),
-              col("logit_micro"))
-              .write.mode("append").parquet(curDir.getPath)
-            // EVERY exact-new doc enters the history index, scored or not
-            delta.select(col("doc_id"), col("text"), col("sha"))
-              .write.mode("append").parquet(histDir.getPath)
-          } finally { delta.unpersist(); () }
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCurate.curateBatch(batch, bid, histDir,
+            curDir, score = Some((scoreU, cutDf)))
         }
         .start()
       if (!q.awaitTermination(180000)) {
@@ -1033,7 +966,7 @@ object StreamingQ {
           "q_stream_curate_scored still running after 180 s — refusing to " +
             "read a partial corpus")
       }
-      s.read.parquet(curDir.getPath).orderBy(col("doc_id"))
+      graft.operators.StreamCurate.readAll(s, curDir).orderBy(col("doc_id"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws

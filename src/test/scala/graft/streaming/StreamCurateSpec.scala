@@ -109,9 +109,40 @@ class StreamCurateSpec extends SparkSpecBase {
       sf.replaceAll("[^a-zA-Z0-9.]", "_") +
       "_p" + ProcessHandle.current().pid(), "hist")
     assert(histDir.exists(), s"history index missing at $histDir")
-    val hist = spark.read.parquet(histDir.getPath)
+    val hist = graft.operators.StreamCurate.readAll(spark, histDir)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(rejected.subsetOf(hist),
       s"score-rejected docs missing from the dedup index: ${(rejected -- hist).take(3)}")
+  }
+
+  test("curateBatch is exactly-once: a retried batch rewrites identical state") {
+    // r12: foreachBatch delivers (batch, batchId) AT LEAST once — the
+    // batch body must be idempotent under retry. Drive it manually with
+    // the entry's own batch split (b = doc_id % 3), inject a RETRY of
+    // batch 1 after it committed, and require byte-identical state, then
+    // require the final corpus to equal the real streaming entry's
+    // accepted set.
+    import graft.operators.StreamCurate
+    val root = new java.io.File(scratch("curate_replay"))
+    val hist = new java.io.File(root, "hist")
+    val cur = new java.io.File(root, "cur")
+    val docs = graft.Tables.documents(spark, sf)
+    def b(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    def curState(): Set[(Long, String)] =
+      StreamCurate.readAll(spark, cur)
+        .select(col("doc_id"), col("sha")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    StreamCurate.curateBatch(b(0), 0, hist, cur, score = None)
+    StreamCurate.curateBatch(b(1), 1, hist, cur, score = None)
+    val afterB1 = curState()
+    // the retry: same batch, same id, AFTER the original committed — the
+    // strictly-below-batchId state read must hide b1's own output, or
+    // the bloom gate would flag the whole batch as dups and replace the
+    // directory with an empty delta
+    StreamCurate.curateBatch(b(1), 1, hist, cur, score = None)
+    assert(curState() === afterB1, "retry changed committed state")
+    StreamCurate.curateBatch(b(2), 2, hist, cur, score = None)
+    assert(curState().map(_._1) === accepted.map(_._1).toSet,
+      "manual replay diverges from the streaming entry's accepted set")
   }
 }
