@@ -332,6 +332,38 @@ object LlmOps {
         .orderBy(col("source_x"), col("source_y"))
     },
 
+    // B93 cross-modal staleness audit — WHERE TEXT AND EMBEDDINGS
+    // DISAGREE: for every confirmed text near-dup pair (the B50 LSH
+    // machinery), the embedding cosine between the two docs. A pair the
+    // text side calls a duplicate whose vectors sit far apart (cos <
+    // the embed-dedup confirm threshold) means the embedding store is
+    // STALE for at least one side — re-embedding lag, text-extraction
+    // drift, or a pipeline bug — exactly the inconsistency that makes
+    // embedding-based dedup/ANN silently miss what text dedup catches.
+    // Cost: two doc-keyed joins of the BOUNDED pair set onto the
+    // embeddings (pairs ≪ corpus by construction) + one codegen vec_dot
+    // per pair. Round-6 cosine (the q_dedup_semantic convention). On the
+    // driver fixture the embeddings are INDEPENDENT of the text, so every
+    // text-dup pair flags stale here (the hash still checks every cos6);
+    // the discriminating stale=false side is planted in
+    // CrossModalStaleSpec.
+    "q_dedup_embed_stale" -> { (s, d) =>
+      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val n = embedVecs(s, d).select(col("vec_id"), col("e"),
+        sqrt(call_function("vec_dot", col("e"), col("e"))).as("nrm"))
+      val a = n.select(col("vec_id").as("doc_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("doc_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("cos6",
+          round(call_function("vec_dot", col("ea"), col("eb")) /
+            (col("na") * col("nb")), 6))
+        .select(col("doc_a"), col("doc_b"), col("cos6"),
+          (col("cos6") < EmbedCfg.cosineConfirm).as("stale"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // B50 incremental dedup: the per-batch ingest form — delta docs
     // (doc_id % 10 = 7, the "today's batch" split) deduped against history
     // WITHOUT regenerating history×history pairs; candidates come only
@@ -1408,6 +1440,26 @@ object LlmOps {
          |  SELECT qid, vec_id, adc, row_number() OVER (
          |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // cross-modal staleness: the minhash pair chain + per-pair embedding
+    // cosine (round-6, the q_dedup_semantic convention); ex2/vn2 names
+    // avoid the shingle chain's ex CTE
+    "q_dedup_embed_stale" ->
+      s"""WITH $sqlShingles,
+         |$sqlMinhashPairs,
+         |ex2 AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(64) r(i)),
+         |vn2 AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex2 GROUP BY vec_id),
+         |dp AS (SELECT p.doc_a, p.doc_b, sum(xa.x * xb.x) AS dp
+         |  FROM pairs p JOIN ex2 xa ON xa.vec_id = p.doc_a
+         |  JOIN ex2 xb ON xb.vec_id = p.doc_b AND xb.i = xa.i
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b,
+         |  round(d.dp / (va.nrm * vb.nrm), 6) AS cos6,
+         |  round(d.dp / (va.nrm * vb.nrm), 6) < ${EmbedCfg.cosineConfirm} AS stale
+         |FROM dp d JOIN vn2 va ON va.vec_id = d.doc_a
+         |JOIN vn2 vb ON vb.vec_id = d.doc_b
+         |ORDER BY d.doc_a, d.doc_b""".stripMargin,
 
     // IVFADC-R: the q_embed_pq_adc replay + top-50 shortlist window +
     // exact per-coordinate L2 re-rank of the shortlist (Jégou 2011 §V)

@@ -539,6 +539,32 @@ object TrainPrep {
         .orderBy(col("round"))
     },
 
+    // B94 curriculum phase assignment via the SCALABLE global rank — the
+    // second real consumer of OrderedCumsum (B83): curriculum training
+    // orders the corpus by quality and feeds it in phases, which needs a
+    // GLOBAL rank over the quality score. `row_number() OVER (ORDER BY
+    // …)` with no partition is the same one-task plan B83 replaced for
+    // running totals; rank IS the running total of 1s, so the two-pass
+    // range/offset machinery gives the rank with full parallelism.
+    // Phase = quartile of rank (1..4, best quality first). Oracle = the
+    // single-partition window form — proving the scalable plan computes
+    // the identical global order.
+    "q_train_curriculum" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer
+        .score(docs, m, thresholdMicro = 0L)
+        .select(col("doc_id"), col("logit_micro"))
+      val ranked = graft.operators.OrderedCumsum.withRunningTotal(scored,
+        Seq(col("logit_micro").desc, col("doc_id")), lit(1L), "rank",
+        partitions = 8)
+      val n = docs.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("logit_micro"), col("rank"),
+          (expr("(rank - 1) * 4 DIV n") + 1L).as("phase"))
+        .orderBy(col("doc_id"))
+    },
+
     // B91 n-gram-LM coverage quality score — the EXACT-INTEGER analog of
     // perplexity filtering (KenLM-style LM scoring ranks docs by how
     // "expected" their n-grams are; log-probs are floats that can never
@@ -673,6 +699,27 @@ object TrainPrep {
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    // the single-partition window form the scalable rank replaces
+    "q_train_curriculum" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |r AS (SELECT doc_id, logit_micro,
+        |    row_number() OVER (ORDER BY logit_micro DESC, doc_id) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM sc)
+        |SELECT doc_id, logit_micro, rank::BIGINT AS rank,
+        |  ((rank - 1) * 4 // n + 1)::BIGINT AS phase
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // bigram positions from the same range(512) constant table the scrub
     // oracle uses (OracleBoundsSpec guards tokens/doc <= 512)
