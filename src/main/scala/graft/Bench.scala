@@ -55,12 +55,18 @@ package graft
   *    Perf claims cite this gate, not hand-run medians;
   *  - each drifted row is SELF-ADJUDICATING (r11 verdict #1 — adjudicating
   *    r11's two box-load false positives cost a full 16-minute re-sweep):
-  *    it carries its raw per-sweep `"runs"`, `"min_over_base"` (best run ÷
-  *    baseline, floor-subtracted for join entries), and a `"class"` from
-  *    [[driftClass]] — `systematic` when even the BEST run exceeds the gate
-  *    ratio (a tight cluster ≫ base: real regression), `noise_suspect` when
-  *    at least one run sat inside the gate (an outlier dragged the median:
-  *    box load). Line-level `"load_avg_per_run"` (1-min system load sampled
+  *    it carries its raw per-sweep `"runs"` (failed runs as -1.0 sentinels,
+  *    so positions stay sweep-aligned — r12 ADVICE), `"min_over_base"`
+  *    (best run ÷ baseline, floor-subtracted for join entries), an
+  *    END-OF-SWEEP `"retest_s"`/`"retest_over_base"` (r12 verdict #1: the
+  *    entry re-run once after all sweeps + floors finish, the quietest
+  *    moment the bench observes — the sample that settles a borderline
+  *    median without a judge re-sweep; retest failure → -1.0/null), and a
+  *    `"class"` from [[classWithRetest]] — `systematic` when even the BEST
+  *    observation including the retest exceeds the gate ratio (a tight
+  *    cluster ≫ base: real regression), `noise_suspect` when at least one
+  *    sat inside the gate (an outlier dragged the median: box load).
+  *    Line-level `"load_avg_per_run"` (1-min system load sampled
   *    before each sweep; -1 where the JVM can't read it) + `"load_avg_end"`
   *    + `"ncpus"` give the environmental context. Reading rule: only the
   *    BEFORE-SWEEP-1 sample is a clean external-contention signal — later
@@ -119,12 +125,15 @@ object Bench {
     * (floor-subtracted for stream-join entries, clamped at 0) over the
     * baseline median. The median can be dragged over the gate by one loaded
     * sweep; the MINIMUM can't — if even the best run exceeds the gate
-    * ratio, no amount of box noise explains it. Degenerate bases (0) and
-    * empty run lists report the 999999 sentinel, never Infinity (which
-    * would break the JSON line). */
+    * ratio, no amount of box noise explains it. Failed-run sentinels
+    * (negative entries — see the sweep loop) are excluded: a -1.0 is a
+    * crash marker, not a fast run. Degenerate bases (0) and empty run
+    * lists report the 999999 sentinel, never Infinity (which would break
+    * the JSON line). */
   private[graft] def minOverBase(runs: Seq[Double], base: Double,
                                  isJoin: Boolean, joinFloorCur: Double): Double = {
-    val adj = runs.map(t => if (isJoin) math.max(0.0, t - joinFloorCur) else t)
+    val adj = runs.filter(_ >= 0.0)
+      .map(t => if (isJoin) math.max(0.0, t - joinFloorCur) else t)
     if (adj.isEmpty || base <= 0.0) 999999.0 else adj.min / base
   }
 
@@ -135,6 +144,23 @@ object Bench {
     * line's load_avg fields before burning a re-sweep on it. */
   private[graft] def driftClass(minOverBase: Double, ratio: Double = 1.5): String =
     if (minOverBase > ratio) "systematic" else "noise_suspect"
+
+  /** [[driftClass]] with the end-of-sweep retest folded in (r12 verdict
+    * #1): a drifted entry is re-run ONCE after all sweeps complete — by
+    * then the box has shed the sweeps' own load, so the retest is the
+    * cleanest sample the artifact owns. `systematic` now requires EVERY
+    * observation including the retest to exceed the gate ratio: a retest
+    * back inside the gate is exactly the "outlier sweep dragged the
+    * median" evidence r11/r12 had to argue from load averages
+    * (q_embed_ivfpq_residual flagged two consecutive driver sweeps, both
+    * ultimately noise — this closes that loop from the artifact alone). A
+    * FAILED retest (None) changes nothing: classification falls back to
+    * the sweeps' min_over_base. */
+  private[graft] def classWithRetest(minOverBase: Double,
+                                     retestOverBase: Option[Double],
+                                     ratio: Double = 1.5): String =
+    driftClass(retestOverBase.fold(minOverBase)(math.min(minOverBase, _)),
+      ratio)
 
   /** (per-query baseline medians, baseline stream_join_floor_s) from the
     * committed JSON; None (with a stderr note) if absent/unreadable — the
@@ -190,7 +216,12 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) times(name) = dt :: times(name) else fails(name) += 1
+        // failed runs are recorded as the -1.0 sentinel (r12 ADVICE): the
+        // drift rows' "runs" array promises index alignment with
+        // load_avg_per_run, which only holds if every sweep contributes a
+        // position — medians/ratios filter the sentinel out downstream
+        if (ok) times(name) = dt :: times(name)
+        else { times(name) = -1.0 :: times(name); fails(name) += 1 }
         dt
       }.sum
     }
@@ -229,9 +260,10 @@ object Bench {
     // data-bound signal
     val (joinFloorS, joinFloorFailed) = floorOf("stream_join_floor")(
       graft.queries.StreamingQ.harnessJoinFloor(spark, sfDir))
-    // (name, median-of-successes, everFailed) in stable catalog order
+    // (name, median-of-successes, allFailed) in stable catalog order —
+    // the -1.0 failure sentinels never enter a median
     val results = catalog.map { case (name, _) =>
-      val ts = times(name)
+      val ts = times(name).filter(_ >= 0.0)
       (name, if (ts.isEmpty) 0.0 else median(ts), ts.isEmpty)
     }
     // 4-decimal timings keep the whole line ~3x shorter — the r2 driver log
@@ -248,7 +280,8 @@ object Bench {
       .mkString("[", ",", "]")
     // flaky only: a query that failed EVERY run is in "failed" — listing
     // it here too would double-report it (r8 advice)
-    val partialFails = fails.toSeq.filter { case (k, _) => times(k).nonEmpty }
+    val partialFails = fails.toSeq
+      .filter { case (k, _) => times(k).exists(_ >= 0.0) }
     val partial = partialFails.sorted
       .map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -280,20 +313,46 @@ object Bench {
         driftOf(results.map(t => (t._1, t._2)), bq, joinFloorS, bf)
       case None => (Nil, Nil)
     }
+    // end-of-sweep retest (r12 verdict #1): each drifted entry runs ONCE
+    // more, after every sweep and both floors have finished — the box is
+    // at its quietest point the bench ever observes it, so this sample
+    // adjudicates a borderline row without a judge re-sweep. -1.0 = the
+    // retest itself failed.
+    val catalogFns = catalog.toMap
+    val retests: Map[String, Double] = driftedRows.map { case (k, _, _, _) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok =
+        try { catalogFns(k)(spark, sfDir).write.mode("overwrite")
+          .format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retest $k FAILED: $e"); false
+        }
+      k -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
     // self-adjudicating drift rows (r11 verdict #1): raw sweep-order runs,
-    // best-run-over-baseline, and the noise/systematic classification —
-    // enough to tell "tight cluster ≫ base" from "one loaded sweep dragged
-    // the median" straight from the artifact. times() prepends, so reverse
-    // restores sweep order (indices line up with load_avg_per_run).
+    // best-run-over-baseline, the end-of-sweep retest, and the
+    // noise/systematic classification — enough to tell "tight cluster ≫
+    // base" from "one loaded sweep dragged the median" straight from the
+    // artifact. times() prepends, so reverse restores sweep order (the
+    // -1.0 failure sentinels keep indices aligned with load_avg_per_run).
+    // "retest_over_base" is null when the retest failed; "class" is
+    // systematic only if every sweep run AND the retest exceed the gate.
     val driftJson = driftedRows
       .map { case (k, b, c, r) =>
+        val isJoin = k.startsWith("q_stream_join")
         val raw = times(k).reverse
-        val mob = minOverBase(raw, b, k.startsWith("q_stream_join"), joinFloorS)
+        val mob = minOverBase(raw, b, isJoin, joinFloorS)
+        val retest = retests.getOrElse(k, -1.0)
+        val retestOB = if (retest >= 0.0)
+          Some(minOverBase(Seq(retest), b, isJoin, joinFloorS)) else None
         "\"" + k + "\":{\"base\":" + sec(b) + ",\"cur\":" + sec(c) +
           ",\"ratio\":" + sec(r) +
           ",\"runs\":" + raw.map(sec).mkString("[", ",", "]") +
           ",\"min_over_base\":" + sec(mob) +
-          ",\"class\":\"" + driftClass(mob) + "\"}"
+          ",\"retest_s\":" + sec(retest) +
+          ",\"retest_over_base\":" + retestOB.fold("null")(sec) +
+          ",\"class\":\"" + classWithRetest(mob, retestOB) + "\"}"
       }.mkString("{", ",", "}")
     val unbJson = unbaselined.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson = loadPerRun.map(sec).mkString("[", ",", "]")

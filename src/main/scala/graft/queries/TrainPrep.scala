@@ -637,8 +637,17 @@ object TrainPrep {
       val docs = Tables.documents(s, d)
       val (_, vocabSyms) =
         graft.operators.Bpe.mergesWithVocab(docs, rounds = 3)
-      val vocab = vocabSyms
-        .select(col("word"), size(col("s")).cast("long").as("toks_w"))
+      // mergesWithVocab returns the symbol table PERSISTED; materialize the
+      // per-word token counts (vocabulary-scale, a strictly smaller
+      // projection) via an eager localCheckpoint and release the training
+      // cache NOW (r12 ADVICE) — a persist would pin it for the session's
+      // lifetime across every bench sweep, whereas checkpoint blocks are
+      // reclaimed by the ContextCleaner once the returned plan is dropped.
+      val vocab = try {
+        vocabSyms
+          .select(col("word"), size(col("s")).cast("long").as("toks_w"))
+          .localCheckpoint(true)
+      } finally vocabSyms.unpersist(blocking = false)
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)
         .join(vocab, Seq("word"))

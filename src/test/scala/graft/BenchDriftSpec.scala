@@ -91,4 +91,42 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.minOverBase(Seq(1.0), base = 0.0, isJoin = false,
       joinFloorCur = 0.0) === 999999.0)
   }
+
+  test("failed-run -1.0 sentinels never masquerade as a best run") {
+    // r12 ADVICE: runs arrays carry -1.0 for failed sweeps so positions
+    // stay aligned with load_avg_per_run — minOverBase must skip them (a
+    // raw -1.0 would otherwise be the "best" run and classify every
+    // partially-failing drifted entry as noise)
+    val mob = Bench.minOverBase(Seq(-1.0, 6.4, 6.6), base = 4.0,
+      isJoin = false, joinFloorCur = 0.0)
+    assert(math.abs(mob - 6.4 / 4.0) < 1e-9)
+    assert(Bench.driftClass(mob) === "systematic")
+    // a join entry's sentinel must not clamp to 0 (which would read as a
+    // free ride over the baseline) — it is excluded before the clamp
+    assert(Bench.minOverBase(Seq(-1.0), base = 2.0, isJoin = true,
+      joinFloorCur = 3.0) === 999999.0)
+  }
+
+  // r12 verdict #1: the end-of-sweep retest is the adjudicating sample —
+  // q_embed_ivfpq_residual flagged two consecutive driver sweeps, both
+  // noise, the second only 6% inside the min_over_base line.
+
+  test("a retest inside the gate overrides a systematic-looking sweep cluster") {
+    // every sweep ran hot (min_over_base 1.6 > 1.5) but the quiet-box
+    // retest came back at 1.1x: the sweeps were loaded, not the operator
+    assert(Bench.classWithRetest(1.6, Some(1.1)) === "noise_suspect")
+  }
+
+  test("systematic requires the retest to exceed the gate too") {
+    // tight sweep cluster AND the quiet retest both over the gate: real
+    assert(Bench.classWithRetest(1.7, Some(1.62)) === "systematic")
+    // retest over the gate but a sweep run inside it: still noise_suspect
+    // (min over ALL observations decides — same rule as before)
+    assert(Bench.classWithRetest(1.3, Some(1.8)) === "noise_suspect")
+  }
+
+  test("a failed retest falls back to the sweeps' own classification") {
+    assert(Bench.classWithRetest(1.6, None) === "systematic")
+    assert(Bench.classWithRetest(1.4, None) === "noise_suspect")
+  }
 }
