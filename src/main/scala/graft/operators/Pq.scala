@@ -416,6 +416,29 @@ object Pq {
     rerankExact(vecs, isQuery, k, sl, cfg)
   }
 
+  /** Residual IVFADC-R — the COMPLETE Jégou 2011 recipe in one call
+    * (r12 verdict #3): a TRAINED coarse quantizer bounds which codes a
+    * query scans (§IV), PQ codes quantize the RESIDUAL x − centroid(cell)
+    * so the 8 bytes spend their precision inside the cell (§IV), and the
+    * top-`shortlist` ADC survivors are re-ranked by EXACT L2 over their
+    * raw vectors (§V). [[ivfAdcRerankTopK]] composes the raw-coding
+    * variant; this is the same wiring over [[ivfAdcResidualTopK]] — the
+    * shortlist is ranked by per-(query, probed-cell) residual ADC, and the
+    * re-rank stage is the shared broadcast-semi-join fetch (its exact
+    * distances are coding-agnostic: raw L2 over raw coordinates). Same
+    * cost structure: post-shortlist work is O(n_q·shortlist·dim),
+    * independent of corpus size; self excluded (the ivfAdcResidualTopK
+    * convention). Returns (qid, rank, vec_id, d2). */
+  def ivfAdcResidualRerankTopK(vecs: DataFrame, isQuery: Column, k: Int,
+                               shortlist: Int, nprobe: Int,
+                               coarseCents: DataFrame, cfg: PqConfig,
+                               pqSeedFrom: Long): DataFrame = {
+    require(k <= shortlist, s"k ($k) must be <= shortlist ($shortlist)")
+    val sl = ivfAdcResidualTopK(vecs, isQuery, shortlist, nprobe,
+      coarseCents, cfg, pqSeedFrom).select(col("qid"), col("vec_id"))
+    rerankExact(vecs, isQuery, k, sl, cfg)
+  }
+
   /** The shared exact re-rank stage: fetch the raw coordinates of the
     * (qid, vec_id) shortlist via ONE broadcast semi-join against the
     * corpus scan, re-aggregate exact per-coordinate squared L2 (round-6,

@@ -191,6 +191,51 @@ object LlmOps {
        |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}dF) t
        |  WHERE rn = 1)""".stripMargin
 
+  /** The full residual-IVFADC replay up to the per-candidate `adc` CTE
+    * (mirrors [[graft.operators.Pq.ivfAdcResidualTopK]]): trained-kmeans
+    * coarse quantizer, round-6 centroids, cosine assignment + probes,
+    * residual coords, residual PQ train→encode (prefix r), per-(query,
+    * probed cell) distance tables, cell-bounded candidates. Shared by
+    * q_embed_ivfpq_residual and its re-rank extension so the two replays
+    * cannot drift; `ex` (raw exploded coords) stays available to the
+    * re-rank's exact-distance CTE. */
+  private def sqlResidualAdcCtes: String =
+    s"""$sqlKmeansCtes,
+       |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
+       |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
+       |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
+       |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
+       |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 9) AS ccos
+       |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
+       |         JOIN crn ON crn.cent_id = dq.cent_id),
+       |rk AS (SELECT vec_id, cent_id, row_number() OVER (
+       |         PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq),
+       |assigned AS (SELECT vec_id, cent_id AS cell FROM rk WHERE arn = 1),
+       |probes AS (SELECT vec_id AS qid, cent_id AS qcell FROM rk
+       |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
+       |rex AS (SELECT ex.vec_id, ex.i // ${PqCfg.subDim} AS m,
+       |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
+       |  FROM ex JOIN assigned a ON a.vec_id = ex.vec_id
+       |  JOIN cr ON cr.cent_id = a.cell AND cr.i = ex.i),
+       |${sqlPqTrainEncode("rex", "r", seedFrom = IvfCfg.numCentroids)},
+       |qrex AS (SELECT p.qid, p.qcell AS cell, ex.i // ${PqCfg.subDim} AS m,
+       |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
+       |  FROM probes p JOIN ex ON ex.vec_id = p.qid
+       |  JOIN cr ON cr.cent_id = p.qcell AND cr.i = ex.i),
+       |qdt AS (SELECT qx.qid, qx.cell, qx.m, p.cent_id,
+       |    floor(sum((qx.x - p.c)*(qx.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM qrex qx JOIN rcb p ON p.m = qx.m AND p.si = qx.si
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT p.qid, p.qcell AS cell, a.vec_id AS cid
+       |  FROM probes p JOIN assigned a
+       |    ON a.cell = p.qcell AND a.vec_id != p.qid),
+       |adc AS (SELECT c.qid, c.cid,
+       |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+       |  FROM cand c JOIN raF f ON f.vec_id = c.cid
+       |  JOIN qdt dt ON dt.qid = c.qid AND dt.cell = c.cell
+       |    AND dt.m = f.m AND dt.cent_id = f.code
+       |  GROUP BY 1, 2)""".stripMargin
+
   private def sqlPqCtes: String =
     s"""pex AS (SELECT vec_id, i // ${PqCfg.subDim} AS m, i % ${PqCfg.subDim} AS si,
        |    embedding[i+1]::DOUBLE AS x
@@ -670,6 +715,25 @@ object LlmOps {
       graft.operators.Pq.ivfAdcResidualTopK(emb, col("vec_id") < 10, k = 3,
         nprobe = IvfCfg.nprobe, cents, graft.operators.PqConfig(),
         pqSeedFrom = IvfCfg.numCentroids)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B95a residual IVFADC-R (r12 verdict #3 — see
+    // Pq.ivfAdcResidualRerankTopK): the COMPLETE Jégou 2011 pipeline as
+    // one entry — trained coarse quantizer (§IV), residual PQ codes (§IV),
+    // per-(query, probed-cell) ADC tables, top-20 shortlist, EXACT L2
+    // re-rank over raw vectors (§V). Oracle = the q_embed_ivfpq_residual
+    // replay (the catalog's deepest) + shortlist window + per-coordinate
+    // exact re-rank — the most production-faithful chain under one hash.
+    "q_embed_ivfpq_residual_rerank" -> { (s, d) =>
+      val emb = embedVecs(s, d)
+      val cents = Ann.kmeansFit(emb, k = IvfCfg.numCentroids, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce"))
+      graft.operators.Pq.ivfAdcResidualRerankTopK(emb, col("vec_id") < 10,
+        k = 3, shortlist = 20, nprobe = IvfCfg.nprobe, cents,
+        graft.operators.PqConfig(), pqSeedFrom = IvfCfg.numCentroids)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1549,44 +1613,30 @@ object LlmOps {
     // and a per-(query, probed cell) distance table — every stage of
     // Jégou 2011 §IV under one hash
     "q_embed_ivfpq_residual" ->
-      s"""WITH $sqlKmeansCtes,
-         |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
-         |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
-         |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
-         |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
-         |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 9) AS ccos
-         |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
-         |         JOIN crn ON crn.cent_id = dq.cent_id),
-         |rk AS (SELECT vec_id, cent_id, row_number() OVER (
-         |         PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq),
-         |assigned AS (SELECT vec_id, cent_id AS cell FROM rk WHERE arn = 1),
-         |probes AS (SELECT vec_id AS qid, cent_id AS qcell FROM rk
-         |           WHERE arn <= ${IvfCfg.nprobe} AND vec_id < 10),
-         |rex AS (SELECT ex.vec_id, ex.i // ${PqCfg.subDim} AS m,
-         |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
-         |  FROM ex JOIN assigned a ON a.vec_id = ex.vec_id
-         |  JOIN cr ON cr.cent_id = a.cell AND cr.i = ex.i),
-         |${sqlPqTrainEncode("rex", "r", seedFrom = IvfCfg.numCentroids)},
-         |qrex AS (SELECT p.qid, p.qcell AS cell, ex.i // ${PqCfg.subDim} AS m,
-         |    ex.i % ${PqCfg.subDim} AS si, ex.x - cr.c AS x
-         |  FROM probes p JOIN ex ON ex.vec_id = p.qid
-         |  JOIN cr ON cr.cent_id = p.qcell AND cr.i = ex.i),
-         |qdt AS (SELECT qx.qid, qx.cell, qx.m, p.cent_id,
-         |    floor(sum((qx.x - p.c)*(qx.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
-         |  FROM qrex qx JOIN rcb p ON p.m = qx.m AND p.si = qx.si
-         |  GROUP BY 1, 2, 3, 4),
-         |cand AS (SELECT p.qid, p.qcell AS cell, a.vec_id AS cid
-         |  FROM probes p JOIN assigned a
-         |    ON a.cell = p.qcell AND a.vec_id != p.qid),
-         |adc AS (SELECT c.qid, c.cid,
-         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
-         |  FROM cand c JOIN raF f ON f.vec_id = c.cid
-         |  JOIN qdt dt ON dt.qid = c.qid AND dt.cell = c.cell
-         |    AND dt.m = f.m AND dt.cent_id = f.code
-         |  GROUP BY 1, 2)
+      s"""WITH $sqlResidualAdcCtes
          |SELECT qid, rank, cid AS vec_id, adc FROM (
          |  SELECT qid, cid, adc, row_number() OVER (
          |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // residual IVFADC-R: the full residual replay above + top-20 shortlist
+    // window + exact per-coordinate L2 re-rank over RAW vectors (ex is the
+    // kmeans replay's raw exploded coords) — Jégou 2011 §IV + §V complete
+    "q_embed_ivfpq_residual_rerank" ->
+      s"""WITH $sqlResidualAdcCtes,
+         |short AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY adc, cid) AS srank FROM adc) t
+         |  WHERE srank <= 20),
+         |exd AS (SELECT s.qid, s.cid,
+         |    floor(sum((q.x - v.x)*(q.x - v.x)) * 1e6 + 0.5) / 1e6 AS d2
+         |  FROM short s
+         |  JOIN ex q ON q.vec_id = s.qid
+         |  JOIN ex v ON v.vec_id = s.cid AND v.i = q.i
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, d2 FROM (
+         |  SELECT qid, cid, d2, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d2, cid) AS rank FROM exd) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // SemDeDup: replay the kmeans CTEs, assign on ROUNDED centroids at

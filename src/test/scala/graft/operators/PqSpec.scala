@@ -177,6 +177,53 @@ class PqSpec extends SparkSpecBase {
     assert(total >= 20L, "gold too small to exercise the shortlist boundary")
   }
 
+  test("residual IVFADC-R: re-rank recovers exactly the residual shortlist's gold") {
+    // r12 verdict #3 — the residual variant of the structural theorem:
+    // against the exact-L2 gold restricted to the TRAINED quantizer's
+    // probed cells, the re-ranked top-3 must equal shortlist ∩ gold. The
+    // re-rank's exact distances are coding-agnostic (raw L2 over raw
+    // coords), so the only thing the residual coding changes is WHICH
+    // candidates survive into the shortlist — the theorem must hold
+    // through the per-(query, probed-cell) ADC path too.
+    val isQ = col("vec_id") < 10
+    val tcents = Ann.kmeansFit(vecs, k = 16, iters = 2)
+      .groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+        x => x.getField("c_val")).as("ce")).cache()
+    val (assigned, probes) = Pq.assignProbes(vecs, isQ, nprobe = 2, tcents)
+    val candSet = assigned
+      .join(probes, assigned("cell") === probes("qcell") &&
+        probes("qid") =!= assigned("vec_id"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val ex = Pq.exploded(vecs, cfg)
+    val qx = ex.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val dAll = qx.join(ex.withColumnRenamed("vec_id", "cand_id"), Seq("m", "si"))
+      .groupBy(col("qid"), col("cand_id"))
+      .agg((floor(sum((col("qx") - col("x")) * (col("qx") - col("x"))) * 1e6
+        + 0.5) / 1e6).as("d2"))
+    val gold = candSet.join(dAll, Seq("qid", "cand_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cand_id").as("vec_id")).cache()
+    def hits(df: DataFrame): Long =
+      df.select(col("qid"), col("vec_id"))
+        .join(gold, Seq("qid", "vec_id"), "left_semi").count()
+    val short20 = hits(Pq.ivfAdcResidualTopK(vecs, isQ, k = 20, nprobe = 2,
+      tcents, cfg, pqSeedFrom = 16))
+    val rr = hits(Pq.ivfAdcResidualRerankTopK(vecs, isQ, k = 3,
+      shortlist = 20, nprobe = 2, tcents, cfg, pqSeedFrom = 16))
+    val total = gold.count()
+    info(s"residual cell-bounded gold $total rows; gold-in-shortlist-20 " +
+      s"$short20; re-ranked top-3 $rr")
+    assert(rr === short20,
+      "residual re-rank must recover exactly the shortlist's gold members")
+    assert(total >= 20L, "gold too small to exercise the shortlist boundary")
+    tcents.unpersist(); gold.unpersist()
+  }
+
   test("IVF-PQ: cell-bounded candidates, ADC values consistent with full scan") {
     val ivfpq = Pq.ivfAdcTopK(vecs, col("vec_id") < 10, k = 3, nprobe = 2,
       numCentroids = 16, cfg, cb).cache()

@@ -56,7 +56,10 @@ class PlanSweepSpec extends SparkSpecBase {
     // UDF); everything after it is relational over O(n_q·shortlist) rows
     "q_embed_adc_rerank",
     // B90: the IVF-bounded composition of the same two sanctioned stages
-    "q_embed_ivfpq_rerank")
+    "q_embed_ivfpq_rerank",
+    // B95a: the residual composition of the same sanctioned ADC stage —
+    // per-(qid, cell) tables; the post-shortlist re-rank is relational
+    "q_embed_ivfpq_residual_rerank")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
@@ -92,6 +95,8 @@ class PlanSweepSpec extends SparkSpecBase {
     // B90: inherits q_embed_ivfpq's codes ⋈ cell-assignment join (both
     // sides are every vector)
     "q_embed_ivfpq_rerank",
+    // B95a: inherits q_embed_ivfpq_residual's corpus ⋈ assignment joins
+    "q_embed_ivfpq_residual_rerank",
     // B91: doc-bigram instances ⋈ the bigram-TYPE table — same
     // heavy-tailed-vocabulary argument as q_text_tokens_learned
     "q_text_bigram_coverage")
