@@ -400,6 +400,44 @@ object TrainPrep {
         .orderBy(col("source"))
     },
 
+    // B73 per-(source, LANGUAGE) calibration (r12 verdict #7): corpora
+    // gate per (source, lang) — the corpus-card/drift key — not per source
+    // alone, because score distributions differ across languages within
+    // one source just as they do across sources (a single per-source
+    // cutoff over-keeps the highest-scoring language and starves the
+    // rest). Same cumulative-histogram integer-rank machinery as
+    // q_score_calibrate with the two-column key; the cutoff table stays
+    // |sources × langs| rows — broadcast-safe at any corpus size.
+    "q_score_calibrate_lang" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer.score(docs, m, thresholdMicro = 0L)
+        .join(docs.select(col("doc_id"), col("source"), col("lang")),
+          Seq("doc_id"))
+      val h = scored.groupBy(col("source"), col("lang"), col("logit_micro"))
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("logit_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(cw))
+      val tot = h.groupBy(col("source"), col("lang")).agg(sum(col("c")).as("n"))
+      val cut = cum.join(tot, Seq("source", "lang"))
+        .groupBy(col("source"), col("lang"))
+        .agg(min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("logit_micro")))
+          .as("p75_micro"))
+      scored.join(broadcast(cut), Seq("source", "lang"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("p75_micro")).as("p75_micro"),
+          sum(when(col("logit_micro") >= col("p75_micro"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("source"), col("lang"), col("n_docs"), col("p75_micro"),
+          col("n_kept"),
+          floor(col("n_kept") * 1000000 / col("n_docs").cast("double"))
+            .cast("long").as("kept_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // B74 corpus composition drift: the release-to-release distribution
     // gate — did the new snapshot's (source, lang) mix move, and by how
     // much? Shares as integer ppm of each snapshot's total; drift = the
@@ -867,6 +905,33 @@ object TrainPrep {
         |    / CAST(c.n_docs AS DOUBLE)) AS BIGINT) AS kept_ppm
         |FROM scd s JOIN c ON s.source = c.source
         |GROUP BY c.source, c.n_docs, c.p75_micro ORDER BY c.source""".stripMargin,
+
+    "q_score_calibrate_lang" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |scd AS (
+        |  SELECT d.source, d.lang, sc.logit_micro
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |c AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    quantile_disc(logit_micro, 0.75) AS p75_micro
+        |  FROM scd GROUP BY source, lang)
+        |SELECT c.source, c.lang, c.n_docs, c.p75_micro,
+        |  CAST(sum(CASE WHEN s.logit_micro >= c.p75_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(floor(sum(CASE WHEN s.logit_micro >= c.p75_micro THEN 1 ELSE 0 END) * 1000000
+        |    / CAST(c.n_docs AS DOUBLE)) AS BIGINT) AS kept_ppm
+        |FROM scd s JOIN c ON s.source = c.source AND s.lang = c.lang
+        |GROUP BY c.source, c.lang, c.n_docs, c.p75_micro
+        |ORDER BY c.source, c.lang""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH c1 AS (

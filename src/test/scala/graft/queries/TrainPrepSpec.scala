@@ -109,32 +109,57 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(diff.keySet.subsetOf(ids.toSet), "no phantom doc_ids")
   }
 
-  test("q_score_calibrate: each source keeps its top quarter, tightly") {
-    // n_kept must reach the quarter budget (>= ceil(n/4) docs at or above
-    // the cutoff) and the cutoff must be tight: strictly-above-cutoff docs
-    // alone must NOT satisfy the budget (else a higher cutoff would do).
-    val rows = TrainPrep.defs("q_score_calibrate")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val n = r.getAs[Long]("n_docs")
-      val kept = r.getAs[Long]("n_kept")
-      val budget = (n + 3) / 4
-      assert(kept >= budget, s"${r.getAs[String]("source")}: kept $kept < ceil(n/4) $budget")
-    }
-    // tightness via the underlying scores: recompute per-source counts of
-    // logits strictly above the cutoff
+  test("calibration keeps each key's top quarter, tightly (per-source and per-(source,lang))") {
+    // generalized over both calibration keys (r12 verdict #7): n_kept must
+    // reach the quarter budget (>= ceil(n/4) docs at or above the cutoff)
+    // and the cutoff must be tight — strictly-above-cutoff docs alone must
+    // NOT satisfy the budget (else a higher cutoff would do).
     val docs = graft.Tables.documents(spark, sf)
     val m = graft.operators.LinearScorer.model(docs, minCount = 3)
-    val scored = graft.operators.LinearScorer.score(docs, m, 0L)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    rows.foreach { r =>
-      val src = r.getAs[String]("source")
-      val cut = r.getAs[Long]("p75_micro")
-      val n = r.getAs[Long]("n_docs")
-      val above = scored.filter(col("source") === src &&
-        col("logit_micro") > cut).count()
-      assert(above < (n + 3) / 4, s"$src: cutoff $cut not tight")
+    val scoredAll = graft.operators.LinearScorer.score(docs, m, 0L)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id")).cache()
+    for ((entry, keyCols) <- Seq(
+        "q_score_calibrate" -> Seq("source"),
+        "q_score_calibrate_lang" -> Seq("source", "lang"))) {
+      val rows = TrainPrep.defs(entry)(spark, sf).collect()
+      assert(rows.nonEmpty, s"$entry returned no rows")
+      // the lang variant must actually refine the key, or it is the same
+      // operator twice
+      if (keyCols.size > 1)
+        assert(rows.length > rows.map(_.getAs[String]("source")).distinct.length,
+          "no source splits into multiple langs — the two-column key is vacuous")
+      rows.foreach { r =>
+        val key = keyCols.map(r.getAs[String]).mkString("/")
+        val n = r.getAs[Long]("n_docs")
+        val kept = r.getAs[Long]("n_kept")
+        val cut = r.getAs[Long]("p75_micro")
+        val budget = (n + 3) / 4
+        assert(kept >= budget, s"$entry $key: kept $kept < ceil(n/4) $budget")
+        // exact minimality of the discrete quantile (fixture-independent —
+        // the old strictly-above < budget form was accidentally true only
+        // while no key had n ≡ 0 (mod 4) with distinct logits at the
+        // boundary): cut is the SMALLEST logit whose cumulative count
+        // reaches ceil-rank, i.e. cum(cut) >= ceilRank and the previous
+        // distinct value's cum < ceilRank.
+        val keyFilter = keyCols.map(c => col(c) === r.getAs[String](c))
+          .reduce(_ && _)
+        val above = scoredAll.filter(keyFilter &&
+          col("logit_micro") > cut).count()
+        val atCut = scoredAll.filter(keyFilter &&
+          col("logit_micro") === cut).count()
+        val ceilRank = (3 * n + 3) / 4
+        assert(atCut >= 1, s"$entry $key: cutoff $cut is not an attained logit")
+        assert(n - above >= ceilRank,
+          s"$entry $key: cum(cut) ${n - above} below ceil-rank $ceilRank")
+        assert(n - above - atCut < ceilRank,
+          s"$entry $key: cutoff $cut not minimal — the previous distinct " +
+            s"value already reaches ceil-rank $ceilRank")
+        assert(kept === above + atCut,
+          s"$entry $key: n_kept $kept != recounted ${above + atCut}")
+      }
     }
+    scoredAll.unpersist()
   }
 
   test("q_text_scrub_passages removes exactly the planted shared passage, sha-reconstructed") {
