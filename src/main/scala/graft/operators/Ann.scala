@@ -379,6 +379,119 @@ object Ann {
     } finally if (!callerCached) emb.unpersist(blocking = false)
   }
 
+  /** Distributed k-NN GRAPH construction via NN-descent (Dong, Charikar &
+    * Li, "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures", WWW 2011; SURVEY.md §2 B95) — the neighbor-graph
+    * family production ANN systems (HNSW/NN-descent pipelines) build on,
+    * expressed entirely as relational joins:
+    *
+    *  - SEED: each vector's initial list = its top-k exact-cosine
+    *    neighbors among banded-LSH candidates (shared [[lshBands]]
+    *    machinery, hot buckets ≥ cfg.maxBucket skipped — a deliberately
+    *    CHEAP approximate start; NN-descent's whole point is that
+    *    refinement converges from a weak seed);
+    *  - ROUND ("my neighbors' neighbors are probably my neighbors"): the
+    *    adjacency is symmetrized as B = G ∪ reverse(G) with the reverse
+    *    lists CAPPED at k by the same (cos DESC, id ASC) rank (the paper's
+    *    reverse-list sampling, made deterministic) — without the cap a
+    *    popular vector's in-degree is unbounded and the join below goes
+    *    quadratic on it; candidates(v) = { w : (v,u) ∈ B, (u,w) ∈ B } ∪
+    *    G(v), i.e. ONE self-join of B on the middle vertex — fan-out is
+    *    bounded by (2k)² per vertex, so each round touches ≤ 4k²·n
+    *    candidate pairs, never all-pairs; new lists = exact-cosine top-k
+    *    over the candidates (the union with G(v) makes recall monotone
+    *    per round).
+    *
+    * Scale posture (100 TB): per round, ONE shuffle of the (2k·n)-row
+    * adjacency on the middle vertex + one candidate-scoring join against
+    * the corpus; [[graft.functions.TopKAgg]] bounds every list rebuild to
+    * ≤ k rows per vertex per partition before its shuffle. Each round is
+    * MATERIALIZED (persist + count) — the iterative-ML shape kmeansFit
+    * uses — so round r+1's two references to G_r never recompute the
+    * chain; the final graph is returned as an eager localCheckpoint so no
+    * session-lifetime cache leaks ([[graft.queries]] r12 convention).
+    *
+    * Float discipline: cosine rounded to 6 dp before every rank, dst-id
+    * ascending tie-break — the whole construction (LSH seed, reverse cap,
+    * candidate join, re-rank) replays in the DuckDB oracle under one hash.
+    *
+    * `buildK` (≥ k, default k) is the INTERNAL list width — the paper's K,
+    * and the convergence lever that matters: wider working lists make the
+    * neighbor-of-neighbor candidate pool denser, and the k-prefix recall
+    * converges much faster than the full-width list's (measured on the
+    * fixture corpus at 8 bands / 2 rounds: top-5 recall 0.49 at
+    * buildK=5 → 0.76 at 10 → 0.93 at 15 — AnnRecallSpec pins the curve).
+    * Candidate cost per round is (2·buildK)²·n.
+    *
+    * @return (src, rank, dst, cos_sim), rank ≤ k — each vector's k nearest
+    *         known neighbors after `rounds` refinement rounds (vectors
+    *         with no LSH seed candidate and no in-edge are absent,
+    *         deterministic both engines). */
+  def knnGraph(emb0: DataFrame, k: Int, cfg: EmbedLshConfig,
+               rounds: Int, buildK: Int = 0): DataFrame = {
+    val bk = if (buildK <= 0) k else buildK
+    require(k >= 1 && rounds >= 0 && bk >= k,
+      s"bad knnGraph geometry k=$k buildK=$bk rounds=$rounds")
+    val spark = emb0.sparkSession
+    val callerCached =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (callerCached) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = withNorm(emb)
+      def scorePairs(cand: DataFrame): DataFrame =
+        cand.join(n.select(col("vec_id").as("src"), col("e").as("se"),
+            col("nrm").as("sn")), "src")
+          .join(n.select(col("vec_id").as("dst"), col("e").as("de"),
+            col("nrm").as("dn")), "dst")
+          .select(col("src"), col("dst"),
+            round(vdot(col("se"), col("de")) / (col("sn") * col("dn")), 6)
+              .as("cos_sim"))
+      val topk = graft.functions.TopKAgg.topK(spark, bk)
+      // TopKAgg ranks (score DESC, id ASC) — exactly the (cos_sim DESC,
+      // dst ASC) contract, no negation needed
+      def topKOf(sc: DataFrame): DataFrame =
+        sc.groupBy(col("src"))
+          .agg(topk(col("cos_sim"), col("dst")).as("top"))
+          .select(col("src"), posexplode(col("top")).as(Seq("i", "p")))
+          .select(col("src"), (col("i") + 1).as("rank"),
+            col("p._2").as("dst"), col("p._1").as("cos_sim"))
+      val bands = lshBands(emb, cfg)
+      val okBuckets = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= cfg.maxBucket).select(col("band"), col("bucket"))
+      val xs = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      val xd = bands.select(col("vec_id").as("dst"), col("band"), col("bucket"))
+      val seedCand = xs.join(okBuckets, Seq("band", "bucket"))
+        .join(xd, Seq("band", "bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      var g = topKOf(scorePairs(seedCand))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.count()
+      for (_ <- 1 to rounds) {
+        val rev = topKOf(g.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_sim")))
+        val b = g.select(col("src"), col("dst"))
+          .union(rev.select(col("src"), col("dst"))).distinct()
+        val cand = b.select(col("src"), col("dst").as("mid"))
+          .join(b.select(col("src").as("mid"), col("dst")), Seq("mid"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+          .union(g.select(col("src"), col("dst")))
+          .distinct()
+        val next = topKOf(scorePairs(cand))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        g.unpersist(blocking = false)
+        g = next
+      }
+      val out = g.filter(col("rank") <= k).localCheckpoint(true)
+      g.unpersist(blocking = false)
+      out
+    } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): k-means cells make
     * within-cell all-pairs cosine dedup tractable — the third dedup axis

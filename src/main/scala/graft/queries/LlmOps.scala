@@ -74,6 +74,26 @@ object LlmOps {
     EmbedLshConfig(bands = 24, bits = 6, prime = 149, dim = 64,
       maxBucket = MaxBucket, cosineConfirm = 0.45)
 
+  /** k-NN graph seed geometry (B95): 8 bands × 6 bits — deliberately a
+    * THIRD of EmbedCfg's amplification (per-pair seed recall
+    * 1−(1−p⁶)⁸ ≈ 0.32–0.55 in this corpus's p ≈ 0.58–0.66 neighbor
+    * regime, vs 0.68–0.87 at 24 bands). NN-descent's premise is that
+    * neighbor-of-neighbor refinement converges from a cheap seed; paying
+    * full LSH amplification up front would hide exactly the property the
+    * operator exists to provide (AnnRecallSpec measures the per-round
+    * recall curve). Same plane family (prime 149 ≥ 48 planes), same
+    * MaxBucket skew refusal. */
+  private[graft] val KnnLshCfg =
+    EmbedLshConfig(bands = 8, bits = 6, prime = 149, dim = 64,
+      maxBucket = MaxBucket, cosineConfirm = 0.45)
+  private[graft] val KnnK = 5
+
+  /** Internal NN-descent list width (the paper's K) — the convergence
+    * lever: top-5-prefix recall at 8 bands / 2 rounds measured 0.49 at
+    * buildK=5, 0.76 at 10, 0.93 at 15 on the fixture corpus (the
+    * Ann.knnGraph scaladoc curve; AnnRecallSpec pins it). */
+  private[graft] val KnnBuildK = 15
+
   /** IVF geometry DERIVED for the sf0.01 fixture corpus (500 vectors):
     * recall target 0.8 (the floor AnnRecallSpec pins) at cell-hit 0.6 costs
     * nprobe=2; ideal k = √(n·nprobe) ≈ 32 is capped by the 30-vector
@@ -190,6 +210,48 @@ object LlmOps {
        |    SELECT vec_id, m, cent_id, row_number() OVER (
        |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}dF) t
        |  WHERE rn = 1)""".stripMargin
+
+  /** Score a k-NN candidate-pair CTE `cand(src, dst)` and keep each src's
+    * top-[[KnnBuildK]] (the internal working-list width) by (round-6
+    * cosine DESC, dst ASC) as `${f}g(src, dst, cos, rn)` — the per-round
+    * list rebuild of [[graft.operators.Ann.knnGraph]], shared by the seed
+    * and every refinement round; the entry's final SELECT takes the
+    * [[KnnK]]-prefix. Expects the `e`/`norms` CTEs in scope. */
+  private def sqlKnnScore(cand: String, f: String): String =
+    s"""${f}dt AS (SELECT c.src, c.dst,
+       |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+       |  FROM $cand c JOIN e a ON a.vec_id = c.src
+       |  JOIN e b ON b.vec_id = c.dst
+       |  CROSS JOIN range(64) r(i)
+       |  GROUP BY 1, 2),
+       |${f}g AS (SELECT src, dst, cos, rn FROM (
+       |    SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+       |      row_number() OVER (PARTITION BY d.src
+       |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+       |    FROM ${f}dt d JOIN norms ns ON ns.vec_id = d.src
+       |    JOIN norms nd ON nd.vec_id = d.dst) t
+       |  WHERE rn <= $KnnBuildK)""".stripMargin
+
+  /** One NN-descent round over the previous graph `${prev}g`: cap the
+    * reverse lists at [[KnnK]] by the same (cos DESC, id ASC) rank,
+    * symmetrize, expand neighbors-of-neighbors through ONE middle-vertex
+    * self-join (∪ the current edges, so lists are monotone), then
+    * re-rank — mirrors Ann.knnGraph's round body. */
+  private def sqlKnnRound(prev: String, f: String): String =
+    s"""${f}rev AS (SELECT src, dst FROM (
+       |    SELECT r.src, r.dst, row_number() OVER (
+       |      PARTITION BY r.src ORDER BY r.cos DESC, r.dst) AS rn
+       |    FROM (SELECT dst AS src, src AS dst, cos FROM ${prev}g) r) t
+       |  WHERE rn <= $KnnBuildK),
+       |${f}b AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ${prev}g
+       |    UNION ALL SELECT src, dst FROM ${f}rev) u),
+       |${f}cand AS (
+       |  SELECT x.src, y.dst
+       |  FROM ${f}b x JOIN ${f}b y ON y.src = x.dst AND y.dst != x.src
+       |  UNION
+       |  SELECT src, dst FROM ${prev}g),
+       |${sqlKnnScore(s"${f}cand", f)}""".stripMargin
 
   /** The full residual-IVFADC replay up to the per-candidate `adc` CTE
     * (mirrors [[graft.operators.Pq.ivfAdcResidualTopK]]): trained-kmeans
@@ -735,6 +797,23 @@ object LlmOps {
         k = 3, shortlist = 20, nprobe = IvfCfg.nprobe, cents,
         graft.operators.PqConfig(), pqSeedFrom = IvfCfg.numCentroids)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // B95 distributed k-NN GRAPH via NN-descent (Dong et al. 2011 — see
+    // Ann.knnGraph for the full algorithm + scale posture): every vector's
+    // top-5 neighbors, seeded from the deliberately-weak 8-band LSH and
+    // refined by 2 neighbor-of-neighbor rounds (capped reverse lists, one
+    // middle-vertex self-join per round — never all-pairs). The last major
+    // ANN family the catalog lacked; also the substrate semantic
+    // clustering / HNSW-style search builds on. AnnRecallSpec measures the
+    // per-round recall curve vs exact top-5 and pins its monotonicity.
+    // Oracle replays seed + both rounds as chained CTEs under one hash.
+    "q_embed_knn_graph" -> { (s, d) =>
+      Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
+        buildK = KnnBuildK)
+        .select(col("src").as("vec_id"), col("rank"),
+          col("dst").as("nbr_id"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
     },
 
     // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
@@ -1864,6 +1943,37 @@ object LlmOps {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
          |  FROM scored) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // k-NN graph: the weak-seed LSH replay (8 bands × 6 bits = 48 planes,
+    // same plane formula/prime) + per-src top-5 + two NN-descent rounds
+    // (sqlKnnRound: capped reverse lists, middle-vertex self-join, re-rank)
+    "q_embed_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |pdots AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+         |  FROM e CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+         |  CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+         |ok AS (SELECT band, bucket FROM buckets
+         |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |s0cand AS (SELECT DISTINCT bs.vec_id AS src, bd.vec_id AS dst
+         |  FROM buckets bs JOIN ok z ON z.band = bs.band AND z.bucket = bs.bucket
+         |  JOIN buckets bd ON bd.band = bs.band AND bd.bucket = bs.bucket
+         |    AND bd.vec_id != bs.vec_id),
+         |${sqlKnnScore("s0cand", "s0")},
+         |${sqlKnnRound("s0", "r1")},
+         |${sqlKnnRound("r1", "r2")}
+         |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
+         |  cos AS cos_sim
+         |FROM r2g WHERE rn <= $KnnK ORDER BY vec_id, rank""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -47,6 +47,37 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(trainedRecall >= 0.8, f"trained-IVF recall degraded: $trainedRecall%.2f")
   }
 
+  test("k-NN graph (NN-descent): per-round recall vs exact top-5 is monotone and converges") {
+    // B95 (r12 verdict #2): the weak 8-band seed must be visibly below the
+    // converged graph (else the rounds prove nothing), recall must be
+    // MONOTONE per round (a theorem, not luck: round r+1's candidates
+    // include round r's edges, and anything that displaces a gold member
+    // under the shared (round-6 cos DESC, id ASC) order ranks above it
+    // exactly — so it is itself gold), and round 2 must clear 0.9.
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).cache()
+    val exact = Ann.exactTopK(emb, lit(true), LlmOps.KnnK).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recalls = (0 to 2).map { r =>
+      val g = Ann.knnGraph(emb, k = LlmOps.KnnK, LlmOps.KnnLshCfg, rounds = r,
+          buildK = LlmOps.KnnBuildK)
+        .collect().map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst"))).toSet
+      (exact & g).size.toDouble / exact.size
+    }
+    info(f"k-NN graph recall: seed ${recalls(0)}%.3f -> round1 " +
+      f"${recalls(1)}%.3f -> round2 ${recalls(2)}%.3f " +
+      s"(gold ${exact.size} edges)")
+    assert(recalls(0) < recalls(2),
+      "the seed already matches the converged graph — the refinement is untested")
+    assert(recalls(1) >= recalls(0) && recalls(2) >= recalls(1),
+      s"per-round recall not monotone: $recalls")
+    assert(recalls(2) >= 0.9, f"round-2 recall ${recalls(2)}%.3f below 0.9")
+    emb.unpersist()
+  }
+
   test("forCorpus-derived IVF config holds recall at a second corpus size (sf0.1)") {
     import graft.operators.{Ann, IvfConfig}
     import org.apache.spark.sql.functions._
