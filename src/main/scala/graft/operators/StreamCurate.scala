@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.io.File
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
@@ -20,7 +19,7 @@ import org.apache.spark.sql.functions._
   *
   *  - every write lands in `<root>/b<batchId>` with mode OVERWRITE — a
   *    retry rewrites the same directory with the same rows;
-  *  - every STATE READ takes only subdirs with batchId STRICTLY BELOW the
+  *  - every STATE READ takes only state with batchId STRICTLY BELOW the
   *    current one ([[readStateBefore]]) — a retry must not see its own
   *    failed attempt's partial output, or the bloom gate would classify
   *    the whole batch as historical dups and overwrite the directory with
@@ -28,29 +27,114 @@ import org.apache.spark.sql.functions._
   *
   * Together: replaying (batch, batchId) any number of times, at any point
   * before batchId+1 commits, reproduces byte-identical state —
-  * StreamCurateSpec drives the body manually and pins it. Normal
-  * (no-retry) execution reads exactly what the r11 append form read, so
-  * the full-feed DuckDB oracles are unchanged.
+  * StreamCurateSpec drives the body manually AND kills/restarts a live
+  * StreamingQuery from its checkpoint to pin it. Normal (no-retry)
+  * execution reads exactly what the r11 append form read, so the
+  * full-feed DuckDB oracles are unchanged.
+  *
+  * State layout at production cadence (r12 verdict #5): one `b<batchId>`
+  * dir per micro-batch is thousands of small directories per day, and the
+  * state read would list (and parquet-open) all of them. [[compact]]
+  * folds dirs `b0..bN` (plus any older snapshot) into ONE snapshot dir
+  * `snap<N>` whose rows carry their ORIGINAL batch id in a `_batch_id`
+  * column — so [[readStateBefore]] stays strictly-below-correct across
+  * the compaction boundary by filtering `_batch_id < batchId` instead of
+  * pruning directories. Run it out-of-band (or from the batch body) with
+  * `uptoBatch` strictly below any batch that may still be retried, i.e.
+  * at most lastCommitted − 1 while the stream is live; the layout is
+  * still read-safe if that rule is violated (the row filter, not the dir
+  * list, enforces strictly-below), but a violated retry would leave the
+  * snapshot's rows for the retried batch stale rather than rewritten.
+  * All listing/deleting goes through the Hadoop FileSystem API — the
+  * layout works on HDFS/object stores, not only the local FS
+  * (`java.io.File` listing was the r12 gap). The snapshot commit is
+  * write-to-tmp + rename; rename is atomic on HDFS, and on S3-class
+  * stores a production deployment would swap in a manifest commit — the
+  * read side (ignore `.tmp`, newest snapshot wins, merged dirs deleted
+  * only after rename) is already crash-safe around it.
   */
 object StreamCurate {
 
-  private def batchDirs(root: File, ltBatch: Long): Seq[String] =
-    Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .filter(_.getName.drop(1).toLongOption.exists(_ < ltBatch))
-      .sortBy(_.getName)
-      .map(_.getPath)
+  private def fsOf(ss: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(ss.sessionState.newHadoopConf())
 
-  /** Accumulated state from batches strictly below `batchId`. */
-  def readStateBefore(ss: SparkSession, root: File,
+  /** (newest snapshot (uptoBatch, path) if any, batch dirs (batchId, path))
+    * under `root` — Hadoop-FS listing, `.tmp` commit leftovers ignored.
+    * Batch dirs at or below the newest snapshot's uptoBatch are EXCLUDED:
+    * their rows live in the snapshot (a crash between snapshot rename and
+    * the merged-dir deletes must not double-count them). */
+  private def listState(ss: SparkSession,
+                        root: Path): (Option[(Long, Path)], Seq[(Long, Path)]) = {
+    val fs = fsOf(ss, root)
+    if (!fs.exists(root)) return (None, Nil)
+    val entries = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName.endsWith(".tmp"))
+    val snaps = entries.filter(_.getName.startsWith("snap"))
+      .flatMap(p => p.getName.drop(4).toLongOption.map(_ -> p))
+    val newest = snaps.sortBy(_._1).lastOption
+    val bdirs = entries.filter(_.getName.startsWith("b"))
+      .flatMap(p => p.getName.drop(1).toLongOption.map(_ -> p))
+      .filter { case (id, _) => newest.forall(id > _._1) }
+      .sortBy(_._1)
+    (newest, bdirs)
+  }
+
+  /** Accumulated state from batches strictly below `batchId`: the newest
+    * snapshot filtered to `_batch_id < batchId` plus the uncompacted tail
+    * dirs below it. */
+  def readStateBefore(ss: SparkSession, root: String,
                       batchId: Long): Option[DataFrame] = {
-    val parts = batchDirs(root, batchId)
-    if (parts.isEmpty) None else Some(ss.read.parquet(parts: _*))
+    val (snap, bdirs) = listState(ss, new Path(root))
+    val tail = bdirs.collect { case (id, p) if id < batchId => p.toString }
+    val parts =
+      snap.map { case (_, p) =>
+        ss.read.parquet(p.toString)
+          .filter(col("_batch_id") < batchId).drop("_batch_id")
+      }.toSeq ++
+        (if (tail.isEmpty) Nil else Seq(ss.read.parquet(tail: _*)))
+    parts.reduceOption(_ unionByName _)
   }
 
   /** All committed batch state (the entry's final read-back). */
-  def readAll(ss: SparkSession, root: File): DataFrame =
-    ss.read.parquet(batchDirs(root, Long.MaxValue): _*)
+  def readAll(ss: SparkSession, root: String): DataFrame =
+    readStateBefore(ss, root, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(s"no curation state under $root"))
+
+  def readAll(ss: SparkSession, root: java.io.File): DataFrame =
+    readAll(ss, root.getPath)
+
+  /** Fold `b0..b<uptoBatch>` (and any older snapshot) into one snapshot
+    * dir `snap<uptoBatch>` with rows tagged by their original `_batch_id`,
+    * then delete the merged directories — see the object scaladoc for the
+    * commit order and the uptoBatch safety rule. Idempotent: re-running
+    * with the same `uptoBatch`, or with nothing new to fold, is a no-op or
+    * a byte-identical rewrite. */
+  def compact(ss: SparkSession, root: String, uptoBatch: Long): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsOf(ss, rootPath)
+    if (!fs.exists(rootPath)) return
+    val (snap, bdirs) = listState(ss, rootPath)
+    snap.foreach { case (id, _) =>
+      require(id <= uptoBatch,
+        s"compact($uptoBatch) below existing snapshot snap$id")
+    }
+    val fold = bdirs.filter { case (id, _) => id <= uptoBatch }
+    if (fold.isEmpty && snap.exists(_._1 == uptoBatch)) return
+    val pieces =
+      snap.map { case (_, p) => ss.read.parquet(p.toString) }.toSeq ++
+        fold.map { case (id, p) =>
+          ss.read.parquet(p.toString).withColumn("_batch_id", lit(id))
+        }
+    if (pieces.isEmpty) return
+    val tmp = new Path(rootPath, s"snap$uptoBatch.tmp")
+    pieces.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(rootPath, s"snap$uptoBatch")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"snapshot commit failed: $tmp -> $dest")
+    fold.foreach { case (_, p) => fs.delete(p, true) }
+    snap.foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** One curation micro-batch: within-batch exact dedup → bloom-gated
     * exact dedup vs the index → incremental near-dup vs the signature
@@ -58,8 +142,8 @@ object StreamCurate {
     * sink only. `score` = None for B81; Some((scoreUdf, cutoffs with
     * (source, p75_micro))) for B89 — score-rejected docs still enter the
     * history index, keeping dedup pairwise. */
-  def curateBatch(batch: DataFrame, batchId: Long, histRoot: File,
-                  curRoot: File,
+  def curateBatch(batch: DataFrame, batchId: Long, histRoot: String,
+                  curRoot: String,
                   score: Option[(UserDefinedFunction, DataFrame)]): Unit = {
     val ss = batch.sparkSession
     val withSha = batch.withColumn("sha", sha2(col("text"), 256))
@@ -100,11 +184,16 @@ object StreamCurate {
             col("logit_micro"))
       }
       out.write.mode("overwrite")
-        .parquet(new File(curRoot, s"b$batchId").getPath)
+        .parquet(new Path(curRoot, s"b$batchId").toString)
       // EVERY exact-new doc enters the history index, scored or not
       delta.select(col("doc_id"), col("text"), col("sha"))
         .write.mode("overwrite")
-        .parquet(new File(histRoot, s"b$batchId").getPath)
+        .parquet(new Path(histRoot, s"b$batchId").toString)
     } finally { delta.unpersist(); () }
   }
+
+  def curateBatch(batch: DataFrame, batchId: Long, histRoot: java.io.File,
+                  curRoot: java.io.File,
+                  score: Option[(UserDefinedFunction, DataFrame)]): Unit =
+    curateBatch(batch, batchId, histRoot.getPath, curRoot.getPath, score)
 }

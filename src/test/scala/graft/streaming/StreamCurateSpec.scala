@@ -145,4 +145,116 @@ class StreamCurateSpec extends SparkSpecBase {
     assert(curState().map(_._1) === accepted.map(_._1).toSet,
       "manual replay diverges from the streaming entry's accepted set")
   }
+
+  test("compaction folds batch dirs into a tagged snapshot; state and retry semantics unchanged") {
+    // r12 verdict #5: snap<N> carries rows tagged _batch_id, so the
+    // strictly-below state read is enforced by a ROW filter across the
+    // compaction boundary, not by directory pruning — a retry that lands
+    // after a compaction must read exactly what it would have read before.
+    import graft.operators.StreamCurate
+    val docs = graft.Tables.documents(spark, sf)
+    def b(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    def rowsOf(dir: java.io.File): Set[(Long, String)] =
+      StreamCurate.readAll(spark, dir)
+        .select(col("doc_id"), col("sha")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // uncompacted reference run
+    val rootA = new java.io.File(scratch("curate_nocompact"))
+    val (histA, curA) = (new java.io.File(rootA, "hist"), new java.io.File(rootA, "cur"))
+    (0 to 2).foreach(i => StreamCurate.curateBatch(b(i), i, histA, curA, None))
+    val refCur = rowsOf(curA)
+    val refHist = rowsOf(histA)
+    val refState1 = StreamCurate.readStateBefore(spark, curA.getPath, 1)
+      .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // compacted run, with the retry landing ACROSS the snapshot boundary
+    val rootB = new java.io.File(scratch("curate_compact"))
+    val (histB, curB) = (new java.io.File(rootB, "hist"), new java.io.File(rootB, "cur"))
+    StreamCurate.curateBatch(b(0), 0, histB, curB, None)
+    StreamCurate.curateBatch(b(1), 1, histB, curB, None)
+    val afterB1 = rowsOf(curB)
+    StreamCurate.compact(spark, histB.getPath, 0)
+    StreamCurate.compact(spark, curB.getPath, 0)
+    StreamCurate.curateBatch(b(1), 1, histB, curB, None) // the cross-boundary retry
+    assert(rowsOf(curB) === afterB1,
+      "retry across the compaction boundary changed committed state")
+    StreamCurate.curateBatch(b(2), 2, histB, curB, None)
+    StreamCurate.compact(spark, histB.getPath, 2)
+    StreamCurate.compact(spark, curB.getPath, 2)
+    assert(rowsOf(curB) === refCur, "compacted curated state diverges")
+    assert(rowsOf(histB) === refHist, "compacted history index diverges")
+    // strictly-below reads filter snapshot ROWS, not directories
+    val st1 = StreamCurate.readStateBefore(spark, curB.getPath, 1)
+      .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(st1 === refState1,
+      "readStateBefore across the snapshot does not equal the uncompacted read")
+    // physical layout: only the stacked snapshot remains (b0..b2 + snap0
+    // were folded and deleted), and re-compacting is a no-op
+    val names = curB.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(names === Set("snap2"), s"unexpected state layout: $names")
+    StreamCurate.compact(spark, curB.getPath, 2)
+    assert(rowsOf(curB) === refCur, "idempotent re-compaction changed state")
+  }
+
+  test("a LIVE query killed after a commit restarts from its checkpoint into identical state") {
+    // r12 verdict #4: the manual-replay test above pins the batch body;
+    // this one pins the real recovery path — a StreamingQuery dies (crash
+    // injected in foreachBatch AFTER curateBatch committed batch 1, i.e.
+    // state written but the checkpoint commit lost), and a restart from
+    // the same checkpointLocation retries batch 1 against its own
+    // committed output before continuing. Final state must equal the
+    // uninterrupted run's byte-for-byte (same (doc_id, sha) row set).
+    import graft.operators.StreamCurate
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = new java.io.File(scratch("curate_restart"))
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    // single-file-per-batch feed with pinned mod-times — the entries' own
+    // docSplitDir mechanics (file order = arrival order)
+    for (i <- 0 to 2) {
+      val tmp = new java.io.File(feed, "_tmp")
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"batch$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified((i + 1) * 1000000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val schema = docs.schema
+    val hist = new java.io.File(root, "hist")
+    val cur = new java.io.File(root, "cur")
+    val ckpt = new java.io.File(root, "_ckpt").getPath
+    def stream(crashAfterBatch: Long): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(feed.getPath)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          StreamCurate.curateBatch(batch, bid, hist, cur, score = None)
+          if (bid == crashAfterBatch)
+            throw new RuntimeException(s"injected crash after batch $bid commit")
+        }
+        .start()
+      try { if (!q.awaitTermination(180000)) fail("stream did not terminate") }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(e.getMessage.contains("injected crash"),
+          s"unexpected stream failure: $e")
+      } finally if (q.isActive) q.stop()
+    }
+    stream(crashAfterBatch = 1) // dies with batch 1's state written
+    stream(crashAfterBatch = -1) // restart: retries batch 1, runs batch 2
+    val got = StreamCurate.readAll(spark, cur)
+      .select(col("doc_id"), col("sha")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the uninterrupted reference is the catalog entry's own accepted set
+    assert(got === accepted.toSet,
+      "state after a genuine crash+restart diverges from the uninterrupted run")
+  }
 }
