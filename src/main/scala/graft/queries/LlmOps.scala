@@ -780,7 +780,7 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // B95a residual IVFADC-R (r12 verdict #3 — see
+    // B96 residual IVFADC-R (r12 verdict #3 — see
     // Pq.ivfAdcResidualRerankTopK): the COMPLETE Jégou 2011 pipeline as
     // one entry — trained coarse quantizer (§IV), residual PQ codes (§IV),
     // per-(query, probed-cell) ADC tables, top-20 shortlist, EXACT L2

@@ -400,7 +400,8 @@ object TrainPrep {
         .orderBy(col("source"))
     },
 
-    // B73 per-(source, LANGUAGE) calibration (r12 verdict #7): corpora
+    // B97 per-(source, LANGUAGE) calibration (the B73 machinery on the
+    // two-column key; r12 verdict #7): corpora
     // gate per (source, lang) — the corpus-card/drift key — not per source
     // alone, because score distributions differ across languages within
     // one source just as they do across sources (a single per-source

@@ -57,7 +57,7 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_embed_adc_rerank",
     // B90: the IVF-bounded composition of the same two sanctioned stages
     "q_embed_ivfpq_rerank",
-    // B95a: the residual composition of the same sanctioned ADC stage —
+    // B96: the residual composition of the same sanctioned ADC stage —
     // per-(qid, cell) tables; the post-shortlist re-rank is relational
     "q_embed_ivfpq_residual_rerank")
 
@@ -95,7 +95,7 @@ class PlanSweepSpec extends SparkSpecBase {
     // B90: inherits q_embed_ivfpq's codes ⋈ cell-assignment join (both
     // sides are every vector)
     "q_embed_ivfpq_rerank",
-    // B95a: inherits q_embed_ivfpq_residual's corpus ⋈ assignment joins
+    // B96: inherits q_embed_ivfpq_residual's corpus ⋈ assignment joins
     "q_embed_ivfpq_residual_rerank",
     // B91: doc-bigram instances ⋈ the bigram-TYPE table — same
     // heavy-tailed-vocabulary argument as q_text_tokens_learned
