@@ -94,6 +94,20 @@ object LlmOps {
     * Ann.knnGraph scaladoc curve; AnnRecallSpec pins it). */
   private[graft] val KnnBuildK = 15
 
+  /** Mutual-kNN cluster confirmation threshold (B98): low enough to keep
+    * semantic (not just near-dup) edges, high enough that the mutual-kNN
+    * sparsification doesn't collapse the corpus into one blob — probed at
+    * BOTH fixture densities before pinning, because percolation tracks
+    * corpus density, not just geometry: 0.30 → one 468-member giant
+    * component at sf0.01 (vacuous); 0.35 → good structure at sf0.01 (76
+    * clusters, top 32/24/23/21) but an 1828-member blob at sf0.1; 0.40 →
+    * non-vacuous at both (41 clusters / top 8 at sf0.01, 284 clusters /
+    * top 33 at sf0.1); 0.50 → only near-dup pairs. At production scale
+    * derive τ from a percolation probe (largest-component share vs τ —
+    * the sizes-by-τ sweep this constant froze) rather than hand-picking.
+    * Mirrored verbatim in the oracle. */
+  private[graft] val KnnClusterTau = 0.40
+
   /** IVF geometry DERIVED for the sf0.01 fixture corpus (500 vectors):
     * recall target 0.8 (the floor AnnRecallSpec pins) at cell-hit 0.6 costs
     * nprobe=2; ideal k = √(n·nprobe) ≈ 32 is capped by the 30-vector
@@ -211,6 +225,35 @@ object LlmOps {
        |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}dF) t
        |  WHERE rn = 1)""".stripMargin
 
+  /** The full NN-descent graph replay through the round-2 lists `r2g`
+    * (weak-seed LSH buckets, per-src top-buildK, two refinement rounds) —
+    * shared by q_embed_knn_graph and the mutual-kNN clustering entry so
+    * the two replays cannot drift. */
+  private def sqlKnnGraphCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+       |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+       |pdots AS (
+       |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+       |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+       |  FROM e CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+       |  CROSS JOIN range(64) ri(i)
+       |  GROUP BY vec_id, j),
+       |buckets AS (
+       |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+       |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+       |ok AS (SELECT band, bucket FROM buckets
+       |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+       |s0cand AS (SELECT DISTINCT bs.vec_id AS src, bd.vec_id AS dst
+       |  FROM buckets bs JOIN ok z ON z.band = bs.band AND z.bucket = bs.bucket
+       |  JOIN buckets bd ON bd.band = bs.band AND bd.bucket = bs.bucket
+       |    AND bd.vec_id != bs.vec_id),
+       |${sqlKnnScore("s0cand", "s0")},
+       |${sqlKnnRound("s0", "r1")},
+       |${sqlKnnRound("r1", "r2")}""".stripMargin
+
   /** Score a k-NN candidate-pair CTE `cand(src, dst)` and keep each src's
     * top-[[KnnBuildK]] (the internal working-list width) by (round-6
     * cosine DESC, dst ASC) as `${f}g(src, dst, cos, rn)` — the per-round
@@ -236,7 +279,12 @@ object LlmOps {
     * reverse lists at [[KnnK]] by the same (cos DESC, id ASC) rank,
     * symmetrize, expand neighbors-of-neighbors through ONE middle-vertex
     * self-join (∪ the current edges, so lists are monotone), then
-    * re-rank — mirrors Ann.knnGraph's round body. */
+    * re-rank — mirrors Ann.knnGraph's round body. The pair dedup is an
+    * EXPLICIT DISTINCT-over-UNION-ALL, never a bare UNION: under `WITH
+    * RECURSIVE` (which the clustering oracle needs for its walk) DuckDB
+    * 1.0 stops deduplicating a bare UNION in a NON-recursive CTE, and the
+    * duplicated candidate pairs inflate every summed distance (measured:
+    * 4× cos) — found when q_embed_knn_clusters first diverged. */
   private def sqlKnnRound(prev: String, f: String): String =
     s"""${f}rev AS (SELECT src, dst FROM (
        |    SELECT r.src, r.dst, row_number() OVER (
@@ -247,10 +295,11 @@ object LlmOps {
        |    SELECT src, dst FROM ${prev}g
        |    UNION ALL SELECT src, dst FROM ${f}rev) u),
        |${f}cand AS (
-       |  SELECT x.src, y.dst
-       |  FROM ${f}b x JOIN ${f}b y ON y.src = x.dst AND y.dst != x.src
-       |  UNION
-       |  SELECT src, dst FROM ${prev}g),
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT x.src, y.dst
+       |    FROM ${f}b x JOIN ${f}b y ON y.src = x.dst AND y.dst != x.src
+       |    UNION ALL
+       |    SELECT src, dst FROM ${prev}g) u),
        |${sqlKnnScore(s"${f}cand", f)}""".stripMargin
 
   /** The full residual-IVFADC replay up to the per-candidate `adc` CTE
@@ -814,6 +863,29 @@ object LlmOps {
         .select(col("src").as("vec_id"), col("rank"),
           col("dst").as("nbr_id"), col("cos_sim"))
         .orderBy(col("vec_id"), col("rank"))
+    },
+
+    // B98 mutual-kNN SEMANTIC CLUSTERING — the clustering substrate the
+    // k-NN graph exists to provide (and the verdict's stated second use):
+    // keep an edge only when BOTH endpoints list each other (mutual-kNN —
+    // the standard sparsification that stops hub vectors chaining distinct
+    // clusters) at cosine >= KnnClusterTau, then connected components via
+    // the shared pointer-jumping operator (B59 machinery). Differs from
+    // q_dedup_semantic (within-quantizer-cell near-dup pruning) in kind:
+    // this clusters by NEIGHBORHOOD STRUCTURE, cells play no part, and the
+    // output is a partition of the connected subgraph, not keep/drop
+    // flags. Oracle = the full graph replay + mutual confirmation + the
+    // recursive min-reach walk.
+    "q_embed_knn_clusters" -> { (s, d) =>
+      val g = Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
+        buildK = KnnBuildK)
+      val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+      val mutual = g.select(col("src"), col("dst"), col("cos_sim"))
+        .join(rev, Seq("src", "dst"), "left_semi")
+        .filter(col("cos_sim") >= KnnClusterTau)
+        .select(col("src"), col("dst"))
+      NearDup.clusters(mutual)
+        .orderBy(col("cluster_rep"), col("member"))
     },
 
     // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
@@ -1948,32 +2020,26 @@ object LlmOps {
     // same plane formula/prime) + per-src top-5 + two NN-descent rounds
     // (sqlKnnRound: capped reverse lists, middle-vertex self-join, re-rank)
     "q_embed_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |norms AS (
-         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
-         |pdots AS (
-         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
-         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
-         |  FROM e CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
-         |  CROSS JOIN range(64) ri(i)
-         |  GROUP BY vec_id, j),
-         |buckets AS (
-         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
-         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots GROUP BY vec_id, j // ${KnnLshCfg.bits}),
-         |ok AS (SELECT band, bucket FROM buckets
-         |       GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
-         |s0cand AS (SELECT DISTINCT bs.vec_id AS src, bd.vec_id AS dst
-         |  FROM buckets bs JOIN ok z ON z.band = bs.band AND z.bucket = bs.bucket
-         |  JOIN buckets bd ON bd.band = bs.band AND bd.bucket = bs.bucket
-         |    AND bd.vec_id != bs.vec_id),
-         |${sqlKnnScore("s0cand", "s0")},
-         |${sqlKnnRound("s0", "r1")},
-         |${sqlKnnRound("r1", "r2")}
+      s"""WITH $sqlKnnGraphCtes
          |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
          |  cos AS cos_sim
          |FROM r2g WHERE rn <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+
+    // mutual-kNN semantic clustering: the full graph replay + mutual edge
+    // confirmation + the recursive min-reach walk (the q_dedup_clusters
+    // component form) under one hash
+    "q_embed_knn_clusters" ->
+      s"""WITH RECURSIVE $sqlKnnGraphCtes,
+         |mutual AS (SELECT a.src, a.dst FROM r2g a JOIN r2g b
+         |    ON b.src = a.dst AND b.dst = a.src AND b.rn <= $KnnK
+         |  WHERE a.cos >= $KnnClusterTau AND a.rn <= $KnnK),
+         |nodes AS (SELECT DISTINCT src AS id FROM mutual),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN mutual e ON e.src = w.r)
+         |SELECT min(r) AS cluster_rep, id AS member
+         |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

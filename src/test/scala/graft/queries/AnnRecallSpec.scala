@@ -78,6 +78,51 @@ class AnnRecallSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("mutual-kNN clustering: components equal a driver-side union-find; structure non-vacuous") {
+    // B98: the graph's clustering use. Three claims: (1) the entry's
+    // components equal an INDEPENDENT union-find over the mutual edge set
+    // derived from the graph entry's own output (structurally different
+    // second witness to the pointer-jumping operator + the DuckDB walk);
+    // (2) the mutual set is symmetric by construction; (3) the pinned tau
+    // is non-vacuous at this density — more than one cluster, at least
+    // one of size >= 3, and NOT one giant component.
+    val graph = graft.SparkEntry.queries("q_embed_knn_graph")(spark, sf)
+      .collect()
+      .map(r => ((r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")),
+        r.getAs[Double]("cos_sim"))).toMap
+    val mutual = graph.keys.filter { case (a, b) =>
+      graph.contains((b, a)) && graph((a, b)) >= LlmOps.KnnClusterTau
+    }.toSet
+    assert(mutual.map(_.swap) === mutual, "mutual edge set not symmetric")
+    // union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    mutual.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(v => (find(v), v)).toSet
+    val got = graft.SparkEntry.queries("q_embed_knn_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_rep"), r.getAs[Long]("member"))).toSet
+    assert(got === expect,
+      "components diverge from the independent union-find replay")
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).values.toSeq
+    info(s"tau=${LlmOps.KnnClusterTau}: ${sizes.size} clusters, " +
+      s"top sizes ${sizes.sorted.reverse.take(5)}, ${got.size} members")
+    assert(sizes.size > 1, "one giant component — tau percolated (vacuous)")
+    assert(sizes.max >= 3, "no cluster beyond a pair — tau too high (vacuous)")
+    assert(sizes.max.toDouble / got.size < 0.5,
+      "a single component holds most members — tau effectively percolated")
+  }
+
   test("forCorpus-derived IVF config holds recall at a second corpus size (sf0.1)") {
     import graft.operators.{Ann, IvfConfig}
     import org.apache.spark.sql.functions._
