@@ -24,6 +24,12 @@ object Graph {
       .select((col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** B100 relaxation rounds — the hop bound. Every round is one
+    * edges ⋈ dist join + one min-aggregate, so the bound is also the
+    * round-trip count a 1000-executor run pays; mirrored in the oracle's
+    * chained CTEs. */
+  private val BfsRounds = 4
+
   val defs: Map[String, Q] = Map(
     // 3 integer-exact PageRank hops (graft.operators.PageRank): each hop is
     // one edges⋈scores join + one partial+final aggregate on dst — linear in
@@ -48,6 +54,35 @@ object Graph {
       e1.join(e2, col("b") === col("b2"))
         .join(e3, col("a") === col("a3") && col("c") === col("c3"))
         .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // B100 bounded multi-source BFS: hop distances from a seed set via
+    // BfsRounds Bellman-Ford relaxations — each round ONE dist ⋈ edges join
+    // plus ONE min-aggregate on node, i.e. cost ∝ |edges| per round with no
+    // driver state and no frontier collect; after round r every node holds
+    // its exact shortest hop count over paths of length ≤ r (unreached
+    // nodes are absent, the production convention — an outer join against
+    // the node set would materialize the infinite rows). At 100 TB the
+    // dist table is node-sized, so both join sides shuffle on the same key
+    // each round and the hop BOUND (not the diameter) caps the round-trips
+    // — the reason bounded BFS, not full transitive closure, is the
+    // operator large-graph systems ship.
+    "q_graph_bfs" -> { (s, d) =>
+      val e = edges(s, d).distinct()
+      var dist = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .filter(col("node") % 29 === 3)
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to BfsRounds) {
+        // the dist table derives from the edge table (seeds are nodes of e),
+        // so the join is a self-join — qualify both sides
+        val relaxed = dist.as("dd").join(e.as("ee"), col("dd.node") === col("ee.src"))
+          .select(col("ee.dst").as("node"), (col("dd.dist") + 1).as("dist"))
+        dist = dist.union(relaxed).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy(col("node"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -85,5 +120,25 @@ object Graph {
         |    FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100))
         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
         |FROM und e1 JOIN und e2 ON e2.u = e1.v
-        |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)
+        |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // bounded BFS: the same relaxation rounds as chained CTEs — integer
+    // arithmetic throughout, so the replay is exact by construction
+    "q_graph_bfs" -> {
+      def round(r: Int): String =
+        s"""d$r AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${r - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, p.dist + 1 AS dist
+           |  FROM d${r - 1} p JOIN edges e ON e.src = p.node) t
+           |GROUP BY node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+         |  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+         |       WHERE node % 29 = 3),
+         |${(1 to BfsRounds).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d$BfsRounds ORDER BY node""".stripMargin
+    })
 }

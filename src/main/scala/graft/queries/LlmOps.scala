@@ -31,7 +31,7 @@ object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
   import graft.operators.{Ann, EmbedLshConfig, ExactDedup, IvfConfig,
-    MinHashConfig, NearDup, SimHashConfig, TextCuration}
+    MinHashConfig, NearDup, Pca, SimHashConfig, TextCuration}
 
   // ---- catalog geometry: pinned configs for the public operators ----
   //
@@ -107,6 +107,20 @@ object LlmOps {
     * the sizes-by-τ sweep this constant froze) rather than hand-picking.
     * Mirrored verbatim in the oracle. */
   private[graft] val KnnClusterTau = 0.40
+
+  /** Matrix-squaring rounds for the B99 PCA entry — the replay-bounded
+    * convergence lever (2^k effective power steps in k log-depth rounds;
+    * see [[graft.operators.Pca]] for why linear power iteration is the
+    * wrong tool on near-isotropic embedding covariances). Measured on the
+    * fixtures before pinning (PcaSpec's convergence test + the probe run
+    * recorded here): vs a 12-squaring reference, |cos| at k = 8/9/10 reads
+    * 1.0/1.0/1.0 at sf0.001, 0.9998/0.99999/1.0 at sf0.01, and
+    * 0.15/0.9969/0.9999992 at sf0.1 — the sf0.1 corpus carries a
+    * near-DEGENERATE top pair (λ ≈ 0.02058 vs 0.02094), exactly the regime
+    * where 96 LINEAR power steps still read cos ≈ 0.82–0.99 and log-depth
+    * squaring is the difference between converging and not. Mirrored in
+    * the oracle's chained CTE count. */
+  private[graft] val PcaSquarings = 10
 
   /** IVF geometry DERIVED for the sf0.01 fixture corpus (500 vectors):
     * recall target 0.8 (the floor AnnRecallSpec pins) at cell-hit 0.6 costs
@@ -310,6 +324,62 @@ object LlmOps {
     * q_embed_ivfpq_residual and its re-rank extension so the two replays
     * cannot drift; `ex` (raw exploded coords) stays available to the
     * re-rank's exact-distance CTE. */
+
+  /** One B99 normalized-squaring round as CTEs (mirrors [[Pca.fitPc1]]'s
+    * loop body): hp_k = round6(h_{k-1}·h_{k-1}) entry-wise, then h_k =
+    * round6(hp_k / maxabs(hp_k)). max(abs(g)) is order-independent, so the
+    * renormalizer replays exactly; the 64-term product sums are round-6
+    * like every other cross-engine aggregate. MATERIALIZED is load-bearing:
+    * each level references its predecessor TWICE, so DuckDB's default CTE
+    * inlining would expand the chain 2^k-fold (the first run died on file
+    * handles before it died on compute). */
+  private def sqlPcaSquare(k: Int): String =
+    s"""hp$k AS MATERIALIZED (
+       |  SELECT a.i, b.j, floor(sum(a.g * b.g) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM h${k - 1} a JOIN h${k - 1} b ON b.i = a.j GROUP BY 1, 2),
+       |hm$k AS (SELECT max(abs(g)) AS m FROM hp$k),
+       |h$k AS MATERIALIZED (
+       |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM hp$k CROSS JOIN hm$k)""".stripMargin
+
+  /** The B99 covariance replay: exploded coords → round-6 raw sums (per-dim
+    * and upper-triangular second moments, MIRRORED so (j,i) is bit-equal to
+    * (i,j) exactly as the engine's symmetric fill) → the same
+    * Sij/n − (si/n)(sj/n) scalar tree fitPc1 evaluates. The n·d² self-join
+    * here is the oracle's independent derivation — the ENGINE never pays it
+    * (one-pass mergeable buffer instead; see [[Pca]] scaladoc). */
+  private def sqlPcaCovCtes: String =
+    s"""pcax AS MATERIALIZED (
+       |  SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+       |  FROM embeddings CROSS JOIN range(64) r(i)),
+       |pcan AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+       |pcas AS MATERIALIZED (SELECT i, floor(sum(x) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM pcax GROUP BY i),
+       |pcamu AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    floor(sum(a.x * b.x) * 1e6 + 0.5) / 1e6 AS sij
+       |  FROM pcax a JOIN pcax b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |pcam AS (SELECT i, j, sij FROM pcamu
+       |  UNION ALL SELECT j AS i, i AS j, sij FROM pcamu WHERE j > i),
+       |cov AS MATERIALIZED (SELECT pcam.i, pcam.j,
+       |    floor((pcam.sij / pcan.n - (sa.s / pcan.n) * (sb.s / pcan.n))
+       |      * 1e6 + 0.5) / 1e6 AS g
+       |  FROM pcam JOIN pcas sa ON sa.i = pcam.i
+       |  JOIN pcas sb ON sb.i = pcam.j CROSS JOIN pcan),
+       |hm0 AS (SELECT max(abs(g)) AS m FROM cov),
+       |h0 AS MATERIALIZED (
+       |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM cov CROSS JOIN hm0),
+       |${(1 to PcaSquarings).map(sqlPcaSquare).mkString(",\n")},
+       |pcacn AS (SELECT j, floor(sum(g * g) * 1e6 + 0.5) / 1e6 AS cn
+       |  FROM h$PcaSquarings GROUP BY j),
+       |pcasel AS (SELECT j FROM pcacn ORDER BY cn DESC, j LIMIT 1),
+       |pcau AS (SELECT h.i, h.g AS u
+       |  FROM h$PcaSquarings h JOIN pcasel ON pcasel.j = h.j),
+       |pcaun AS (SELECT floor(sqrt(sum(u*u)) * 1e6 + 0.5) / 1e6 AS nm FROM pcau),
+       |pcaw AS (SELECT i, floor((u / nm) * 1e6 + 0.5) / 1e6 AS w
+       |  FROM pcau CROSS JOIN pcaun)""".stripMargin
+
   private def sqlResidualAdcCtes: String =
     s"""$sqlKmeansCtes,
        |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
@@ -886,6 +956,24 @@ object LlmOps {
         .select(col("src"), col("dst"))
       NearDup.clusters(mutual)
         .orderBy(col("cluster_rep"), col("member"))
+    },
+
+    // B99 distributed PCA (first principal component by power iteration) —
+    // the dimensionality-reduction/drift-analysis primitive every embedding
+    // pipeline wants before plotting, whitening, or spectral filtering. The
+    // engine touches the corpus ONCE: a single partial+final typed-Aggregator
+    // buffer of the d(d+1)/2+d+1 covariance sufficient statistics (~17 KB
+    // per map partition at d=64), then O(d²) DRIVER power iteration and a
+    // zero-shuffle broadcast-literal projection pass; the oracle replays the
+    // n·d² self-join derivation DuckDB needs instead — two INDEPENDENT
+    // computations of the same round-6 contract (see [[Pca]] scaladoc for
+    // the full float discipline, and for why the eigensolver is log-depth
+    // matrix SQUARING — eigengap-free — rather than linear power
+    // iteration). PcaSquarings is the measured convergence lever.
+    "q_embed_pca_power" -> { (s, d) =>
+      val vecs = embedVecs(s, d)
+      Pca.projectPc1(vecs, Pca.fitPc1(vecs, dim = 64, squarings = PcaSquarings))
+        .orderBy(col("vec_id"))
     },
 
     // B50 SEMANTIC dedup — [[graft.operators.Ann.semDedup]] (the SemDeDup
@@ -2040,6 +2128,21 @@ object LlmOps {
          |  SELECT w.id, e.dst FROM walk w JOIN mutual e ON e.src = w.r)
          |SELECT min(r) AS cluster_rep, id AS member
          |FROM walk GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
+
+    // B99 PCA: the oracle derives the covariance via the n·d² exploded
+    // self-join (DuckDB has no mergeable vector aggregate), mirrors the
+    // upper triangle so (j,i) is bit-equal to (i,j), then replays the
+    // round-6 power iteration and the (x−μ)·w projection — every rounding
+    // site matching Pca.fitPc1/projectPc1 term for term
+    "q_embed_pca_power" ->
+      s"""WITH $sqlPcaCovCtes,
+         |pcamean AS (SELECT pcas.i, floor((pcas.s / pcan.n) * 1e6 + 0.5) / 1e6 AS mu
+         |  FROM pcas CROSS JOIN pcan)
+         |SELECT x.vec_id,
+         |  floor(sum((x.x - m.mu) * pcaw.w) * 1e6 + 0.5) / 1e6 AS pc1
+         |FROM pcax x JOIN pcamean m ON m.i = x.i
+         |JOIN pcaw ON pcaw.i = x.i
+         |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** B99 distributed PCA (normalized matrix squaring over one-pass covariance
+  * sufficient statistics — [[Pca]]).
+  *
+  * What is pinned, and why it is sufficient:
+  *  - the ONE-PASS AGGREGATOR is exact: its collected statistics equal a
+  *    driver-side recount over the same rows (forced through multiple
+  *    partitions so the merge path runs) — this is the only distributed
+  *    piece, everything downstream is deterministic driver arithmetic;
+  *  - CONVERGENCE is measured, not assumed: the catalog's squaring count is
+  *    pinned by |cos(w_k, w_{k+2})| on the fixture, and the curve improves
+  *    in k — the analog of AnnRecallSpec's per-round recall (the probe run
+  *    recorded at the constant showed LINEAR power iteration stuck at
+  *    cos ≈ 0.82 after 100 steps on this near-isotropic covariance, which
+  *    is why the solver squares);
+  *  - the direction is NON-VACUOUS: variance captured along w beats the
+  *    best single raw dimension (the trivial "PCA" a max-variance column
+  *    pick would give), and matches the returned eigenvalue estimate;
+  *  - PROJECTION is the model applied per-row: spot-checked against a
+  *    driver-side (x − μ)·w recount at round-6.
+  */
+class PcaSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vecs = {
+    import graft.Tables
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+  }
+
+  private def cosAbs(a: Array[Double], b: Array[Double]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    math.abs(dp / math.sqrt(na * nb))
+  }
+
+  test("one-pass sufficient statistics equal a driver recount across merges") {
+    val v = vecs.repartition(7) // force non-trivial partial merges
+    val m = Pca.fitPc1(v, dim = 64, squarings = 1)
+    val rows = vecs.select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length.toDouble
+    // driver recount of mu through the SAME round-6 contract
+    val muRef = Array.tabulate(64) { i =>
+      Pca.round6(Pca.round6(rows.map(_(i)).sum) / n)
+    }
+    assert(m.n == rows.length)
+    assert(m.mu.toSeq == muRef.toSeq,
+      "aggregated means diverge from the driver recount")
+  }
+
+  test("squaring converges on the fixture; the catalog k is pinned by measurement") {
+    val k = graft.queries.LlmOps.PcaSquarings
+    val ws = Seq(4, 6, k, k + 2).map(t => t -> Pca.fitPc1(vecs, 64, t)).toMap
+    val ref = ws(k + 2).w
+    val curve = Seq(4, 6, k).map(t => cosAbs(ws(t).w, ref))
+    // improving in rounds and effectively converged by the catalog's k
+    assert(curve(0) <= curve(1) && curve(1) <= curve(2),
+      s"convergence curve not improving: $curve")
+    assert(curve(2) > 0.9999,
+      s"|cos(w_$k, w_${k + 2})| = ${curve(2)} — catalog squarings too low")
+    // eigenvalue estimate settles with the direction
+    assert(math.abs(ws(k).eigenvalue - ws(k + 2).eigenvalue) <=
+      0.001 * ws(k + 2).eigenvalue,
+      s"Rayleigh estimate still moving: ${ws(k).eigenvalue} vs ${ws(k + 2).eigenvalue}")
+  }
+
+  test("PC1 captures more variance than any raw dimension, matching the eigenvalue") {
+    val m = Pca.fitPc1(vecs, 64, graft.queries.LlmOps.PcaSquarings)
+    val pc = Pca.projectPc1(vecs, m).select(col("pc1")).collect()
+      .map(_.getDouble(0))
+    val n = pc.length.toDouble
+    val mean = pc.sum / n
+    val varPc = pc.map(x => (x - mean) * (x - mean)).sum / n
+    // variance along the (near-)eigenvector ≈ its eigenvalue
+    assert(math.abs(varPc - m.eigenvalue) <= 0.01 * m.eigenvalue,
+      s"var(pc1) = $varPc vs eigenvalue ${m.eigenvalue}")
+    // and beats the best single axis — the non-vacuity claim
+    val rows = vecs.select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    val maxAxisVar = (0 until 64).map { i =>
+      val xs = rows.map(_(i))
+      val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }.max
+    assert(varPc > maxAxisVar,
+      s"PC1 variance $varPc does not beat best axis $maxAxisVar")
+  }
+
+  test("projection equals the driver-side (x − mu)·w recount at round-6") {
+    val m = Pca.fitPc1(vecs, 64, graft.queries.LlmOps.PcaSquarings)
+    val got = Pca.projectPc1(vecs, m).orderBy(col("vec_id"))
+      .limit(25).collect().map { case Row(id: Long, p: Double) => id -> p }
+    val raw = vecs.orderBy(col("vec_id")).limit(25).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    raw.zip(got).foreach { case ((idR, x), (idG, p)) =>
+      assert(idR == idG)
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += (x(i) - m.mu(i)) * m.w(i); i += 1 }
+      assert(math.abs(Pca.round6(acc) - p) < 1e-12,
+        s"vec $idR: engine $p vs recount ${Pca.round6(acc)}")
+    }
+  }
+}
