@@ -133,13 +133,18 @@ object Pca {
     * cos ≈ 0.82 after 100 steps), stops mattering. Each squaring
     * renormalizes by the max |entry| (order-independent, hence replayable)
     * to keep magnitudes O(1) for the round-6 contract. */
-  def fitPc1(vecs: DataFrame, dim: Int, squarings: Int): Pc1Model = {
-    require(squarings >= 1, "at least one squaring round")
+  /** The one-pass statistics collect (also measured standalone by the
+    * ScaleSoak PCA leg): [count, Σxᵢ…, upper-tri Σxᵢxⱼ…]. */
+  private[operators] def collectStats(vecs: DataFrame, dim: Int): Seq[Double] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val stats = udaf(new SuffStats(dim))
-    val st = vecs.agg(stats(col("e")).as("st"))
-      .head().getSeq[Double](0)
+    vecs.agg(stats(col("e")).as("st")).head().getSeq[Double](0)
+  }
+
+  def fitPc1(vecs: DataFrame, dim: Int, squarings: Int): Pc1Model = {
+    require(squarings >= 1, "at least one squaring round")
+    val st = collectStats(vecs, dim)
     val n = st(0)
     require(n > 0, "PCA over an empty corpus")
 
