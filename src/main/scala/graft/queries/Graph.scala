@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.PageRank
@@ -29,6 +30,26 @@ object Graph {
     * round-trip count a 1000-executor run pays; mirrored in the oracle's
     * chained CTEs. */
   private val BfsRounds = 4
+
+  /** B101 synchronous label-propagation rounds. Fixed-round SYNCHRONOUS
+    * LPA with a total tie order (max neighbor-label count, then MIN label)
+    * is fully deterministic — the async/random-order variant the original
+    * paper uses is not replayable across engines, so the catalog pins the
+    * deterministic form (the same choice GraphFrames made). */
+  private val LpaRounds = 3
+
+  /** Sparser undirected graph for LPA: the mod-100 multigraph is so dense
+    * one community swallows it (probed: 1 label in 3 rounds); mod-1000
+    * nodes restricted to rare line items (l_quantity ≤ 2) keeps real
+    * structure at every fixture density (probed: 189 / 174 / 9 communities
+    * at sf0.001/0.01/0.1). */
+  private def lpaEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= 2)
+      .select((col("l_orderkey") % 1000).as("a"), (col("l_partkey") % 1000).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
 
   val defs: Map[String, Q] = Map(
     // 3 integer-exact PageRank hops (graft.operators.PageRank): each hop is
@@ -83,6 +104,34 @@ object Graph {
           .agg(min(col("dist")).as("dist"))
       }
       dist.orderBy(col("node"))
+    },
+
+    // B101 community detection by synchronous label propagation (Raghavan
+    // et al. 2007, the deterministic fixed-round variant — see LpaRounds):
+    // per round ONE neighbor-labels join + ONE (node, label) count
+    // aggregate + ONE per-node top-1 window — the window orders each
+    // node's DISTINCT neighbor labels (bounded by degree), never the
+    // corpus. Labels are node ids, so min-label ties are stable and the
+    // whole computation is integer-exact. Complements PageRank
+    // (importance), triangles (cohesion), CC (reachability), BFS
+    // (distance), and the mutual-kNN clusters (B98 operates on a derived
+    // similarity graph; this operates on any explicit edge list).
+    "q_graph_labelprop" -> { (s, d) =>
+      val und = lpaEdges(s, d)
+      val dir = und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      var labels = dir.select(col("node")).distinct()
+        .withColumn("label", col("node"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      for (_ <- 1 to LpaRounds) {
+        labels = dir.as("d").join(labels.as("l"), col("l.node") === col("d.nbr"))
+          .groupBy(col("d.node").as("node"), col("l.label").as("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label"))
+      }
+      labels.orderBy(col("node"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -140,5 +189,27 @@ object Graph {
          |       WHERE node % 29 = 3),
          |${(1 to BfsRounds).map(round).mkString(",\n")}
          |SELECT node, dist FROM d$BfsRounds ORDER BY node""".stripMargin
+    },
+
+    // synchronous LPA: the same rounds as chained CTEs — all-integer, so
+    // the replay is exact; ties by (count DESC, label ASC) in both engines
+    "q_graph_labelprop" -> {
+      def round(r: Int): String =
+        s"""c$r AS (SELECT d.node, l.label, count(*) AS c
+           |  FROM dir d JOIN l${r - 1} l ON l.node = d.nbr GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (
+           |    PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM c$r) t WHERE rn = 1)""".stripMargin
+      s"""WITH und AS (
+         |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS u,
+         |    greatest(l_orderkey % 1000, l_partkey % 1000) AS v
+         |  FROM lineitem
+         |  WHERE l_orderkey % 1000 <> l_partkey % 1000 AND l_quantity <= 2),
+         |dir AS (SELECT u AS node, v AS nbr FROM und
+         |  UNION ALL SELECT v AS node, u AS nbr FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM dir),
+         |${(1 to LpaRounds).map(round).mkString(",\n")}
+         |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
     })
 }
