@@ -121,18 +121,6 @@ object Pca {
   private def maxAbs(h: Array[Array[Double]]): Double =
     h.iterator.flatMap(_.iterator).map(math.abs).max
 
-  /** Fit the first principal component of `vecs` (columns: vec_id,
-    * e array<double> of length `dim`): one corpus pass for the covariance
-    * sufficient statistics, then `squarings` rounds of normalized matrix
-    * squaring — C^(2^squarings) applied to the fixed start vector, i.e.
-    * 2^squarings power-method steps in log depth. The covariance is PSD, so
-    * repeated squaring always amplifies the TOP eigenvector, and the
-    * convergence ratio (λ₂/λ₁)^(2^k) is driven to 0 quadratically — the
-    * eigengap, which near-isotropic embedding corpora keep small (this
-    * fixture: λ₂/λ₁ ≈ 0.95, where LINEAR power iteration still reads
-    * cos ≈ 0.82 after 100 steps), stops mattering. Each squaring
-    * renormalizes by the max |entry| (order-independent, hence replayable)
-    * to keep magnitudes O(1) for the round-6 contract. */
   /** The one-pass statistics collect (also measured standalone by the
     * ScaleSoak PCA leg): [count, Σxᵢ…, upper-tri Σxᵢxⱼ…]. */
   private[operators] def collectStats(vecs: DataFrame, dim: Int): Seq[Double] = {
@@ -142,14 +130,10 @@ object Pca {
     vecs.agg(stats(col("e")).as("st")).head().getSeq[Double](0)
   }
 
-  def fitPc1(vecs: DataFrame, dim: Int, squarings: Int): Pc1Model = {
-    require(squarings >= 1, "at least one squaring round")
-    val st = collectStats(vecs, dim)
+  /** round-6 covariance from the collected statistics — the SAME scalar
+    * expression tree the oracle uses: Sij/n − (si/n)(sj/n), re-rounded. */
+  private def covarianceOf(st: Seq[Double], dim: Int): Array[Array[Double]] = {
     val n = st(0)
-    require(n > 0, "PCA over an empty corpus")
-
-    // round-6 raw sums, then covariance entries from the SAME scalar
-    // expression tree the oracle uses: Sij/n − (si/n)(sj/n), re-rounded
     val s = Array.tabulate(dim)(i => round6(st(1 + i)))
     val cov = Array.ofDim[Double](dim, dim)
     var t = 1 + dim
@@ -166,11 +150,35 @@ object Pca {
       }
       i += 1
     }
+    cov
+  }
 
-    // normalized log-depth squaring: h ← round6((h·h) / maxabs(h·h))
-    val m0 = maxAbs(cov)
-    require(m0 > 0, "degenerate corpus: zero covariance")
-    var h = cov.map(_.map(x => round6(x / m0)))
+  /** Dominant eigendirection of the PSD matrix `src` by `squarings`
+    * rounds of normalized log-depth squaring: h ← round6((h·h)/maxabs),
+    * i.e. src^(2^squarings) up to scale — 2^k power-method steps in k
+    * rounds, so the convergence ratio (λ₂/λ₁)^(2^k) is driven to 0
+    * quadratically and the eigengap (≈ 0.95–0.998 on these near-isotropic
+    * embedding covariances, where LINEAR power iteration still reads
+    * cos ≈ 0.82 after 100 steps) stops mattering.
+    *
+    * The direction is extracted as the squared matrix's largest-norm
+    * COLUMN (H ≈ λ·vvᵀ after squaring, so every non-degenerate column is
+    * ∝ v; the largest has the best signal-to-rounding ratio).
+    * Deliberately NOT the textbook "apply to a start vector": u = H·w0
+    * with dyadic w0 = round6(1/√64) = 0.125 puts u·1e6 EXACTLY on a .5
+    * rounding tie with probability 1/8 per component (6-dp entries × an
+    * exact eighth), and a true tie is decided by summation-order ulps —
+    * DuckDB's parallel aggregation then flips it RUN TO RUN (measured:
+    * 109/500 projections flapping between identical oracle invocations).
+    * Column norms live on the 12-dp product grid where a .5e-6 tie is
+    * measure-zero, and the argmax compares round-6 values with an index
+    * tie-break, so both engines select identically. */
+  private def dominantOf(src: Array[Array[Double]],
+      squarings: Int): Array[Double] = {
+    val dim = src.length
+    val m0 = maxAbs(src)
+    require(m0 > 0, "degenerate matrix: zero after rounding")
+    var h = src.map(_.map(x => round6(x / m0)))
     var k = 0
     while (k < squarings) {
       val p = squareR6(h)
@@ -179,19 +187,6 @@ object Pca {
       h = p.map(_.map(x => round6(x / mp)))
       k += 1
     }
-
-    // Extract the dominant direction as H's largest-norm COLUMN (H ≈ λ·vvᵀ
-    // after squaring, so every non-degenerate column is ∝ v; the largest
-    // one has the best signal-to-rounding ratio). Deliberately NOT the
-    // textbook "apply to a start vector": u = H·w0 with dyadic
-    // w0 = round6(1/√64) = 0.125 puts u·1e6 EXACTLY on a .5 rounding tie
-    // with probability 1/8 per component (6-dp entries × an exact eighth),
-    // and a true tie is decided by summation-order ulps — DuckDB's
-    // parallel aggregation then flips it RUN TO RUN (measured: 109/500
-    // projections flapping between identical oracle invocations). Column
-    // norms live on the 12-dp product grid where a .5e-6 tie is
-    // measure-zero, and the argmax compares round-6 values with an index
-    // tie-break, so both engines select identically.
     val colNorm = Array.tabulate(dim) { j =>
       var acc = 0.0
       var r = 0
@@ -207,10 +202,14 @@ object Pca {
     while (r < dim) { ss += u(r) * u(r); r += 1 }
     val un = round6(math.sqrt(ss))
     require(un > 0, "selected column collapsed below the round-6 quantum")
-    val w = u.map(x => round6(x / un))
+    u.map(x => round6(x / un))
+  }
 
-    // Rayleigh quotient against the ORIGINAL covariance recovers λ₁
-    // (squaring tracks only the direction; scales were renormalized away)
+  /** Rayleigh quotient wᵀ(Cw) against the ORIGINAL covariance — recovers
+    * the eigenvalue the squaring renormalized away (round-6 matvec
+    * components, round-6 result, both mirrored in the oracle). */
+  private def rayleigh(cov: Array[Array[Double]], w: Array[Double]): Double = {
+    val dim = cov.length
     val gv = Array.tabulate(dim) { rr =>
       var acc = 0.0
       var c = 0
@@ -220,8 +219,22 @@ object Pca {
     var lam = 0.0
     var q = 0
     while (q < dim) { lam += w(q) * gv(q); q += 1 }
-    Pc1Model(n.toLong, Array.tabulate(dim)(i => round6(s(i) / n)), w,
-      round6(lam))
+    round6(lam)
+  }
+
+  /** Fit the first principal component of `vecs` (columns: vec_id,
+    * e array<double> of length `dim`): one corpus pass for the covariance
+    * sufficient statistics, then [[dominantOf]] on the driver. */
+  def fitPc1(vecs: DataFrame, dim: Int, squarings: Int): Pc1Model = {
+    require(squarings >= 1, "at least one squaring round")
+    val st = collectStats(vecs, dim)
+    val n = st(0)
+    require(n > 0, "PCA over an empty corpus")
+    val cov = covarianceOf(st, dim)
+    val w = dominantOf(cov, squarings)
+    Pc1Model(n.toLong,
+      Array.tabulate(dim)(i => round6(round6(st(1 + i)) / n)), w,
+      rayleigh(cov, w))
   }
 
   /** Project every vector onto the fitted direction: round-6 (x − μ)·w,
@@ -231,4 +244,53 @@ object Pca {
     vecs.select(col("vec_id"),
       (floor((call_function("vec_dot", col("e"), lit(model.w)) -
         lit(model.muDotW)) * 1e6 + 0.5) / 1e6).as("pc1"))
+
+  /** Two-component PCA subspace (B102): w₂ by DEFLATION — the rank-one
+    * update C₂ = round6(C − λ₁·w₁w₁ᵀ) removes the found component (O(d²)
+    * driver arithmetic, replayable term-for-term), then the SAME squaring
+    * solver finds C₂'s dominant direction. λ₂ is w₂'s Rayleigh quotient
+    * against the ORIGINAL covariance, so λ₁ ≥ λ₂ and the pair reads as a
+    * variance decomposition; w₁ ⊥ w₂ holds to the rounding floor (the
+    * deflated matrix retains a residual λ₁·sin²θ component from the
+    * round-6 w₁ — PcaSpec measures |w₁·w₂|). */
+  final case class SubspaceModel(n: Long, mu: Array[Double],
+      w1: Array[Double], w2: Array[Double],
+      lambda1: Double, lambda2: Double) {
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def muDotW1: Double = dot(mu, w1)
+    def muDotW2: Double = dot(mu, w2)
+  }
+
+  /** One corpus pass (the same statistics collect as [[fitPc1]]), then
+    * both components on the driver. */
+  def fitSubspace(vecs: DataFrame, dim: Int, squarings: Int): SubspaceModel = {
+    require(squarings >= 1, "at least one squaring round")
+    val st = collectStats(vecs, dim)
+    val n = st(0)
+    require(n > 0, "PCA over an empty corpus")
+    val cov = covarianceOf(st, dim)
+    val w1 = dominantOf(cov, squarings)
+    val l1 = rayleigh(cov, w1)
+    val c2 = Array.tabulate(dim, dim) { (i, j) =>
+      round6(cov(i)(j) - l1 * w1(i) * w1(j))
+    }
+    val w2 = dominantOf(c2, squarings)
+    SubspaceModel(n.toLong,
+      Array.tabulate(dim)(i => round6(round6(st(1 + i)) / n)),
+      w1, w2, l1, rayleigh(cov, w2))
+  }
+
+  /** Project every vector into the 2-component subspace: round-6 (x − μ)·wₖ
+    * per component — still one zero-shuffle broadcast-literal map. */
+  def projectSubspace(vecs: DataFrame, m: SubspaceModel): DataFrame =
+    vecs.select(col("vec_id"),
+      (floor((call_function("vec_dot", col("e"), lit(m.w1)) -
+        lit(m.muDotW1)) * 1e6 + 0.5) / 1e6).as("pc1"),
+      (floor((call_function("vec_dot", col("e"), lit(m.w2)) -
+        lit(m.muDotW2)) * 1e6 + 0.5) / 1e6).as("pc2"))
 }

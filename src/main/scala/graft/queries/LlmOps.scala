@@ -333,14 +333,28 @@ object LlmOps {
     * each level references its predecessor TWICE, so DuckDB's default CTE
     * inlining would expand the chain 2^k-fold (the first run died on file
     * handles before it died on compute). */
-  private def sqlPcaSquare(k: Int): String =
-    s"""hp$k AS MATERIALIZED (
+  private def sqlPcaSquare(k: Int, f: String = ""): String =
+    s"""${f}hp$k AS MATERIALIZED (
        |  SELECT a.i, b.j, floor(sum(a.g * b.g) * 1e6 + 0.5) / 1e6 AS g
-       |  FROM h${k - 1} a JOIN h${k - 1} b ON b.i = a.j GROUP BY 1, 2),
-       |hm$k AS (SELECT max(abs(g)) AS m FROM hp$k),
-       |h$k AS MATERIALIZED (
+       |  FROM ${f}h${k - 1} a JOIN ${f}h${k - 1} b ON b.i = a.j GROUP BY 1, 2),
+       |${f}hm$k AS (SELECT max(abs(g)) AS m FROM ${f}hp$k),
+       |${f}h$k AS MATERIALIZED (
        |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
-       |  FROM hp$k CROSS JOIN hm$k)""".stripMargin
+       |  FROM ${f}hp$k CROSS JOIN ${f}hm$k)""".stripMargin
+
+  /** Direction extraction from the squared chain's last matrix (mirrors
+    * [[Pca]]'s largest-norm-column read-off): round-6 column norms,
+    * argmax with index tie-break, normalize. */
+  private def sqlPcaExtract(f: String = ""): String =
+    s"""${f}pcacn AS (SELECT j, floor(sum(g * g) * 1e6 + 0.5) / 1e6 AS cn
+       |  FROM ${f}h$PcaSquarings GROUP BY j),
+       |${f}pcasel AS (SELECT j FROM ${f}pcacn ORDER BY cn DESC, j LIMIT 1),
+       |${f}pcau AS (SELECT h.i, h.g AS u
+       |  FROM ${f}h$PcaSquarings h JOIN ${f}pcasel ON ${f}pcasel.j = h.j),
+       |${f}pcaun AS (SELECT floor(sqrt(sum(u*u)) * 1e6 + 0.5) / 1e6 AS nm
+       |  FROM ${f}pcau),
+       |${f}pcaw AS (SELECT i, floor((u / nm) * 1e6 + 0.5) / 1e6 AS w
+       |  FROM ${f}pcau CROSS JOIN ${f}pcaun)""".stripMargin
 
   /** The B99 covariance replay: exploded coords → round-6 raw sums (per-dim
     * and upper-triangular second moments, MIRRORED so (j,i) is bit-equal to
@@ -370,15 +384,29 @@ object LlmOps {
        |h0 AS MATERIALIZED (
        |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
        |  FROM cov CROSS JOIN hm0),
-       |${(1 to PcaSquarings).map(sqlPcaSquare).mkString(",\n")},
-       |pcacn AS (SELECT j, floor(sum(g * g) * 1e6 + 0.5) / 1e6 AS cn
-       |  FROM h$PcaSquarings GROUP BY j),
-       |pcasel AS (SELECT j FROM pcacn ORDER BY cn DESC, j LIMIT 1),
-       |pcau AS (SELECT h.i, h.g AS u
-       |  FROM h$PcaSquarings h JOIN pcasel ON pcasel.j = h.j),
-       |pcaun AS (SELECT floor(sqrt(sum(u*u)) * 1e6 + 0.5) / 1e6 AS nm FROM pcau),
-       |pcaw AS (SELECT i, floor((u / nm) * 1e6 + 0.5) / 1e6 AS w
-       |  FROM pcau CROSS JOIN pcaun)""".stripMargin
+       |${(1 to PcaSquarings).map(k => sqlPcaSquare(k)).mkString(",\n")},
+       |${sqlPcaExtract()}""".stripMargin
+
+  /** B102 extension of [[sqlPcaCovCtes]]: λ₁ (Rayleigh against cov), the
+    * rank-one deflation dcov = round6(cov − λ₁·w₁w₁ᵀ), and the second
+    * squaring chain + extraction under the `d` prefix — term-for-term the
+    * [[Pca.fitSubspace]] driver arithmetic. */
+  private def sqlPcaSubspaceCtes: String =
+    s"""$sqlPcaCovCtes,
+       |pcagv AS (SELECT cov.i, floor(sum(cov.g * pcaw.w) * 1e6 + 0.5) / 1e6 AS gv
+       |  FROM cov JOIN pcaw ON pcaw.i = cov.j GROUP BY cov.i),
+       |pcal1 AS (SELECT floor(sum(w.w * g.gv) * 1e6 + 0.5) / 1e6 AS l
+       |  FROM pcaw w JOIN pcagv g ON g.i = w.i),
+       |dcov AS MATERIALIZED (SELECT c.i, c.j,
+       |    floor((c.g - pcal1.l * wa.w * wb.w) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM cov c JOIN pcaw wa ON wa.i = c.i JOIN pcaw wb ON wb.i = c.j
+       |  CROSS JOIN pcal1),
+       |dhm0 AS (SELECT max(abs(g)) AS m FROM dcov),
+       |dh0 AS MATERIALIZED (
+       |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM dcov CROSS JOIN dhm0),
+       |${(1 to PcaSquarings).map(k => sqlPcaSquare(k, "d")).mkString(",\n")},
+       |${sqlPcaExtract("d")}""".stripMargin
 
   private def sqlResidualAdcCtes: String =
     s"""$sqlKmeansCtes,
@@ -973,6 +1001,21 @@ object LlmOps {
     "q_embed_pca_power" -> { (s, d) =>
       val vecs = embedVecs(s, d)
       Pca.projectPc1(vecs, Pca.fitPc1(vecs, dim = 64, squarings = PcaSquarings))
+        .orderBy(col("vec_id"))
+    },
+
+    // B102 two-component PCA SUBSPACE — the deflation step that turns the
+    // B99 solver into a usable decomposition (2-D embedding maps, drift
+    // dashboards, whitening): C₂ = round6(C − λ₁·w₁w₁ᵀ) on the driver,
+    // then the SAME squaring solver for w₂; λ₂ = Rayleigh against the
+    // ORIGINAL covariance so the pair reads as a variance decomposition.
+    // Still exactly ONE corpus pass (the shared statistics collect) and
+    // one zero-shuffle projection — components cost driver arithmetic,
+    // not corpus passes.
+    "q_embed_pca_subspace" -> { (s, d) =>
+      val vecs = embedVecs(s, d)
+      Pca.projectSubspace(vecs,
+        Pca.fitSubspace(vecs, dim = 64, squarings = PcaSquarings))
         .orderBy(col("vec_id"))
     },
 
@@ -2142,6 +2185,19 @@ object LlmOps {
          |  floor(sum((x.x - m.mu) * pcaw.w) * 1e6 + 0.5) / 1e6 AS pc1
          |FROM pcax x JOIN pcamean m ON m.i = x.i
          |JOIN pcaw ON pcaw.i = x.i
+         |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
+
+    // B102: the full PC1 replay + Rayleigh λ₁ + rank-one deflation + the
+    // second squaring chain, then both projections under one hash
+    "q_embed_pca_subspace" ->
+      s"""WITH $sqlPcaSubspaceCtes,
+         |pcamean AS (SELECT pcas.i, floor((pcas.s / pcan.n) * 1e6 + 0.5) / 1e6 AS mu
+         |  FROM pcas CROSS JOIN pcan)
+         |SELECT x.vec_id,
+         |  floor(sum((x.x - m.mu) * pcaw.w) * 1e6 + 0.5) / 1e6 AS pc1,
+         |  floor(sum((x.x - m.mu) * dpcaw.w) * 1e6 + 0.5) / 1e6 AS pc2
+         |FROM pcax x JOIN pcamean m ON m.i = x.i
+         |JOIN pcaw ON pcaw.i = x.i JOIN dpcaw ON dpcaw.i = x.i
          |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->

@@ -93,6 +93,32 @@ class PcaSpec extends SparkSpecBase {
       s"PC1 variance $varPc does not beat best axis $maxAxisVar")
   }
 
+  test("subspace: deflation yields a second component orthogonal to the first") {
+    val m = Pca.fitSubspace(vecs, 64, graft.queries.LlmOps.PcaSquarings)
+    // variance decomposition reads correctly
+    assert(m.lambda1 >= m.lambda2 && m.lambda2 > 0,
+      s"eigenvalue order broken: ${m.lambda1} vs ${m.lambda2}")
+    // orthogonal to the rounding floor (round-6 components, 64 terms)
+    val dot = m.w1.zip(m.w2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"|w1·w2| = ${math.abs(dot)}")
+    // both unit to the rounding floor
+    for (w <- Seq(m.w1, m.w2)) {
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-4, s"|w| = $nrm")
+    }
+    // sample variance along w2 matches lambda2; cross-covariance ~ 0
+    val pts = Pca.projectSubspace(vecs, m).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = pts.length.toDouble
+    val (m1, m2) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val v2 = pts.map(p => (p._2 - m2) * (p._2 - m2)).sum / n
+    val c12 = pts.map(p => (p._1 - m1) * (p._2 - m2)).sum / n
+    assert(math.abs(v2 - m.lambda2) <= 0.01 * m.lambda2,
+      s"var(pc2) = $v2 vs lambda2 ${m.lambda2}")
+    assert(math.abs(c12) < 1e-3 * m.lambda1,
+      s"pc1/pc2 sample covariance not ~0: $c12")
+  }
+
   test("projection equals the driver-side (x − mu)·w recount at round-6") {
     val m = Pca.fitPc1(vecs, 64, graft.queries.LlmOps.PcaSquarings)
     val got = Pca.projectPc1(vecs, m).orderBy(col("vec_id"))
