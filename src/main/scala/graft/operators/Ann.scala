@@ -238,6 +238,84 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Contrastive-pair mining (SURVEY.md §2 B104): per query vector, the
+    * HARDEST NEGATIVE (highest-cosine candidate with a DIFFERENT label —
+    * the near-miss that carries the gradient signal in triplet/contrastive
+    * training, Schroff et al. 2015 §3.2) and the HARDEST POSITIVE
+    * (lowest-cosine candidate with the SAME label — the stretched
+    * intra-class pair). Input contract: `emb` additionally carries
+    * `label`. Output one row per query: (qid, q_label, hard_neg_id,
+    * hard_neg_sim, hard_pos_id, hard_pos_sim); rank key = rounded cosine
+    * (engine-stable) + id tiebreak, same discipline as [[exactTopK]].
+    *
+    * Scale posture: the exact form below broadcasts the (bounded) query
+    * side and scans the corpus once — the mining analog of [[exactTopK]].
+    * At corpus-scale query sets, production swaps the crossJoin for the
+    * [[knnGraph]] neighbor lists (mine within each vector's top-k list,
+    * one window over graph edges) at the usual ANN recall trade. */
+  def hardPairs(emb: DataFrame, isQuery: Column): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(isQuery).select(col("vec_id").as("qid"),
+      col("e").as("qe"), col("nrm").as("qn"), col("label").as("q_label"))
+    val c = n.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cn"), col("label").as("c_label"))
+    val scored = broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim",
+        round(vdot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    def pick(cond: Column, ord: Seq[Column], idOut: String, simOut: String,
+             keep: Seq[Column]): DataFrame =
+      scored.filter(cond)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(ord: _*)))
+        .filter(col("rn") === 1)
+        .select(keep ++ Seq(col("cid").as(idOut), col("cos_sim").as(simOut)): _*)
+    val neg = pick(col("q_label") =!= col("c_label"),
+      Seq(col("cos_sim").desc, col("cid")), "hard_neg_id", "hard_neg_sim",
+      Seq(col("qid"), col("q_label")))
+    val pos = pick(col("q_label") === col("c_label"),
+      Seq(col("cos_sim").asc, col("cid")), "hard_pos_id", "hard_pos_sim",
+      Seq(col("qid")))
+    // both sides are one row per query — O(n_q) by construction — but the
+    // window output carries no size stats, so without the hint the static
+    // planner ships a corpus-irrelevant 10-row SortMergeJoin
+    neg.join(broadcast(pos), Seq("qid"))
+  }
+
+  /** Scalar-quantized (SQ8) cosine top-k (SURVEY.md §2 B105) — the search
+    * half of int8 quantization (q_embed_quant is the encode half): each
+    * vector is coded as per-vector-scaled int8 `q_i = ⌊e_i/s·127 + ½⌋`
+    * with `s = max|e_i|`, and candidates are ranked by the DEQUANTIZED
+    * cosine `s_q·s_c·Σ q_i·c_i / (127²·‖q‖·‖c‖)`. The integer dot is
+    * exact in doubles (|Σ| ≤ 64·127² ≪ 2^53, so it is order-INDEPENDENT,
+    * unlike a float dot), and the surrounding scalar multiply/divide chain
+    * is written in one fixed association mirrored verbatim in the oracle.
+    * Zero vectors carry no signal and are excluded on both sides (the
+    * q_embed_quant convention).
+    *
+    * Why it exists next to PQ: SQ8 is the 4×-smaller-scan path that keeps
+    * per-candidate work exact-ish (one int dot) with NO trained codebook —
+    * the production default when recall must stay near-exact and training
+    * a quantizer is not worth it (FAISS SQ8). Codes are 64 bytes vs 256
+    * for float32 — the corpus scan that dominates brute-force search drops
+    * 4× before any index is built. AnnRecallSpec pins the measured top-k
+    * overlap vs [[exactTopK]]. */
+  def sq8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val coded = withNorm(emb)
+      .withColumn("scale", array_max(transform(col("e"), v => abs(v))))
+      .filter(col("scale") > 0)
+      .withColumn("qv", transform(col("e"),
+        v => floor(v / col("scale") * 127 + 0.5)))
+    val q = coded.filter(isQuery).select(col("vec_id").as("qid"),
+      col("qv").as("qcode"), col("scale").as("qs"), col("nrm").as("qn"))
+    val c = coded.select(col("vec_id").as("cid"), col("qv").as("ccode"),
+      col("scale").as("cs"), col("nrm").as("cn"))
+    val scored = broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(
+        col("qs") * col("cs") * vdot(col("qcode"), col("ccode")) /
+          (lit(16129.0) * col("qn") * col("cn")), 6))
+    rankTopK(scored, k).withColumnRenamed("cos_sim", "sq_sim")
+  }
+
   /** Banded-LSH ANN top-k: candidates share ≥1 (band, bucket) with a query,
     * hot buckets above `cfg.maxBucket` skipped. */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int,

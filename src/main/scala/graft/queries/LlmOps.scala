@@ -774,6 +774,29 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B104 contrastive-pair mining over the labeled embedding table: per
+    // query, the hardest negative (max cosine, different label) and the
+    // hardest positive (min cosine, same label) — the miner that turns a
+    // labeled corpus into triplet/contrastive training pairs (FaceNet
+    // semi-hard mining; see Ann.hardPairs for the knnGraph-composed scale
+    // path). Same broadcast-queries single-scan shape as cosine_topk.
+    "q_embed_hard_negatives" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        col("label"))
+      Ann.hardPairs(e, col("vec_id") < 10).orderBy(col("qid"))
+    },
+
+    // B105 SQ8 search: int8-coded candidates ranked by the dequantized
+    // cosine — the 4x-smaller-scan, codebook-free quantized search path
+    // (the encode half is q_embed_quant). The integer dot is exact in
+    // doubles, so unlike the float dot it is summation-order-independent;
+    // AnnRecallSpec pins the measured overlap vs the exact baseline.
+    "q_embed_sq8_topk" -> { (s, d) =>
+      Ann.sq8TopK(embedVecs(s, d), col("vec_id") < 10, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B51 LSH-bucketed ANN (the scale path): 24 bands × 6 deterministic
     // integer hyperplanes (144 planes, pairwise-distinct via the mod-149
     // hash — see graft.functions.VecLshBuckets), one 6-bit bucket per band
@@ -2107,6 +2130,60 @@ object LlmOps {
         |SELECT qid, rank, cid, cos_sim FROM (
         |  SELECT qid, cid, cos_sim,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_embed_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.label AS q_label, c.label AS c_label,
+        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT qid, cid, q_label, c_label, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+        |neg AS (SELECT qid, q_label, cid AS hard_neg_id, cos_sim AS hard_neg_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+        |  FROM scored WHERE q_label != c_label) t WHERE rn = 1),
+        |pos AS (SELECT qid, cid AS hard_pos_id, cos_sim AS hard_pos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim ASC, cid) AS rn
+        |  FROM scored WHERE q_label = c_label) t WHERE rn = 1)
+        |SELECT neg.qid, q_label, hard_neg_id, hard_neg_sim, hard_pos_id, hard_pos_sim
+        |FROM neg JOIN pos ON neg.qid = pos.qid ORDER BY neg.qid""".stripMargin,
+
+    // SQ8: the quantized dot Σ q_i·c_i is integer-valued and exact in
+    // doubles, so the DuckDB parallel SUM cannot reorder it into a
+    // different value (the B99 float lesson does not bite); the scalar
+    // multiply/divide chain is spelled in the same association as the
+    // Spark side.
+    "q_embed_sq8_topk" ->
+      """WITH e0 AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |e AS (SELECT * FROM e0 WHERE scale > 0),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+        |codes AS (SELECT vec_id, scale,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) / scale * 127 + 0.5)) AS qv
+        |  FROM e),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, a.scale AS qs, b.scale AS cs,
+        |    sum(a.qv[i+1] * b.qv[i+1]) AS qq
+        |  FROM codes a JOIN codes b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        |  CROSS JOIN range(64) r(i)
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT qid, cid, round(qs * cs * qq / (16129.0 * nq.nrm * nc.nrm), 6) AS sq_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |SELECT qid, rank, cid, sq_sim FROM (
+        |  SELECT qid, cid, sq_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sq_sim DESC, cid) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 

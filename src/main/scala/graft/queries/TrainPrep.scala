@@ -637,6 +637,56 @@ object TrainPrep {
         .orderBy(col("doc_id"))
     },
 
+    // B103 DSIR-style importance selection (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") — the
+    // exact-integer analog of hashed-n-gram importance weighting, under
+    // the same log-free discipline that makes q_text_bigram_coverage the
+    // perplexity analog: DSIR scores a raw doc by how much its hashed
+    // n-gram distribution leans toward a TARGET domain (log p_t − log p_r
+    // summed over hashed features); the operative selection signal
+    // survives as the ppm of a doc's bigram mass falling in buckets where
+    // the target's share exceeds the corpus's share — the compare is the
+    // exact cross-multiplication c_t·N_r > c_r·N_t (128-bit per the
+    // q_score_ks_drift width rule). Target = source 'src0'; features =
+    // h28(bigram) mod 1024 — the paper's core trick is exactly this
+    // BOUNDED hashed feature space, which is what makes the model a
+    // 1024-row broadcast instead of the corpus-scaled vocabulary join
+    // q_text_bigram_coverage pays. Selection = top ⌈n/4⌉ docs by score
+    // via the SCALABLE global rank (OrderedCumsum, third consumer — no
+    // single-partition window on the corpus path).
+    "q_train_dsir" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = base.select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bigram"))
+        .withColumn("bucket",
+          graft.operators.NearDup.h28(col("bigram")) % 1024)
+      val counts = bg.groupBy(col("bucket")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_t"))
+      val tot = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+      val lean = counts.crossJoin(broadcast(tot))
+        .filter(expr("CAST(c_t AS DECIMAL(38,0)) * n_r > " +
+          "CAST(c_r AS DECIMAL(38,0)) * n_t"))
+        .select(col("bucket"), lit(true).as("lean"))
+      val scored = bg.join(broadcast(lean), Seq("bucket"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("lean"), 1L).otherwise(0L)).as("n_lean"))
+        .withColumn("dsir_ppm", expr("n_lean * 1000000 DIV n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("dsir_ppm"))
+      val ranked = graft.operators.OrderedCumsum.withRunningTotal(scored,
+        Seq(col("dsir_ppm").desc, col("doc_id")), lit(1L), "rank",
+        partitions = 8)
+      val n = scored.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_bigrams"), col("dsir_ppm"), col("rank"),
+          (col("rank") <= expr("(n + 3) DIV 4")).as("selected"))
+        .orderBy(col("doc_id"))
+    },
+
     // B92 BPE compression curve (graft.operators.Bpe.compressionCurve —
     // the acceptance metric a tokenizer trainer watches per merge): exact
     // corpus token totals after each of 3 learned merges, round 0 = the
@@ -784,6 +834,35 @@ object TrainPrep {
         |    AS BIGINT) * 1000000 // count(*))::BIGINT AS coverage_ppm
         |FROM bg b LEFT JOIN freq f ON f.bigram = b.bigram
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // DSIR replay: same range(512) position table as bigram_coverage
+    // (OracleBoundsSpec guards the clip), h28-mod-1024 hashed buckets,
+    // HUGEINT cross-multiplied leaning compare, single-partition
+    // row_number as the rank oracle for the OrderedCumsum two-pass.
+    "q_train_dsir" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(t[r.i+1] || ' ' || t[r.i+2]), 1, 7) AS BIGINT) % 1024 AS bucket
+        |  FROM t CROSS JOIN range(512) r(i)
+        |  WHERE len(t) >= 2 AND r.i <= len(t) - 2),
+        |counts AS (SELECT bucket, count(*)::BIGINT AS c_r,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |  FROM bg GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+        |    CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+        |lean AS (SELECT bucket FROM counts, tot
+        |  WHERE CAST(c_t AS HUGEINT) * n_r > CAST(c_r AS HUGEINT) * n_t),
+        |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |    CAST(sum(CASE WHEN l.bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lean
+        |  FROM bg b LEFT JOIN lean l ON l.bucket = b.bucket
+        |  GROUP BY b.doc_id),
+        |scored AS (SELECT doc_id, n_bigrams,
+        |    (n_lean * 1000000 // n_bigrams)::BIGINT AS dsir_ppm FROM sc),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM scored)
+        |SELECT doc_id, n_bigrams, dsir_ppm,
+        |  CAST(row_number() OVER (ORDER BY dsir_ppm DESC, doc_id) AS BIGINT) AS rank,
+        |  (row_number() OVER (ORDER BY dsir_ppm DESC, doc_id)) <= ((nn.n + 3) // 4) AS selected
+        |FROM scored, nn ORDER BY doc_id""".stripMargin,
 
     // the q_bpe_merges replay + one exact corpus token total per round
     "q_bpe_compression" ->

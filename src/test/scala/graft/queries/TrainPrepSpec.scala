@@ -309,4 +309,65 @@ class TrainPrepSpec extends SparkSpecBase {
       r.getAs[Long]("n_covered") < r.getAs[Long]("n_bigrams")),
       "every bigram covered — the uncovered side is untested")
   }
+
+  test("q_train_dsir: scores equal a driver-side hashed-bucket recount; mass theorem holds") {
+    // B103: full independent recompute — tokenize, hash (first 7 md5 hex
+    // chars mod 1024), count per-bucket target/corpus occurrences, lean
+    // by exact cross-multiplication, re-score every doc — plus the
+    // aggregate THEOREM the construction guarantees: summing the strict
+    // per-bucket inequalities, the target's total bigram mass inside the
+    // leaning bucket set strictly exceeds the corpus's (the DSIR premise
+    // as provable arithmetic, not fixture luck).
+    val rows = TrainPrep.defs("q_train_dsir")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    def h28mod(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1024
+    }
+    val cR = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cT = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (_, src, t) => bigrams(t).foreach { b =>
+      val bk = h28mod(b)
+      cR(bk) += 1
+      if (src == "src0") cT(bk) += 1
+    } }
+    val (nR, nT) = (cR.values.sum, cT.values.sum)
+    val lean = cR.keySet.filter(bk =>
+      BigInt(cT(bk)) * nR > BigInt(cR(bk)) * nT)
+    assert(lean.nonEmpty, "no target-leaning buckets — the selection is vacuous")
+    assert(lean.size < cR.size, "every bucket leans — the filter is vacuous")
+    val tMass = lean.toSeq.map(cT).sum
+    val rMass = lean.toSeq.map(cR).sum
+    assert(BigInt(tMass) * nR > BigInt(rMass) * nT,
+      "aggregate leaning-mass theorem violated — the lean set is wrong")
+    val expect = docs.collect { case (id, _, t) if bigrams(t).nonEmpty =>
+      val bks = bigrams(t).map(h28mod)
+      val nl = bks.count(lean).toLong
+      id -> ((bks.size.toLong, nl * 1000000L / bks.size))
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (n, ppm) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") === n, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("dsir_ppm") === ppm, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the OrderedCumsum rank is exactly the (ppm desc, doc_id) permutation,
+    // and selected is exactly the top-ceil(n/4) prefix of it
+    val sorted = rows.sortBy(r =>
+      (-r.getAs[Long]("dsir_ppm"), r.getAs[Long]("doc_id")))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") === i + 1L,
+        s"rank mismatch at position $i (doc ${r.getAs[Long]("doc_id")})")
+    }
+    val quota = (rows.length + 3) / 4
+    assert(rows.count(_.getAs[Boolean]("selected")) === quota)
+    assert(rows.filter(_.getAs[Boolean]("selected"))
+      .forall(_.getAs[Long]("rank") <= quota))
+  }
 }
