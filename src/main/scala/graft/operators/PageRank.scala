@@ -53,4 +53,48 @@ object PageRank {
     }
     score
   }
+
+  /** Personalized PageRank (B106): identical integer-ppm recursion, but the
+    * teleport term lands ONLY on the seed set — `score' = (1−d)·1e6·[v ∈ S]
+    * + (d·1e6 · Σcontrib) div 1e6`, seeds start at 1e6 and everything else
+    * at 0. The result is proximity-to-the-seed-set mass (the random-walk
+    * similarity measure data-selection and recommendation pipelines use:
+    * "rank the corpus by closeness to THESE documents"), complementing
+    * [[run]]'s global importance and the bounded-BFS hop distance over the
+    * same seed convention. Same per-iteration dataflow and scale posture
+    * as [[run]]; the seed table rides the node-keyed join, so seeds may be
+    * corpus-scale without changing the plan.
+    *
+    * @param seeds one column `node`; rows not in the graph are ignored */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                      dampingPpm: Long = 850000L,
+                      checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 0 && iterations <= 100,
+      s"iterations must be in [0,100], got $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0,1e6], got $dampingPpm")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val flagged = nodes
+      .join(seeds.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    var score = flagged.withColumn("score",
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(deg, "src")
+        .join(score.select(col("node").as("src"), col("score")), "src")
+        .select(col("dst"), expr("score div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      score = flagged.join(contrib, flagged("node") === contrib("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(1000000L - dampingPpm)).otherwise(lit(0L)) +
+            expr(s"($dampingPpm * coalesce(contrib, CAST(0 AS BIGINT))) div 1000000"))
+            .as("score"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        score = score.localCheckpoint()
+    }
+    score.select(col("node"), col("is_seed"), col("score"))
+  }
 }

@@ -106,6 +106,23 @@ object Graph {
       dist.orderBy(col("node"))
     },
 
+    // B106 personalized PageRank from the q_graph_bfs seed set (node % 29
+    // ≡ 3): the teleport term lands only on seeds, so scores measure
+    // random-walk PROXIMITY to the seed set — the similarity rank
+    // data-selection pipelines use ("expand from these known-good docs"),
+    // next to BFS's hop DISTANCE from the same seeds. Same integer-ppm
+    // recursion and per-hop join+aggregate dataflow as q_graph_pagerank
+    // (graft.operators.PageRank.runPersonalized), bit-reproducible by the
+    // same argument.
+    "q_graph_ppr" -> { (s, d) =>
+      val e = edges(s, d).distinct()
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .filter(col("node") % 29 === 3)
+      PageRank.runPersonalized(e, seeds, iterations = 3).orderBy(col("node"))
+    },
+
     // B101 community detection by synchronous label propagation (Raghavan
     // et al. 2007, the deterministic fixed-round variant — see LpaRounds):
     // per round ONE neighbor-labels join + ONE (node, label) count
@@ -161,6 +178,37 @@ object Graph {
         |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
         |       FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
         |SELECT node, score FROM s3 ORDER BY node""".stripMargin,
+
+    // personalized variant: same chained-CTE replay with the teleport term
+    // gated on the seed flag
+    "q_graph_ppr" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+        |  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |sd AS (SELECT node, (node % 29 = 3) AS is_seed FROM nodes),
+        |s0 AS (SELECT node, is_seed,
+        |       CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS score FROM sd),
+        |c1 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s0 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s1 AS (SELECT n.node, n.is_seed, CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM sd n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s1 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s2 AS (SELECT n.node, n.is_seed, CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM sd n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (SELECT e.dst, CAST(sum(s.score // d.outdeg) AS BIGINT) AS contrib
+        |       FROM edges e JOIN deg d ON d.src = e.src JOIN s2 s ON s.node = e.src
+        |       GROUP BY e.dst),
+        |s3 AS (SELECT n.node, n.is_seed, CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END +
+        |         (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS score
+        |       FROM sd n LEFT JOIN c3 c ON c.dst = n.node)
+        |SELECT node, is_seed, score FROM s3 ORDER BY node""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH und AS (

@@ -48,4 +48,41 @@ class PageRankSpec extends SparkSpecBase {
     val b = PageRank.run(edges.repartition(13), 4).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a === b)
   }
+
+  private def seedDf(nodes: Seq[Long]) =
+    spark.createDataFrame(nodes.map(Tuple1(_))).toDF("node")
+
+  private def pprScores(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                        iters: Int): Map[Long, (Boolean, Long)] =
+    PageRank.runPersonalized(edgeDf(edges), seedDf(seeds), iters)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+  test("PPR: teleport lands only on seeds; mass flows from the seed (hand-derived)") {
+    // 1↔2 with seed {1}: s0 = (1e6, 0).
+    // iter1: n1 = 150000 + 850000·0//1e6 = 150000; n2 = 0 + 850000·1e6//1e6 = 850000.
+    // iter2: n1 = 150000 + 850000·850000//1e6 = 872500; n2 = 850000·150000//1e6 = 127500.
+    val s = pprScores(Seq((1L, 2L), (2L, 1L)), Seq(1L), 2)
+    assert(s === Map(1L -> ((true, 872500L)), 2L -> ((false, 127500L))))
+  }
+
+  test("PPR: nodes unreachable from the seed set stay at exactly zero") {
+    // two disjoint 2-cycles, seed in the first — the second never sees mass
+    val s = pprScores(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), Seq(1L), 4)
+    assert(s(3L) === ((false, 0L)) && s(4L) === ((false, 0L)))
+    assert(s(1L)._2 > 0L && s(2L)._2 > 0L)
+  }
+
+  test("PPR: seed rows outside the graph are ignored; global run is the all-seeds special case") {
+    // seeding EVERY node reproduces PageRank.run exactly (same recursion
+    // with [v ∈ S] ≡ 1) — the property that pins the two implementations
+    // to one recursion; 99 is not a graph node and must change nothing
+    val edges = (0L until 60L).map(i => (i % 12, (i * 5 + 1) % 12))
+    val global = scores(edges, 3)
+    val allSeeded = pprScores(edges, (0L until 12L) :+ 99L, 3)
+    assert(allSeeded.keySet === global.keySet)
+    allSeeded.foreach { case (n, (seeded, sc)) =>
+      assert(seeded, s"node $n should be flagged as seed")
+      assert(sc === global(n), s"node $n: all-seeded PPR != global PageRank")
+    }
+  }
 }
