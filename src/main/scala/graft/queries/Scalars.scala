@@ -354,6 +354,55 @@ object Scalars {
           (abs(col("approx") - col("exact_orders")).cast("double") <=
             lit(5 * 0.01) * col("exact_orders")).as("within_bound"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // B107 KMV distinct sketch with SET ALGEBRA
+    // (graft.functions.KmvSketch, scale posture + the full estimator
+    // contract there): per SOURCE, the k = 256 smallest 60-bit md5 hashes
+    // of the source's distinct word-3-gram SHINGLE set, then pairwise
+    // union/intersection cardinality estimates computed sketch-to-sketch —
+    // the question HLL structurally can't answer ("how much does source
+    // X's content overlap source Y's", the sketch-sized counterpart of
+    // q_dedup_source_matrix's exact provenance join), shipped as
+    // exact-integer VALUES under the oracle because the k smallest hashes
+    // of a set are deterministic in any engine. The corpus choice is
+    // load-bearing for non-vacuousness: per-source shingle sets GENUINELY
+    // partially overlap (measured Jaccard ~2–8% at sf0.01, ~25% at sf0.1
+    // from planted cross-source duplication), so ρ sits strictly between
+    // 0 and k — an id-keyed grouping (every group sees every key) would
+    // make the intersection estimator trivially saturate. One shingle
+    // scan (the shared typed-flatMap generator, partial+final aggregate,
+    // ≤ k longs per source on the shuffle); the pair algebra runs on
+    // |sources|² = 190 tiny arrays. The sketch crosses regimes across
+    // fixtures: exact at sf0.001 (≈100 shingles/source < k), estimating
+    // at sf0.01/0.1 — both estimator branches sit under the hash.
+    // KmvSketchSpec pins the exact-regime theorem, merge-order
+    // invariance, the measured estimation error, and intersection
+    // calibration on planted-overlap sets.
+    "q_sketch_kmv" -> { (s, d) =>
+      val k = 256
+      val kmvAgg = graft.functions.KmvSketch.kmv(s, k)
+      val docs = Tables.documents(s, d)
+      val sk = graft.operators.NearDup.shingles(docs.select(col("doc_id"), col("text")))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source").as("grp"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .groupBy(col("grp")).agg(kmvAgg(col("hv")).as("sk"))
+      val est = (c: String) => expr(graft.functions.KmvSketch.estimateSql(c, k))
+      sk.select(col("grp").as("grp_a"), col("sk").as("ska"))
+        .join(sk.select(col("grp").as("grp_b"), col("sk").as("skb")),
+          col("grp_a") < col("grp_b"))
+        .withColumn("uni", expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)"))
+        .withColumn("est_union", est("uni"))
+        .withColumn("rho",
+          expr("CAST(size(array_intersect(uni, array_intersect(ska, skb))) AS BIGINT)"))
+        .select(col("grp_a"), col("grp_b"),
+          est("ska").as("est_a"), est("skb").as("est_b"),
+          col("est_union"), col("rho"),
+          expr("CAST(CAST(rho AS DECIMAL(38,0)) * est_union DIV size(uni) AS BIGINT)")
+            .as("est_inter"))
+        .orderBy(col("grp_a"), col("grp_b"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -510,6 +559,52 @@ object Scalars {
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // full KMV replay: the k smallest hashes per group ARE deterministic,
+    // so the sketch build, both marginal estimates, the union sketch, and
+    // the ρ-rescaled intersection estimate all replay as windows + HUGEINT
+    // arithmetic (the engine's DECIMAL(38,0) ≡ HUGEINT convention)
+    "q_sketch_kmv" ->
+      """WITH shs AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT source AS grp, u.s AS sh
+        |  FROM shs, unnest(list_transform(range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) u(s)
+        |  WHERE len(toks) >= 3),
+        |h AS (SELECT DISTINCT grp,
+        |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS hv
+        |  FROM ex),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT grp, hv, rn FROM r WHERE rn <= 256),
+        |est AS (SELECT grp, count(*) AS kk,
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+        |         ELSE CAST(255::HUGEINT * 1152921504606846976::HUGEINT
+        |                   // max(CASE WHEN rn = 256 THEN hv END) AS BIGINT) END AS est
+        |  FROM sk GROUP BY grp),
+        |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.est AS est_a, b.est AS est_b
+        |  FROM est a JOIN est b ON a.grp < b.grp),
+        |uh AS (SELECT grp_a, grp_b, hv,
+        |    row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY hv) AS rn
+        |  FROM (SELECT DISTINCT p.grp_a, p.grp_b, s.hv
+        |        FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b)),
+        |uk AS (SELECT grp_a, grp_b, hv, rn FROM uh WHERE rn <= 256),
+        |ucard AS (SELECT grp_a, grp_b, count(*) AS ku,
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+        |         ELSE CAST(255::HUGEINT * 1152921504606846976::HUGEINT
+        |                   // max(CASE WHEN rn = 256 THEN hv END) AS BIGINT) END AS est_union
+        |  FROM uk GROUP BY grp_a, grp_b),
+        |rho AS (SELECT u.grp_a, u.grp_b, count(*) AS rho
+        |  FROM uk u
+        |  JOIN sk sa ON sa.grp = u.grp_a AND sa.hv = u.hv
+        |  JOIN sk sb ON sb.grp = u.grp_b AND sb.hv = u.hv
+        |  GROUP BY u.grp_a, u.grp_b)
+        |SELECT p.grp_a, p.grp_b, p.est_a, p.est_b, uc.est_union,
+        |  coalesce(r.rho, 0) AS rho,
+        |  CAST(coalesce(r.rho, 0)::HUGEINT * uc.est_union::HUGEINT // uc.ku AS BIGINT) AS est_inter
+        |FROM pairs p
+        |JOIN ucard uc ON uc.grp_a = p.grp_a AND uc.grp_b = p.grp_b
+        |LEFT JOIN rho r ON r.grp_a = p.grp_a AND r.grp_b = p.grp_b
+        |ORDER BY p.grp_a, p.grp_b""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT l_returnflag,

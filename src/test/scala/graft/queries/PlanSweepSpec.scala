@@ -29,8 +29,12 @@ class PlanSweepSpec extends SparkSpecBase {
 
   /** Declared quadratic/cross shapes (each documented at its definition):
     * q_dedup_ngram_jaccard is the all-pairs correctness baseline for the
-    * LSH family; q_join_cross IS the cross-join operator (B16). */
-  private val cartesianOk = Set("q_dedup_ngram_jaccard", "q_join_cross")
+    * LSH family; q_join_cross IS the cross-join operator (B16);
+    * q_sketch_kmv's non-equi pair join runs on the |sources|-row SKETCH
+    * table (≤ k longs per row), never the corpus — the quadratic is in
+    * the group dimension by design (B107 pair algebra). */
+  private val cartesianOk =
+    Set("q_dedup_ngram_jaccard", "q_join_cross", "q_sketch_kmv")
 
   /** The declared B46 scalar-UDF surface: the registered SQL UDF row and
     * the ingestion-pipeline rows built on `udfs.parse_properties` /
