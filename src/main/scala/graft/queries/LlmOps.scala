@@ -1170,6 +1170,41 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // B108 EXACT-k weighted sampling WITHOUT replacement — Efraimidis &
+    // Spirakis 2006 ("Weighted random sampling with a reservoir"): item i
+    // gets key u_i^(1/w_i) with u_i uniform; the k largest keys are a
+    // weighted sample without replacement. q_sample_weighted's Bernoulli
+    // hash-draw yields a BINOMIAL sample size; this is the operator for
+    // "give me exactly k docs, quality-weighted" (eval-set construction,
+    // per-source quotas). Determinism: u_i is the ID-KEYED md5 draw
+    // (u = (h28+1)/2^28 ∈ (0,1], the '_ws'-draw convention with its own
+    // salt), and the ranking uses the tie-safe floor(x·1e9+0.5)/1e9
+    // LOG-key ln(u)/w (same order as u^(1/w), numerically spread where
+    // the power form compresses toward 1), ties broken by doc_id — so
+    // both engines rank identically. Scale posture: the k winners come
+    // from the bounded TopKAgg buffer (partial top-k per partition,
+    // O(k) merge — NO corpus sort, no single-partition window; the
+    // oracle's ORDER BY..LIMIT is exactly the plan this replaces), then
+    // one broadcast join back for payload. Weights are floored at 1 —
+    // ES is undefined at w ≤ 0.
+    "q_sample_es" -> { (s, d) =>
+      val k = 100
+      val topk = graft.functions.TopKAgg.topK(s, k)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (h28(concat(col("doc_id").cast("string"), lit("_es"))) + 1).as("h1"),
+          greatest(col("n_chars"), lit(1)).as("w"))
+        .withColumn("key9",
+          floor(log(col("h1") / lit(268435456.0)) / col("w") * 1e9 + lit(0.5)) / 1e9)
+      keyed.agg(topk(col("key9"), col("doc_id")).as("tk"))
+        .select(posexplode(col("tk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("doc_id"), col("col._1").as("key9"))
+        .join(keyed.select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(col("rank"), col("doc_id"), col("n_chars"), col("key9"))
+        .orderBy(col("rank"))
+    },
+
     // B51 per-DIMENSION embedding profile — q_profile's idea for vector
     // columns (index-health monitoring: a collapsed dimension or a drifted
     // mean silently ruins every cosine downstream). Emits the EXACT
@@ -2019,6 +2054,17 @@ object LlmOps {
          |WHERE ${sqlH28("doc_id::VARCHAR || '_ws'")} % 1000000
          |  < least(1000000, n_chars * 2500)
          |ORDER BY doc_id""".stripMargin,
+
+    // the ES sample's oracle IS the global-sort-and-limit plan the bounded
+    // TopKAgg replaces; identical rounded log-keys rank identically
+    "q_sample_es" ->
+      s"""WITH keyed AS (SELECT doc_id, n_chars,
+         |    floor(ln((${sqlH28("doc_id::VARCHAR || '_es'")} + 1) / 268435456.0)
+         |          / greatest(n_chars, 1) * 1e9 + 0.5) / 1e9 AS key9
+         |  FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY key9 DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, n_chars, key9
+         |FROM keyed ORDER BY key9 DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_embed_dim_stats" ->
       """SELECT i AS j, count(*) AS n,
