@@ -457,6 +457,50 @@ object Ann {
     } finally if (!callerCached) emb.unpersist(blocking = false)
   }
 
+  /** Cluster-prototype data pruning (Sorscher et al., "Beyond neural
+    * scaling laws: beating power law scaling via data pruning", NeurIPS
+    * 2022 — the SSL-prototypes metric; SURVEY.md §2 B109): assign every
+    * vector to its trained-centroid cell, score it by cosine to its OWN
+    * prototype, and keep the HARDEST ceil(1/keepDen) fraction per cell
+    * (lowest prototype-cosine first — the paper's regime for large
+    * datasets, where easy/prototypical examples are the redundant ones).
+    * Every row ships with its cell, prototype-cosine, within-cell hardness
+    * rank, and the keep verdict, so the pruned AND retained sides are both
+    * auditable.
+    *
+    * Scale shape: ONE broadcast crossJoin scores vectors against the O(k·d)
+    * centroid model inside codegen (`vec_dot`), `max_by` picks the cell
+    * map-side (~n rows shuffled once), and the hardness rank is a window
+    * PARTITIONED BY CELL — state bounded by the largest cluster, never a
+    * global sort. The assignment key is round-9 cosine with min-id
+    * tiebreak — the q_embed_ann_ivf_trained convention, replayable in any
+    * engine from the rounded centroid matrix.
+    *
+    * @param centroids (cent_id, ce) — e.g. [[kmeansFit]] output re-packed
+    * @param keepDen   keep ceil(n_cell/keepDen) hardest rows per cell */
+  def prototypesPrune(emb: DataFrame, centroids: DataFrame,
+                      keepDen: Int = 2): DataFrame = {
+    require(keepDen >= 1, s"keepDen ($keepDen) must be >= 1")
+    val n = withNorm(emb)
+    val cents = centroids.select(col("cent_id"), col("ce"),
+      sqrt(vdot(col("ce"), col("ce"))).as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("cent_cos")),
+        struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        col("b.cent_cos").as("proto_cos"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto_cos").asc, col("vec_id"))
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("kept",
+        col("rank") <= expr(s"(n_cell + ${keepDen - 1}) div $keepDen"))
+  }
+
   /** Distributed k-NN GRAPH construction via NN-descent (Dong, Charikar &
     * Li, "Efficient k-nearest neighbor graph construction for generic
     * similarity measures", WWW 2011; SURVEY.md §2 B95) — the neighbor-graph

@@ -1297,6 +1297,28 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B109 cluster-prototype DATA PRUNING —
+    // [[graft.operators.Ann.prototypesPrune]] (Sorscher et al. 2022's
+    // SSL-prototypes metric; scale posture + the keep rule documented on
+    // the operator): train the coarse quantizer (the shared kmeansFit),
+    // assign every vector, keep the hardest half of each cell by
+    // prototype-cosine. The data-pruning counterpart of q_dedup_semantic:
+    // SemDeDup removes near-identical pairs INSIDE a cell, this ranks the
+    // whole cell by prototypicality and drops the redundant easy half —
+    // the two are the Abbas/Sorscher pipeline stages production curation
+    // chains run back to back. Full train→assign→rank SQL replay under
+    // one hash (the q_embed_ann_ivf_trained oracle chain + a per-cell
+    // window).
+    "q_train_prototypes" -> { (s, d) =>
+      val emb = embedVecs(s, d)
+      val cents = Ann.kmeansFit(emb, k = IvfCfg.numCentroids, iters = 2)
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c_val")))),
+          x => x.getField("c_val")).as("ce"))
+      Ann.prototypesPrune(emb, cents, keepDen = 2)
+        .orderBy(col("cell"), col("rank"))
+    },
+
     // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
     // coarse centroids = the first 16 vectors (deterministic "training"),
     // every vector assigned to its max-cosine centroid (min-id tiebreak);
@@ -2158,6 +2180,31 @@ object LlmOps {
          |  SELECT qid, cid, cos_sim, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // prototypes pruning: the trained-assignment chain (identical CTEs to
+    // q_embed_ann_ivf_trained through `asg`), then the per-cell hardness
+    // window and the integer keep rule
+    "q_train_prototypes" ->
+      s"""WITH $sqlKmeansCtes,
+         |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
+         |crn AS (SELECT cent_id, sqrt(sum(c*c)) AS cn FROM cr GROUP BY cent_id),
+         |dq AS (SELECT ex.vec_id, cr.cent_id, sum(ex.x * cr.c) AS dp
+         |       FROM ex JOIN cr ON cr.i = ex.i GROUP BY 1, 2),
+         |sq AS (SELECT dq.vec_id, dq.cent_id, round(dp / (vn.nrm * crn.cn), 9) AS ccos
+         |       FROM dq JOIN vn ON vn.vec_id = dq.vec_id
+         |         JOIN crn ON crn.cent_id = dq.cent_id),
+         |asg AS (SELECT vec_id, cent_id AS cell, ccos AS proto_cos FROM (
+         |         SELECT vec_id, cent_id, ccos, row_number() OVER (
+         |           PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS arn FROM sq) t
+         |        WHERE arn = 1),
+         |rk AS (SELECT vec_id, cell, proto_cos,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY cell ORDER BY proto_cos, vec_id) AS INT) AS rank,
+         |         count(*) OVER (PARTITION BY cell) AS n_cell
+         |       FROM asg)
+         |SELECT vec_id, cell, proto_cos, rank, n_cell,
+         |  rank <= (n_cell + 1) // 2 AS kept
+         |FROM rk ORDER BY cell, rank""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
