@@ -457,6 +457,56 @@ object Ann {
     } finally if (!callerCached) emb.unpersist(blocking = false)
   }
 
+  /** Truncated-dimension two-stage retrieval (the Matryoshka serving
+    * pattern — Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022, §4 adaptive retrieval; SURVEY.md §2 B110): stage 1
+    * shortlists per query by cosine over only the FIRST `prefixDims`
+    * components, stage 2 exact-cosine re-ranks the shortlist at full
+    * dimension. With MRL-trained embeddings the prefix is a trained
+    * coarse representation; on generic embeddings (this fixture) it is a
+    * plain truncation — AnnRecallSpec MEASURES what that buys rather than
+    * assuming it, and the honest result rides the entry's scaladoc.
+    *
+    * Scale shape: stage 1 projects the corpus to `prefixDims` floats in
+    * the scan stage (a d/prefixDims bandwidth cut on the hot loop — the
+    * reason production tiers store the prefix as its own column), scores
+    * against the broadcast truncated queries, and bounds the shortlist
+    * with the O(S) [[graft.functions.TopKAgg]] buffer — partial top-S per
+    * partition, no corpus-wide window sort. Stage 2 is the broadcast
+    * shortlist semi-join fetch measured in SCALE.md ("Re-rank fetch at
+    * 10x"): raw vectors move only for qid×S rows, never a corpus shuffle.
+    * Keys are round-6 cosine with id-ascending ties on BOTH stages — the
+    * shared float discipline, fully SQL-replayable. */
+  def prefixDimTopK(emb: DataFrame, isQuery: Column, k: Int,
+                    prefixDims: Int, shortlistS: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims ($prefixDims) must be >= 1")
+    require(shortlistS >= k, s"shortlist ($shortlistS) must be >= k ($k)")
+    val spark = emb.sparkSession
+    val pe = emb.select(col("vec_id"), slice(col("e"), 1, prefixDims).as("pe"))
+      .withColumn("pn", sqrt(vdot(col("pe"), col("pe"))))
+    val pq = pe.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("pe").as("qpe"), col("pn").as("qpn"))
+    val scored = pe.crossJoin(broadcast(pq))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("pcos",
+        round(vdot(col("pe"), col("qpe")) / (col("pn") * col("qpn")), 6))
+    val topS = graft.functions.TopKAgg.topK(spark, shortlistS)
+    val sl = scored.groupBy(col("qid"))
+      .agg(topS(col("pcos"), col("vec_id")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e2"))
+      .select(col("qid"), col("e2._2").as("vec_id"))
+    val full = withNorm(emb)
+    val cand = full.join(broadcast(sl), Seq("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val qfull = withNorm(emb.filter(isQuery))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val rer = cand.join(broadcast(qfull), Seq("qid"))
+      .withColumn("cos_sim",
+        round(vdot(col("ce"), col("qe")) / (col("cn") * col("qn")), 6))
+    rankTopK(rer, k)
+  }
+
   /** Cluster-prototype data pruning (Sorscher et al., "Beyond neural
     * scaling laws: beating power law scaling via data pruning", NeurIPS
     * 2022 — the SSL-prototypes metric; SURVEY.md §2 B109): assign every

@@ -1319,6 +1319,23 @@ object LlmOps {
         .orderBy(col("cell"), col("rank"))
     },
 
+    // B110 truncated-dimension two-stage retrieval —
+    // [[graft.operators.Ann.prefixDimTopK]] (the Matryoshka serving
+    // pattern, Kusupati et al. 2022; scale shape on the operator):
+    // 16-of-64-dim cosine shortlist (top-50 via the bounded TopKAgg, a 4×
+    // bandwidth cut on the all-pairs stage) → exact full-dim re-rank over
+    // the broadcast-fetched shortlist only. MEASURED on this
+    // (non-MRL-trained) fixture in AnnRecallSpec: top-5 recall 0.48 /
+    // 0.60 / 0.76 at prefix 8/16/32 — the truncation is the recall price
+    // (MRL training is what would buy it back), the re-rank half is
+    // exact — top-5-of-shortlist ≡ shortlist ∩ gold, the same theorem
+    // the PQ re-rank path pins.
+    "q_embed_prefix_rerank" -> { (s, d) =>
+      Ann.prefixDimTopK(embedVecs(s, d), col("vec_id") < 10, k = 5,
+        prefixDims = 16, shortlistS = 50)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B51 IVF-style ANN (the second index shape next to hyperplane LSH):
     // coarse centroids = the first 16 vectors (deterministic "training"),
     // every vector assigned to its max-cosine centroid (min-id tiebreak);
@@ -2205,6 +2222,35 @@ object LlmOps {
          |SELECT vec_id, cell, proto_cos, rank, n_cell,
          |  rank <= (n_cell + 1) // 2 AS kept
          |FROM rk ORDER BY cell, rank""".stripMargin,
+
+    // prefix-dim shortlist (range(16) dots) + exact re-rank (range(64)
+    // dots on shortlist rows only) — both stages under one hash
+    "q_embed_prefix_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pn AS (SELECT vec_id, sqrt(sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)) AS n
+        |  FROM e CROSS JOIN range(16) r(i) GROUP BY vec_id),
+        |pdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        |  CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |psc AS (SELECT qid, cid, round(dp / (nq.n * nc.n), 6) AS pcos
+        |  FROM pdots JOIN pn nq ON nq.vec_id = qid JOIN pn nc ON nc.vec_id = cid),
+        |sl AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY pcos DESC, cid) AS rn FROM psc) t
+        |  WHERE rn <= 50),
+        |norms AS (SELECT vec_id, sqrt(sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)) AS nrm
+        |  FROM e CROSS JOIN range(64) r(i) GROUP BY vec_id),
+        |dots AS (SELECT s.qid, s.cid,
+        |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+        |  FROM sl s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.cid
+        |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+        |scored AS (SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+        |SELECT qid, rank, cid, cos_sim FROM (
+        |  SELECT qid, cid, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -71,6 +71,40 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(dev <= 0.02, f"SQ8 score deviation above envelope: $dev%.4f")
   }
 
+  test("prefix-dim re-rank: measured recall dial, and re-rank ∩ gold ≡ shortlist ∩ gold") {
+    // B110: the truncation is the only recall loss — stage 2 is exact, so
+    // any gold vector that SURVIVES the shortlist must appear in the final
+    // top-5 (the PQ re-rank theorem on the prefix-dim path). The dial
+    // measures what each prefix width buys on this non-MRL fixture.
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val gold = graft.SparkEntry.queries("q_embed_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    var lastRecall = -1.0
+    for (p <- Seq(8, 16, 32)) {
+      val got = Ann.prefixDimTopK(emb, col("vec_id") < 10, k = 5,
+        prefixDims = p, shortlistS = 50)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      val recall = (gold & got).size.toDouble / gold.size
+      info(f"prefixDims=$p%2d top-5 recall: $recall%.2f (${(gold & got).size}/${gold.size})")
+      if (p == 16) {
+        // the catalog geometry: theorem + a floor measured before pinning
+        val sl = Ann.prefixDimTopK(emb, col("vec_id") < 10, k = 50,
+          prefixDims = 16, shortlistS = 50)
+          .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+        assert((gold & got) === (gold & sl),
+          "exact re-rank must keep every gold vector the shortlist admitted")
+        assert(recall >= 0.5, f"prefix-16 recall degraded: $recall%.2f")
+      }
+      assert(recall >= lastRecall - 0.2,
+        f"recall should not collapse as the prefix widens (p=$p)")
+      lastRecall = recall
+    }
+  }
+
   test("hard-pair mining equals a driver-side exact recompute") {
     // B104: every output field re-derived independently on the driver —
     // same left-fold dot, same HALF_UP 6-dp rounding, same (rounded cos,
