@@ -1056,6 +1056,26 @@ object LlmOps {
         .orderBy(col("vec_id"))
     },
 
+    // B111 segment-blocked EDIT-DISTANCE similarity join —
+    // [[graft.operators.FuzzyJoin.selfJoin]] (Ed-Join/PASS-JOIN family;
+    // blocking theorem, indel caveat, and scale shape on the operator):
+    // all doc pairs whose first-30-char keys sit within levenshtein ≤ 2,
+    // found through positional-segment blocking + confirm — the
+    // CHARACTER-level near-dup metric next to the token-level shingle
+    // family (typo'd re-posts, OCR noise; a one-char edit can flip every
+    // 3-gram shingle but moves levenshtein by 1). maxBlock = MaxBucket is
+    // the shared skew refusal, mirrored in the oracle HAVING. At sf0.1
+    // the confirm rejects 16k of 16.5k candidates — the blocking, not
+    // the threshold, is doing the pruning work.
+    "q_join_fuzzy" -> { (s, d) =>
+      val keyed = Tables.documents(s, d)
+        .filter(length(col("text")) >= 30)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 30).as("s"))
+      graft.operators.FuzzyJoin.selfJoin(keyed, maxDist = 2, maxBlock = MaxBucket)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // B50 CONTAINMENT dedup — the subset-duplicate detector Jaccard-based
     // near-dup structurally misses: a short doc quoted whole inside a long
     // one has Jaccard |∩|/|∪| ≈ |short|/|long| (arbitrarily low) but
@@ -2449,6 +2469,26 @@ object LlmOps {
          |  JOIN norms nb ON nb.vec_id = dup_id)
          |SELECT keep_id, dup_id, cos_sim FROM scored
          |WHERE cos_sim >= 0.45 ORDER BY keep_id, dup_id""".stripMargin,
+
+    // fuzzy join: the full blocked recipe replays — positional segments at
+    // integer-division boundaries, the MaxBucket HAVING, the confirm
+    "q_join_fuzzy" ->
+      s"""WITH k AS (SELECT doc_id AS id, substr(text, 1, 30) AS s
+         |  FROM documents WHERE length(text) >= 30),
+         |seg AS (SELECT id, s, length(s) AS len, i,
+         |    substr(s, (i * length(s)) // 3 + 1,
+         |      ((i+1) * length(s)) // 3 - (i * length(s)) // 3) AS seg
+         |  FROM k CROSS JOIN range(3) r(i)),
+         |ok AS (SELECT i, seg, len FROM seg
+         |       GROUP BY 1, 2, 3 HAVING count(*) <= $MaxBucket),
+         |bl AS (SELECT sg.id, sg.s, sg.len, sg.i, sg.seg FROM seg sg
+         |       JOIN ok ON ok.i = sg.i AND ok.seg = sg.seg AND ok.len = sg.len),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.s AS sa, b.s AS sb
+         |  FROM bl a JOIN bl b ON a.i = b.i AND a.seg = b.seg AND a.len = b.len
+         |    AND a.id < b.id)
+         |SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+         |FROM cand WHERE levenshtein(sa, sb) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the full hyperplane-LSH pair set restricted to delta-touching pairs
     // — the incremental run must produce exactly this
