@@ -269,6 +269,49 @@ object TrainPrep {
         .orderBy(col("shard"))
     },
 
+    // B112 market-basket co-occurrence with LIFT — association-rule mining
+    // (Agrawal & Srikant's support/lift statistics), q_text_colloc's idea
+    // moved from adjacent bigrams to SETS: the top-3 co-items per item
+    // among pairs co-purchased in ≥ 2 orders, ranked by (support DESC,
+    // lift DESC, id) — the collaborative-filtering / "users also bought"
+    // primitive, and in a training-data pipeline the co-occurrence prior
+    // behind mixture design. All statistics exact integers; lift = co·N
+    // ·1e6 div (n_a·n_b) in 128-bit (DECIMAL(38,0) ≡ HUGEINT). Shape at
+    // 100 TB: ONE distinct (order, item) projection; the pair generator
+    // is an order-keyed SELF-JOIN bounded by basket size with a
+    // maxBasket = 20 refusal (a power-basket of 10⁴ items would emit 10⁸
+    // pairs from one key — the blocking-shape skew refusal, mirrored in
+    // the oracle HAVING); pair/item counts are partial+final aggregates;
+    // the rank is a window over each item's ≤ basket-bounded pair list.
+    "q_item_cooccur" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val okO = li.groupBy(col("o")).agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= 20).select(col("o"))
+      val lig = li.join(okO, Seq("o"), "left_semi")
+      val n = lig.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
+      val nd = lig.agg(countDistinct(col("o")).as("n_orders"))
+      val pairs = lig.select(col("o"), col("p").as("item"))
+        .join(lig.select(col("o"), col("p").as("co_item")), Seq("o"))
+        .filter(col("item") =!= col("co_item"))
+        .groupBy(col("item"), col("co_item")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("co").desc, col("lift_ppm").desc, col("co_item"))
+      pairs
+        .join(n.select(col("p").as("item"), col("n_ord").as("na")), "item")
+        .join(n.select(col("p").as("co_item"), col("n_ord").as("nb")), "co_item")
+        .crossJoin(broadcast(nd))
+        .withColumn("lift_ppm", expr(
+          "CAST(CAST(co AS DECIMAL(38,0)) * n_orders * 1000000 " +
+            "DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("item"), col("rank"), col("co_item"), col("co"),
+          col("lift_ppm"))
+        .orderBy(col("item"), col("rank"))
+    },
+
     // B66 collocation mining: adjacent-bigram lift (the integer-ratio form
     // of PMI — PMI = log(lift), and ranking by lift ranks by PMI) over the
     // whole corpus, the statistic behind tokenizer merge candidates and
@@ -1173,6 +1216,29 @@ object TrainPrep {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY draw, doc_id)) AS order_md5
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // co-occurrence: the distinct basket projection, the maxBasket HAVING,
+    // both-direction pairs, 128-bit lift, the (co, lift, id) rank
+    "q_item_cooccur" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |oko AS (SELECT o FROM li GROUP BY o HAVING count(*) <= 20),
+        |lig AS (SELECT li.o, li.p FROM li JOIN oko ON oko.o = li.o),
+        |n AS (SELECT p, count(*) AS n_ord FROM lig GROUP BY p),
+        |nd AS (SELECT count(DISTINCT o) AS n_orders FROM lig),
+        |pr AS (SELECT a.p AS item, b.p AS co_item, count(*) AS co
+        |  FROM lig a JOIN lig b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT pr.item, pr.co_item, pr.co,
+        |    CAST(pr.co::HUGEINT * nd.n_orders * 1000000
+        |         // (na.n_ord::HUGEINT * nb.n_ord) AS BIGINT) AS lift_ppm
+        |  FROM pr JOIN n na ON na.p = pr.item JOIN n nb ON nb.p = pr.co_item
+        |  CROSS JOIN nd)
+        |SELECT item, rank, co_item, co, lift_ppm FROM (
+        |  SELECT item, co_item, co, lift_ppm,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY co DESC, lift_ppm DESC, co_item) AS INT) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
 
     "q_text_colloc" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
