@@ -106,6 +106,37 @@ object Graph {
       dist.orderBy(col("node"))
     },
 
+    // B113 WEIGHTED single-source shortest paths — the Bellman-Ford
+    // relaxation q_graph_bfs runs, generalized from hop counts to integer
+    // edge weights (w = min l_quantity over the edge's underlying line
+    // items — the multigraph collapses to its cheapest parallel edge,
+    // exactly what min-plus relaxation wants): dist' = min(dist,
+    // dist_src + w) per round, so after r rounds every node holds its
+    // exact cheapest cost over paths of ≤ r edges (same bound semantics,
+    // same per-round join+min-aggregate dataflow and scale posture as
+    // BFS; unreached nodes absent). All-integer arithmetic —
+    // bit-reproducible, and the oracle replays the rounds as chained CTEs.
+    "q_graph_sssp" -> { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 100).as("src"),
+          (col("l_partkey") % 100).as("dst"), col("l_quantity").as("q"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("q")).cast("long").as("w"))
+      var dist = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .filter(col("node") % 29 === 3)
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to BfsRounds) {
+        val relaxed = dist.as("dd").join(e.as("ee"), col("dd.node") === col("ee.src"))
+          .select(col("ee.dst").as("node"), (col("dd.dist") + col("ee.w")).as("dist"))
+        dist = dist.union(relaxed).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy(col("node"))
+    },
+
     // B106 personalized PageRank from the q_graph_bfs seed set (node % 29
     // ≡ 3): the teleport term lands only on seeds, so scores measure
     // random-walk PROXIMITY to the seed set — the similarity rank
@@ -232,6 +263,28 @@ object Graph {
       s"""WITH edges AS (
          |  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
          |  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+         |       WHERE node % 29 = 3),
+         |${(1 to BfsRounds).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d$BfsRounds ORDER BY node""".stripMargin
+    },
+
+    // weighted SSSP: the BFS replay with +w relaxation over the
+    // cheapest-parallel-edge weights
+    "q_graph_sssp" -> {
+      def round(r: Int): String =
+        s"""d$r AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${r - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, p.dist + e.w AS dist
+           |  FROM d${r - 1} p JOIN edges e ON e.src = p.node) t
+           |GROUP BY node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT src, dst, CAST(min(q) AS BIGINT) AS w FROM (
+         |    SELECT l_orderkey % 100 AS src, l_partkey % 100 AS dst,
+         |           l_quantity AS q FROM lineitem) t
+         |  WHERE src <> dst GROUP BY src, dst),
          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
          |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
          |       WHERE node % 29 = 3),
