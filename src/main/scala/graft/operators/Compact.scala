@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction (SURVEY.md §2 B114) — the table-maintenance
+  * rewrite every long-lived ingest pipeline needs: streaming sinks,
+  * per-batch appends, and over-parallel writes leave a table as thousands
+  * of KB-sized parquet files, and at 100 TB the scan's task-scheduling and
+  * footer-read overhead (one open + footer parse per file) dominates the
+  * I/O. `compact` bin-packs the table back to ~`targetBytes` files:
+  *
+  *  - PLAN from the actual layout: N = ceil(total data bytes / target),
+  *    measured through the Hadoop FileSystem API (object-store-safe, the
+  *    StreamCurate convention — never java.io.File), hidden/_SUCCESS
+  *    entries excluded;
+  *  - REWRITE distributed: one read → repartition(N) → write. A
+  *    round-robin repartition spreads rows evenly so output files land
+  *    near the target regardless of input skew (coalesce would merely
+  *    glue neighbors and inherit their imbalance — and can silently
+  *    under-parallelize the scan);
+  *  - CONTENT-TRANSPARENT: the rewrite must change bytes-on-disk layout
+  *    and NOTHING else — the catalog oracle states exactly that (the
+  *    bloom-gate result-transparency convention), and CompactSpec pins
+  *    the file-count/row-preservation/idempotence contract.
+  *
+  * Production placement: run against a snapshot/partition not receiving
+  * appends (or under the table format's commit protocol); this operator is
+  * the rewrite kernel, not the transaction wrapper.
+  */
+object Compact {
+
+  final case class Stats(filesBefore: Int, bytes: Long, filesAfter: Int)
+
+  /** (data-file count, total data bytes) of a parquet dir — FS-API listing,
+    * hidden files and commit markers excluded. */
+  def layout(spark: SparkSession, dir: String): (Int, Long) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listStatus(p).iterator
+    var n = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += st.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  /** ceil(bytes/targetBytes), floored at 1 — the planned output file count. */
+  def planFiles(bytes: Long, targetBytes: Long): Int = {
+    require(targetBytes >= 1, s"targetBytes ($targetBytes) must be >= 1")
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** Rewrite `srcDir` (parquet) into `dstDir` as ~targetBytes files. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetBytes: Long): Stats = {
+    val (before, bytes) = layout(spark, srcDir)
+    val n = planFiles(bytes, targetBytes)
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode("overwrite").parquet(dstDir)
+    val (after, _) = layout(spark, dstDir)
+    Stats(before, bytes, after)
+  }
+}

@@ -359,6 +359,27 @@ object Sources {
         .orderBy(col("flag"))
     },
 
+    // B114 small-files COMPACTION — [[graft.operators.Compact]] (plan from
+    // the FS-API layout, distributed repartition rewrite; full posture on
+    // the operator): a deliberately fragmented 64-file copy of documents
+    // is compacted to ceil(bytes/256KB) files, and the entry returns the
+    // compacted table's CONTENT (ids + payload md5) — the oracle states
+    // the result-transparency contract (the bloom-gate convention): a
+    // compaction that drops, duplicates, or corrupts one row breaks the
+    // hash. File-count/size/idempotence claims are CompactSpec's, since
+    // layout is invisible to SQL by design.
+    "q_maint_compact" -> { (s, d) =>
+      val frag = scratch(d, "frag")
+      val comp = scratch(d, "compact")
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.operators.Compact.compact(s, frag, comp, targetBytes = 256 * 1024)
+      s.read.parquet(comp)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -379,6 +400,12 @@ object Sources {
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // compaction is content-transparent: the rewritten table must read
+    // back as EXACTLY the source rows, payload included
+    "q_maint_compact" ->
+      """SELECT doc_id, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_schema_merge" ->
       s"""SELECT CAST(1 AS INT) AS b, 'pre_schema' AS status, count(*) AS n,
