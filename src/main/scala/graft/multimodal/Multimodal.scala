@@ -76,6 +76,59 @@ object Multimodal {
     ImageFeatures(id, img.getWidth, img.getHeight, sr, sg, sb)
   }
 
+  /** Average-hash (aHash) perceptual fingerprint from a REAL decode
+    * (SURVEY.md §2 B115) — the classic near-duplicate image signature:
+    * integer milli-luma (299R + 587G + 114B, the BT.601 weights scaled
+    * ×1000 so nothing floats), a 4×3 grid of equal cells, bit (cy·4+cx)
+    * set iff cellSum · 12 > totalSum (strict compare in exact integers —
+    * a constant image hashes to 0). Small pixel perturbations move a cell
+    * sum by ~10⁻⁴ of the threshold scale, so re-encodes/minor edits keep
+    * their hash while different images diverge — which is what makes
+    * equal-hash blocking a dedup JOIN key. Requires width % 4 == 0 and
+    * height % 3 == 0 (the fixture shape); production would letterbox or
+    * average fractional cells. */
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  def decodeAHash(id: Long, bytes: Array[Byte]): ImageHash = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % 4 == 0 && h % 3 == 0,
+      s"doc $id: aHash grid needs width%4==0 and height%3==0, got ${w}x$h")
+    val (cw, ch) = (w / 4, h / 3)
+    val cells = new Array[Long](12)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        cells((y / ch) * 4 + (x / cw)) += luma
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var c = 0
+    while (c < 12) {
+      if (cells(c) * 12 > total) hash |= 1L << c
+      c += 1
+    }
+    ImageHash(id, w, h, hash)
+  }
+
+  /** aHash rows for `(doc_id, content)` via [[decodeAHash]] in a typed
+    * mapPartitions — decode in the scan stage, no shuffle. */
+  def imageAHash(spark: SparkSession, bin: DataFrame): DataFrame = {
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAHash(id, bytes) })
+      .toDF()
+  }
+
   /** Image features for `(doc_id, content)` rows via [[decodeImage]] inside
     * a typed mapPartitions — decode stays in the scan stage, no shuffle. */
   def imageFeatures(spark: SparkSession, bin: DataFrame): DataFrame = {

@@ -95,6 +95,36 @@ object Media {
     dir.getAbsolutePath
   }
 
+  private val NPhashBase = 40
+  private val NPhashVar = 10
+
+  /** B115 fixture: the 40 base PNGs from the q_image_decode formulas plus
+    * 10 NEAR-DUPLICATE variants — file id 1000+b is base b with exactly
+    * one pixel perturbed ((0,0)'s R channel bumped by 1 mod 256, a
+    * replayable closed form). One pixel moves a cell's milli-luma sum by
+    * ~3·10² of a ~5·10⁷ threshold scale, so the variant aHash-collides
+    * with its base while different bases diverge — the planted ground
+    * truth for perceptual dedup. */
+  private def phashDir(d: String): String = {
+    val dir = new File("target/qscratch/media_phash_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      def write(fileId: Long, base: Long, bump: Boolean): Unit = {
+        val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until ImgH; x <- 0 until ImgW) {
+          val r0 = pxR(base, x, y)
+          val r = if (bump && x == 0 && y == 0) (r0 + 1) % 256 else r0
+          img.setRGB(x, y, (r << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
+        }
+        javax.imageio.ImageIO.write(img, "png", new File(dir, f"img$fileId%04d.png"))
+      }
+      (0 until NPhashBase).foreach(id => write(id, id, bump = false))
+      (0 until NPhashVar).foreach(b => write(1000L + b, b, bump = true))
+    }
+    dir.getAbsolutePath
+  }
+
   /** Mono 16-bit PCM WAV clips; clip `id` has 400+13·id samples, sample k =
     * ((id·7919 + k·31) mod 65536) − 32768. */
   private def audioDir(d: String): String = {
@@ -150,6 +180,25 @@ object Media {
     "q_audio_decode" -> { (s, d) =>
       Multimodal.audioFeatures(s, binScan(s, audioDir(d), "*.wav", "clip"))
         .orderBy(col("doc_id"))
+    },
+
+    // B115 PERCEPTUAL-HASH image dedup — [[Multimodal.decodeAHash]]
+    // (integer milli-luma aHash; contract on the decoder) over REAL PNG
+    // decodes, then an equal-hash self-join: the multimodal member of the
+    // dedup family (exact sha / shingle / minhash / embedding / ...
+    // / now pixels), with planted one-pixel-perturbed near-duplicates as
+    // ground truth (see phashDir). The oracle recomputes every hash from
+    // the closed-form pixel formulas — only a real decoder feeding the
+    // exact integer aHash matches. Dedup shape at scale: hash in the scan
+    // stage (mapPartitions), ONE equality join on the 64-bit key — the
+    // bucket-blocking plan every signature dedup here uses.
+    "q_image_phash_dedup" -> { (s, d) =>
+      val h = Multimodal.imageAHash(s, binScan(s, phashDir(d), "*.png", "img"))
+      h.select(col("doc_id").as("doc_a"), col("ahash"))
+        .join(h.select(col("doc_id").as("doc_b"), col("ahash")), Seq("ahash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ahash"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +219,33 @@ object Media {
          |  CAST(sum((d.range*37 + (x.range//8)*59 + (y.range//8)*83) % 256) AS BIGINT) AS sum_b
          |FROM range($NJpeg) d CROSS JOIN range($ImgW) x CROSS JOIN range($ImgH) y
          |GROUP BY d.range ORDER BY doc_id""".stripMargin,
+
+    // the aHash replay: base + bumped-pixel variants, milli-luma, 4x3
+    // cells, the strict cellSum*12 > total threshold, equal-hash pairs
+    "q_image_phash_dedup" ->
+      s"""WITH ids AS (
+         |  SELECT range AS fid, range AS base, FALSE AS bump FROM range($NPhashBase)
+         |  UNION ALL
+         |  SELECT 1000 + range, range, TRUE FROM range($NPhashVar)),
+         |px AS (SELECT ids.fid, x.range AS x, y.range AS y,
+         |    CASE WHEN ids.bump AND x.range = 0 AND y.range = 0
+         |         THEN ((ids.base*31 + x.range*7 + y.range*13) % 256 + 1) % 256
+         |         ELSE (ids.base*31 + x.range*7 + y.range*13) % 256 END AS r,
+         |    (ids.base*17 + x.range*11 + y.range*3) % 256 AS g,
+         |    (ids.base*23 + x.range*5 + y.range*19) % 256 AS b
+         |  FROM ids CROSS JOIN range($ImgW) x CROSS JOIN range($ImgH) y),
+         |lm AS (SELECT fid, (y // 4) * 4 + (x // 4) AS cell,
+         |    299*r + 587*g + 114*b AS luma FROM px),
+         |cs AS (SELECT fid, cell, CAST(sum(luma) AS BIGINT) AS csum
+         |       FROM lm GROUP BY 1, 2),
+         |tt AS (SELECT fid, CAST(sum(luma) AS BIGINT) AS total
+         |       FROM lm GROUP BY 1),
+         |hs AS (SELECT cs.fid, CAST(sum(CASE WHEN cs.csum * 12 > tt.total
+         |           THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT) AS ahash
+         |       FROM cs JOIN tt ON tt.fid = cs.fid GROUP BY cs.fid)
+         |SELECT a.fid AS doc_a, b.fid AS doc_b, a.ahash
+         |FROM hs a JOIN hs b ON a.ahash = b.ahash AND a.fid < b.fid
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_audio_decode" ->
       s"""SELECT d.range AS doc_id, CAST($SampleRate AS INT) AS sample_rate,
