@@ -312,6 +312,46 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B116 per-group OLS REGRESSION from mergeable sufficient statistics —
+    // the "fit a trend per key" primitive (price-vs-quantity elasticity
+    // here; quality-vs-length curves in a curation pipeline): slope and
+    // intercept in closed form from (n, Σx, Σy, Σxy, Σx²), which is ONE
+    // partial+final aggregate over the corpus — the regression never sees
+    // a second pass, a sort, or a solver, and the statistics merge across
+    // shards (the profiler convention). Arithmetic is exact integers end
+    // to end: x = quantity (integer), y = price cents; slope_ppm =
+    // (n·Σxy − Σx·Σy)·1e6 DIV (n·Σx² − Σx·Σx) in 128-bit (products of
+    // int64 sums overflow int64 at sf0.1 — DECIMAL(38,0) here, HUGEINT in
+    // the oracle), intercept from the already-floored slope so both
+    // engines truncate at the SAME point. SIGN SEMANTICS (probed, not
+    // assumed): Spark DIV and DuckDB // BOTH truncate toward zero
+    // (−7 div 2 = −3 in each), so negative covariances are safe — and the
+    // fixture exercises one (flag A's slope numerator is negative at
+    // sf0.001; OlsSpec pins both the truncation semantics and the
+    // negative-path witness). Spark's own regr_slope/regr_intercept are
+    // float aggregates (order-dependent ulps); this shape is the
+    // hash-stable equivalent.
+    "q_stats_ols" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_ppm", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) " +
+            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * sxx " +
+            "- CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"))
+        .withColumn("intercept_ppm", expr(
+          "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000 " +
+            "- CAST(slope_ppm AS DECIMAL(38,0)) * sx) DIV n AS BIGINT)"))
+        .select(col("flag"), col("n"), col("slope_ppm"), col("intercept_ppm"))
+        .orderBy(col("flag"))
+    },
+
     // B18/B21 pivot (wide conditional aggregation): status columns per
     // priority. Explicit value list keeps the schema static (no extra
     // distinct-values job — required at scale; .pivot(col) without values
@@ -698,6 +738,25 @@ object Relational {
         |  round((s2 - s1 * s1 / n) / (n - 1) / 1e4, 4) AS var_samp,
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1e2, 4) AS stddev_samp
         |FROM s ORDER BY o_orderstatus""".stripMargin,
+
+    // OLS: the same sufficient statistics in HUGEINT, slope floored first,
+    // intercept from the floored slope — identical floor points
+    "q_stats_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |sl AS (SELECT flag, n, sx, sy,
+        |    CAST((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |         // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT) AS slope_ppm
+        |  FROM s)
+        |SELECT flag, n, slope_ppm,
+        |  CAST((sy::HUGEINT * 1000000 - slope_ppm::HUGEINT * sx) // n AS BIGINT) AS intercept_ppm
+        |FROM sl ORDER BY flag""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
