@@ -609,6 +609,58 @@ object TrainPrep {
         .orderBy(col("source"))
     },
 
+    // B117 exact-integer two-sample MANN-WHITNEY U / AUC drift — the
+    // rank-sum companion to B86's KS: KS detects a reshaped distribution,
+    // U answers the DIRECTIONAL question "do the delta batch's scores
+    // stochastically dominate the old snapshot's" (AUC = P(new > old) +
+    // ½P(tie) — 500000 ppm = no drift; the release gate for "did my
+    // quality filter silently start passing worse docs"). Exact integers
+    // end to end: per (source, distinct logit) counts, MIDRANKS kept in
+    // DOUBLED units so the ½-ties never float (2·mr(v) = 2·cumBefore(v) +
+    // cnt(v) + 1), U2 = Σ c_delta·2mr − n_delta(n_delta+1), auc_ppm =
+    // U2·1e6 DIV (2·n_old·n_delta) in 128-bit. Split: snapshot parity
+    // (doc_id div 20) % 2 — DISJOINT samples (U is a two-INDEPENDENT-
+    // sample statistic, unlike the KS entry's old-vs-full-corpus
+    // framing), and NOT the %10≡7 delta convention: the fixture assigns
+    // source = id % 20, so every ≡7-mod-10 doc lands in src7/src17 and a
+    // per-source two-sample test under that split is vacuous (probed —
+    // zero sources hold both samples); the div-20 parity gives every
+    // source ~half each. Same cost shape as B86: the B71
+    // scoring shuffle, one (source, logit) aggregate, a per-source window
+    // over distinct logits, |sources| rows of arithmetic. rank2_del ≤
+    // 2·n_del·n fits int64 to ~10⁹-doc sources; beyond that lift the sum
+    // into DECIMAL(38,0) like the division already is.
+    "q_score_mw_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LinearScorer.model(docs, minCount = 3)
+      val scored = graft.operators.LinearScorer.score(docs, m, 0L)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("logit_micro"))
+      val counts = scored.groupBy(col("source"), col("logit_micro"))
+        .agg(sum(when((col("doc_id") / 20).cast("long") % 2 === 0, 1L)
+            .otherwise(0L)).as("c_old"),
+          sum(when((col("doc_id") / 20).cast("long") % 2 === 1, 1L)
+            .otherwise(0L)).as("c_del"))
+      val w = Window.partitionBy(col("source")).orderBy(col("logit_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = counts
+        .withColumn("cum_all", sum(col("c_old") + col("c_del")).over(w))
+        .withColumn("cnt", col("c_old") + col("c_del"))
+        .withColumn("mr2", (col("cum_all") - col("cnt")) * 2 + col("cnt") + 1)
+      terms.groupBy(col("source"))
+        .agg(sum(col("c_old")).as("n_old"), sum(col("c_del")).as("n_del"),
+          sum(col("c_del") * col("mr2")).as("rank2_del"))
+        .filter(col("n_old") > 0 && col("n_del") > 0)
+        .withColumn("u2",
+          col("rank2_del") - col("n_del") * (col("n_del") + 1))
+        .withColumn("auc_ppm", expr(
+          "CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 DIV " +
+            "(2 * CAST(n_old AS DECIMAL(38,0)) * n_del) AS BIGINT)"))
+        .select(col("source"), col("n_old"), col("n_del"), col("u2"),
+          col("auc_ppm"))
+        .orderBy(col("source"))
+    },
+
     // B84 BPE merge induction (graft.operators.Bpe — scale posture, the
     // relational greedy-application argument, and the Sennrich 2016
     // citation documented there): learn the first 3 merge-table rows from
@@ -982,6 +1034,39 @@ object TrainPrep {
         |FROM cum c JOIN tot t USING (source)
         |GROUP BY c.source HAVING max(t.n_old) > 0
         |ORDER BY c.source""".stripMargin,
+
+    // Mann-Whitney: the scorer replay + doubled-midrank window arithmetic
+    "q_score_mw_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |model AS (
+        |  SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 2001 - 1000 AS w_micro
+        |  FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+        |  WHERE c >= 3),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(coalesce(m.w_micro, 0)) AS BIGINT) AS logit_micro
+        |  FROM tok t LEFT JOIN model m USING (term) GROUP BY t.doc_id),
+        |ds AS (SELECT d.source, d.doc_id, sc.logit_micro
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+        |cnt AS (SELECT source, logit_micro,
+        |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+        |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_del
+        |  FROM ds GROUP BY 1, 2),
+        |mr AS (SELECT source, c_old, c_del,
+        |    sum(c_old + c_del) OVER (PARTITION BY source ORDER BY logit_micro) AS cum_all,
+        |    c_old + c_del AS cnt
+        |  FROM cnt),
+        |agg AS (SELECT source, sum(c_old)::BIGINT AS n_old,
+        |    sum(c_del)::BIGINT AS n_del,
+        |    sum(c_del * ((cum_all - cnt) * 2 + cnt + 1))::BIGINT AS rank2_del
+        |  FROM mr GROUP BY source HAVING sum(c_old) > 0 AND sum(c_del) > 0)
+        |SELECT source, n_old, n_del,
+        |  (rank2_del - n_del * (n_del + 1))::BIGINT AS u2,
+        |  (CAST(rank2_del - n_del * (n_del + 1) AS HUGEINT) * 1000000
+        |    // (2::HUGEINT * n_old * n_del))::BIGINT AS auc_ppm
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q_model_apply" ->
       """WITH tok AS (
