@@ -1339,6 +1339,52 @@ object LlmOps {
         .orderBy(col("cell"), col("rank"))
     },
 
+    // B118 HYBRID retrieval fusion via reciprocal-rank fusion (Cormack,
+    // Clarke & Buettcher, SIGIR 2009 — the standard rank-level combiner
+    // production hybrid search uses because it needs NO score
+    // normalization across signals): per query doc, the DENSE ranking
+    // (exact cosine top-5 over the embedding) and the LEXICAL ranking
+    // (shingle-Jaccard top-5 over the text — integer ppm, a genuinely
+    // different signal: embeddings see paraphrase, shingles see exact
+    // phrasing) fuse as rrf = Σ floor(1e9/(60+rank)) with the paper's
+    // k=60 — floored PER TERM so the sum is exact integers cross-engine
+    // — then top-3 by (rrf DESC, cid). A doc ranked by only one signal
+    // contributes that term alone. Cost: the two top-5 stages the
+    // catalog already prices + a 10-query-bounded join; ranks, not
+    // scores, cross the fusion boundary — the property that makes RRF
+    // shippable when the signals' score scales are incomparable.
+    "q_hybrid_rrf" -> { (s, d) =>
+      val dense = Ann.exactTopK(embedVecs(s, d), col("vec_id") < 10, k = 5)
+        .select(col("qid"), col("cid"), col("rank").as("r_dense"))
+      val qsh = shingleRows(s, d)
+      val sizes = qsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = qsh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("sh"))
+        .join(qsh.select(col("doc_id").as("cid"), col("sh")), Seq("sh"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy(col("qid"), col("cid")).agg(count(lit(1)).as("inter"))
+      val lexAll = inter
+        .join(sizes.select(col("doc_id").as("qid"), col("sz").as("sq")), "qid")
+        .join(sizes.select(col("doc_id").as("cid"), col("sz").as("sc")), "cid")
+        .withColumn("jac_ppm", expr(
+          "CAST(inter * 1000000 DIV (sq + sc - inter) AS BIGINT)"))
+      val wl = Window.partitionBy(col("qid"))
+        .orderBy(col("jac_ppm").desc, col("cid"))
+      val lex = lexAll.withColumn("r_lex", row_number().over(wl))
+        .filter(col("r_lex") <= 5)
+        .select(col("qid"), col("cid"), col("r_lex"))
+      val fused = dense.join(lex, Seq("qid", "cid"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000 div (60 + r_dense)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("cid"))
+      fused.withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // B110 truncated-dimension two-stage retrieval —
     // [[graft.operators.Ann.prefixDimTopK]] (the Matryoshka serving
     // pattern, Kusupati et al. 2022; scale shape on the operator):
@@ -2242,6 +2288,48 @@ object LlmOps {
          |SELECT vec_id, cell, proto_cos, rank, n_cell,
          |  rank <= (n_cell + 1) // 2 AS kept
          |FROM rk ORDER BY cell, rank""".stripMargin,
+
+    // hybrid RRF: the shingle-Jaccard lexical top-5 + the exact-cosine
+    // dense top-5 + the integer per-term-floored fusion, one hash
+    "q_hybrid_rrf" ->
+      s"""WITH $sqlShingles,
+         |exr AS (SELECT doc_id, u.s AS shs FROM sh, unnest(shingles) u(s)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM exr GROUP BY doc_id),
+         |itr AS (SELECT a.doc_id AS qid, b.doc_id AS cid, count(*) AS inter
+         |  FROM exr a JOIN exr b ON a.shs = b.shs AND b.doc_id != a.doc_id
+         |  WHERE a.doc_id < 10 GROUP BY 1, 2),
+         |lex AS (SELECT itr.qid, itr.cid, CAST(row_number() OVER (PARTITION BY itr.qid
+         |    ORDER BY (itr.inter * 1000000 // (sq.sz + sc.sz - itr.inter)) DESC,
+         |      itr.cid) AS INT) AS r_lex
+         |  FROM itr JOIN sz sq ON sq.doc_id = itr.qid
+         |  JOIN sz sc ON sc.doc_id = itr.cid),
+         |lex5 AS (SELECT qid, cid, r_lex FROM lex WHERE r_lex <= 5),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |ddots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY q.vec_id, c.vec_id),
+         |dsc AS (
+         |  SELECT qid, cid, round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM ddots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |dense5 AS (SELECT qid, cid, r_dense FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, cid) AS INT) AS r_dense FROM dsc) t
+         |  WHERE r_dense <= 5),
+         |f AS (SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.cid, l.cid) AS cid,
+         |    CAST(coalesce(1000000000 // (60 + d.r_dense), 0)
+         |       + coalesce(1000000000 // (60 + l.r_lex), 0) AS BIGINT) AS rrf
+         |  FROM dense5 d FULL OUTER JOIN lex5 l
+         |    ON l.qid = d.qid AND l.cid = d.cid)
+         |SELECT qid, rank, cid, rrf FROM (
+         |  SELECT qid, cid, rrf, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, cid) AS INT) AS rank FROM f) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // prefix-dim shortlist (range(16) dots) + exact re-rank (range(64)
     // dots on shortlist rows only) — both stages under one hash
