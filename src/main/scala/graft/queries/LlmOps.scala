@@ -243,8 +243,12 @@ object LlmOps {
     * (weak-seed LSH buckets, per-src top-buildK, two refinement rounds) —
     * shared by q_embed_knn_graph and the mutual-kNN clustering entry so
     * the two replays cannot drift. */
-  private def sqlKnnGraphCtes: String =
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+  private def sqlKnnGraphCtes: String = sqlKnnGraphCtesWhere("")
+
+  /** The builder chain with a WHERE on the source `e` — the incremental
+    * insert's oracle replays the FROZEN graph over the old corpus only. */
+  private def sqlKnnGraphCtesWhere(where: String): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $where),
        |norms AS (
        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
        |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
@@ -997,6 +1001,29 @@ object LlmOps {
     // output is a partition of the connected subgraph, not keep/drop
     // flags. Oracle = the full graph replay + mutual confirmation + the
     // recursive min-reach walk.
+    // B119 incremental k-NN-graph INSERTION —
+    // [[graft.operators.Ann.knnInsert]] (contract, timeline-faithful
+    // blocking, and the delta-deferral caveat on the operator): the %10≡7
+    // delta vectors are inserted against the FROZEN B95 graph built over
+    // the rest — LSH bucket-mates + 1-hop graph expansion + exact re-rank
+    // for the newcomers, candidate-reversal re-rank for the old lists.
+    // The 2-hop expansion is a MEASURED dial (0.61 → 0.83 delta recall
+    // for 1.7× candidates; AnnRecallSpec pins the 0.75 floor). The oracle
+    // replays the whole timeline: the old-corpus builder chain
+    // (sqlKnnGraphCtesWhere), the combined-corpus insert-time blocking,
+    // and both re-ranks — gold/cand1/candv are AS MATERIALIZED (each is
+    // referenced 2-3×; DuckDB's default CTE inlining re-expanded the
+    // whole builder chain per reference — measured 6 min → 10 s at
+    // sf0.1, the B99 lesson again). Heavy replay next to
+    // q_embed_knn_graph itself — noted so nobody hunts a regression.
+    "q_embed_knn_insert" -> { (s, d) =>
+      Ann.knnInsert(embedVecs(s, d), col("vec_id") % 10 === 7, k = KnnK,
+        KnnLshCfg, rounds = 2, buildK = KnnBuildK)
+        .select(col("src").as("vec_id"), col("rank"),
+          col("dst").as("nbr_id"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
     "q_embed_knn_clusters" -> { (s, d) =>
       val g = Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
         buildK = KnnBuildK)
@@ -2479,6 +2506,73 @@ object LlmOps {
          |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
          |  cos AS cos_sim
          |FROM r2g WHERE rn <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+
+    // incremental insertion: the frozen-graph replay over the old corpus
+    // (WHERE-filtered builder chain), combined-corpus insert-time
+    // blocking, delta search with 1-hop expansion, and both re-ranks
+    "q_embed_knn_insert" ->
+      s"""WITH ${sqlKnnGraphCtesWhere("WHERE vec_id % 10 <> 7")},
+         |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= $KnnK),
+         |e2 AS (SELECT vec_id, embedding FROM embeddings),
+         |norms2 AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e2) t GROUP BY vec_id),
+         |pdots2 AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+         |  FROM e2 CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+         |  CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets2 AS (
+         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots2 GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+         |ok2 AS (SELECT band, bucket FROM buckets2
+         |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |bx AS (SELECT b.vec_id, b.band, b.bucket, (b.vec_id % 10 = 7) AS isd
+         |  FROM buckets2 b JOIN ok2 z ON z.band = b.band AND z.bucket = b.bucket),
+         |seeds AS (SELECT DISTINCT d.vec_id AS src, o.vec_id AS dst
+         |  FROM bx d JOIN bx o ON o.band = d.band AND o.bucket = d.bucket
+         |  WHERE d.isd AND NOT o.isd),
+         |expand1 AS (SELECT s.src, g.dst FROM seeds s JOIN gold g ON g.src = s.dst
+         |  WHERE g.dst != s.src),
+         |cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM seeds UNION ALL SELECT src, dst FROM expand1) u),
+         |expand2 AS (SELECT c.src, g.dst FROM cand1 c JOIN gold g ON g.src = c.dst
+         |  WHERE g.dst != c.src),
+         |candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM cand1 UNION ALL SELECT src, dst FROM expand2) u),
+         |vdt AS (SELECT c.src, c.dst,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM candv c JOIN e2 a ON a.vec_id = c.src
+         |  JOIN e2 b ON b.vec_id = c.dst
+         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |vg AS (SELECT src, rn, dst, cos FROM (
+         |    SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+         |      row_number() OVER (PARTITION BY d.src
+         |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+         |    FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
+         |    JOIN norms2 nd ON nd.vec_id = d.dst) t
+         |  WHERE rn <= $KnnK),
+         |rdt AS (SELECT c.dst AS src, c.src AS dst,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM candv c JOIN e2 a ON a.vec_id = c.dst
+         |  JOIN e2 b ON b.vec_id = c.src
+         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |uold AS (
+         |  SELECT src, dst, cos FROM gold
+         |  UNION ALL
+         |  SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos
+         |  FROM rdt d JOIN norms2 ns ON ns.vec_id = d.src
+         |  JOIN norms2 nd ON nd.vec_id = d.dst),
+         |og AS (SELECT src, rn, dst, cos FROM (
+         |    SELECT src, dst, cos, row_number() OVER (
+         |      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM uold) t
+         |  WHERE rn <= $KnnK)
+         |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
+         |  cos AS cos_sim
+         |FROM (SELECT * FROM vg UNION ALL SELECT * FROM og) f
+         |ORDER BY vec_id, rank""".stripMargin,
 
     // mutual-kNN semantic clustering: the full graph replay + mutual edge
     // confirmation + the recursive min-reach walk (the q_dedup_clusters

@@ -181,6 +181,55 @@ class AnnRecallSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("incremental insert: delta recall measured vs rebuild; reverse update improves old lists") {
+    // B119: the insert must (a) give delta vectors lists close to what a
+    // full rebuild would (the deferral/1-hop price, MEASURED), and (b)
+    // genuinely update old lists (some delta vector displaces a frozen
+    // neighbor — the reverse re-rank is not a no-op), while (c) never
+    // making any old list worse under the shared order (candidates only
+    // ever ADD to a bounded top-k).
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).cache()
+    val isDelta = col("vec_id") % 10 === 7
+    val inserted = Ann.knnInsert(emb, isDelta, k = LlmOps.KnnK,
+        LlmOps.KnnLshCfg, rounds = 2, buildK = LlmOps.KnnBuildK)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos_sim")))
+    val frozen = Ann.knnGraph(emb.filter(!isDelta), LlmOps.KnnK,
+        LlmOps.KnnLshCfg, rounds = 2, buildK = LlmOps.KnnBuildK)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos_sim")))
+    val exact = Ann.exactTopK(emb, isDelta, LlmOps.KnnK).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val deltaEdges = inserted.filter(r => r._1 % 10 == 7)
+      .map(r => (r._1, r._3)).toSet
+    val recall = (exact & deltaEdges).size.toDouble / exact.size
+    info(f"insert: delta top-5 recall vs exact = $recall%.2f " +
+      f"(${(exact & deltaEdges).size}/${exact.size})")
+    assert(recall >= 0.75, f"delta insert recall degraded: $recall%.2f " +
+      "(2-hop expansion measured 0.83 before pinning)")
+    // (b) non-vacuous reverse update: some old list admitted a delta vector
+    val oldWithDelta = inserted.count(r => r._1 % 10 != 7 && r._3 % 10 == 7)
+    info(s"insert: $oldWithDelta old-list slots now hold a delta vector")
+    assert(oldWithDelta > 0, "reverse update never fired")
+    // (c) per-rank monotonicity: the updated old list's cos at each rank
+    // is >= the frozen list's at that rank
+    val fz = frozen.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._4)).toMap
+    inserted.filter(r => r._1 % 10 != 7).groupBy(_._1).foreach {
+      case (src, rows) =>
+        val cos = rows.sortBy(_._2).map(_._4)
+        fz.get(src).foreach { f =>
+          f.zip(cos).zipWithIndex.foreach { case ((fc, ic), i) =>
+            assert(ic >= fc, s"old $src rank ${i + 1}: $ic < frozen $fc")
+          }
+        }
+    }
+  }
+
   test("mutual-kNN clustering: components equal a driver-side union-find; structure non-vacuous") {
     // B98: the graph's clustering use. Three claims: (1) the entry's
     // components equal an INDEPENDENT union-find over the mutual edge set
