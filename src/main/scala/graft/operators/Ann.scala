@@ -482,8 +482,13 @@ object Ann {
     require(prefixDims >= 1, s"prefixDims ($prefixDims) must be >= 1")
     require(shortlistS >= k, s"shortlist ($shortlistS) must be >= k ($k)")
     val spark = emb.sparkSession
+    // pn > 0 guards a nonzero vector whose first prefixDims components are
+    // all zero: pn=0 would yield NaN pcos, which ranks differently in
+    // TopKAgg's comparator than in the oracle's ORDER BY DESC — the same
+    // zero-signal exclusion sq8TopK applies, mirrored in the oracle WHERE.
     val pe = emb.select(col("vec_id"), slice(col("e"), 1, prefixDims).as("pe"))
       .withColumn("pn", sqrt(vdot(col("pe"), col("pe"))))
+      .filter(col("pn") > 0)
     val pq = pe.filter(isQuery)
       .select(col("vec_id").as("qid"), col("pe").as("qpe"), col("pn").as("qpn"))
     val scored = pe.crossJoin(broadcast(pq))
@@ -711,33 +716,7 @@ object Ann {
     try {
       val gOld = knnGraph(emb.filter(!isDelta), k, cfg, rounds, buildK)
       val n = withNorm(emb)
-      val bands = lshBands(emb, cfg)
-      val ok = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc"))
-        .filter(col("bc") <= cfg.maxBucket).select(col("band"), col("bucket"))
-      val flags = emb.select(col("vec_id"), isDelta.as("is_delta"))
-      val bx = bands.join(ok, Seq("band", "bucket"))
-        .join(flags, Seq("vec_id"))
-      val seeds = bx.filter(col("is_delta"))
-        .select(col("vec_id").as("src"), col("band"), col("bucket"))
-        .join(bx.filter(!col("is_delta"))
-          .select(col("vec_id").as("dst"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .select(col("src"), col("dst")).distinct()
-      // iterate the expansion against the FROZEN graph: hop h adds the
-      // graph neighbors of hop h-1's candidates — the greedy walk an
-      // HNSW-style insert performs, bounded at expandHops (measured on
-      // the fixture: delta recall 0.61 at 1 hop → 0.83 at 2 for 1.7×
-      // the candidates — the dial pinned at 2)
-      var candV = seeds
-      for (_ <- 1 to expandHops) {
-        val expand = candV.select(col("src"), col("dst").as("mid"))
-          .join(gOld.select(col("src").as("mid"), col("dst")), Seq("mid"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
-        candV = candV.union(expand).distinct()
-      }
-      candV = candV
+      val candV = frozenWalkCandidates(emb, isDelta, gOld, cfg, expandHops)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val listDelta = knnTopKOf(spark, k, knnScorePairs(n, candV))
       // reverse update: old lists admit the delta vectors that saw them
@@ -746,6 +725,91 @@ object Ann {
         knnScorePairs(n, rev).union(gOld.select(col("src"), col("dst"),
           col("cos_sim"))))
       val out = listDelta.union(listOld).localCheckpoint(true)
+      candV.unpersist(blocking = false)
+      out
+    } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
+  /** Shared frozen-graph candidate walk (the B119/B120 kernel): LSH
+    * bucket-mates of the `isNew` rows among old rows (blocking under the
+    * COMBINED corpus's bucket occupancy — arrival-time load, while the
+    * frozen graph was built under old-corpus caps: both facts of the
+    * timeline, both replayed in the oracles), then `hops` rounds of
+    * frozen-graph neighbor expansion — hop h adds the graph neighbors of
+    * hop h−1's candidates, the greedy walk an HNSW-style descent performs
+    * (measured on the fixture: delta recall 0.61 at 1 hop → 0.83 at 2 for
+    * 1.7× the candidates — the dial pinned at 2). Cost is
+    * |new|-proportional throughout; the old corpus is touched only
+    * through the candidate joins. */
+  private def frozenWalkCandidates(emb: DataFrame, isNew: Column,
+      gOld: DataFrame, cfg: EmbedLshConfig, hops: Int): DataFrame = {
+    val bands = lshBands(emb, cfg)
+    val ok = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= cfg.maxBucket).select(col("band"), col("bucket"))
+    val flags = emb.select(col("vec_id"), isNew.as("is_new"))
+    val bx = bands.join(ok, Seq("band", "bucket"))
+      .join(flags, Seq("vec_id"))
+    val seeds = bx.filter(col("is_new"))
+      .select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(bx.filter(!col("is_new"))
+        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("src"), col("dst")).distinct()
+    var candV = seeds
+    for (_ <- 1 to hops) {
+      val expand = candV.select(col("src"), col("dst").as("mid"))
+        .join(gOld.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      candV = candV.union(expand).distinct()
+    }
+    candV
+  }
+
+  /** Query-time graph-ANN SEARCH (SURVEY.md §2 B120) — the serving half
+    * of the [[knnGraph]]/[[knnInsert]] family: answer an OUT-OF-CORPUS
+    * query against the frozen neighbor graph without scoring the corpus.
+    * This is the read path production graph indexes (HNSW/NSG serving
+    * tiers) exist for; [[knnInsert]] is the same walk plus a write-back.
+    *
+    *  - frozen index: [[knnGraph]] over the non-query vectors, k-prefix —
+    *    the artifact a production run persists;
+    *  - descent: seed each query from its LSH bucket-mates among corpus
+    *    vectors, expand frozen-graph neighbors for `hops` rounds
+    *    ([[frozenWalkCandidates]] — the shared B119 kernel, so search and
+    *    insert cannot drift);
+    *  - answer: exact-cosine re-rank of the candidate pool, bounded by
+    *    the O(k) [[graft.functions.TopKAgg]] buffer. No reverse
+    *    update — a query READS the index, it never joins it.
+    *
+    * Scale posture: per-query work is bounded by bucket caps ×
+    * (2·k)^hops graph fan-out — independent of corpus size once the
+    * index is built; the corpus is touched only by the candidate-scoring
+    * join (qid×|cand| rows), never self-paired. Recall at the hop dial is
+    * MEASURED in AnnRecallSpec, not assumed: top-5 recall vs corpus-exact
+    * 0.60 / 0.90 / 0.96 at 1 / 2 / 3 hops on the sf0.01 fixture — the
+    * catalog pins 2 (the same knee as the insert dial).
+    *
+    * @return (qid, rank, cid, cos_sim), rank ≤ k */
+  def knnSearch(emb0: DataFrame, isQuery: Column, k: Int,
+                cfg: EmbedLshConfig, rounds: Int, buildK: Int,
+                hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val spark = emb0.sparkSession
+    val callerCached =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (callerCached) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gOld = knnGraph(emb.filter(!isQuery), k, cfg, rounds, buildK)
+      val n = withNorm(emb)
+      val candV = frozenWalkCandidates(emb, isQuery, gOld, cfg, hops)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = knnTopKOf(spark, k, knnScorePairs(n, candV))
+        .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
+          col("cos_sim"))
+        .localCheckpoint(true)
       candV.unpersist(blocking = false)
       out
     } finally if (!callerCached) emb.unpersist(blocking = false)

@@ -32,20 +32,25 @@ object Compact {
 
   final case class Stats(filesBefore: Int, bytes: Long, filesAfter: Int)
 
-  /** (data-file count, total data bytes) of a parquet dir — FS-API listing,
-    * hidden files and commit markers excluded. */
+  /** (data-file count, total data bytes) of a parquet dir — RECURSIVE
+    * FS-API listing (a partitioned/nested table's data files live under
+    * `key=value/` subdirectories; a top-level-only listing would report
+    * (0, 0) and mis-plan N=1), hidden files and commit markers excluded —
+    * a file is hidden if ANY path component below the root starts with
+    * `_` or `.` (e.g. `_delta_log/x`, `.tmp/part-...`). */
   def layout(spark: SparkSession, dir: String): (Int, Long) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listStatus(p).iterator
+    val root = fs.makeQualified(p).toUri.getPath
+    val it = fs.listFiles(p, true)
     var n = 0
     var bytes = 0L
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        n += 1; bytes += st.getLen
-      }
+      val rel = st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (st.isFile && !hidden) { n += 1; bytes += st.getLen }
     }
     (n, bytes)
   }

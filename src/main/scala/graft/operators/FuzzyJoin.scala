@@ -47,10 +47,14 @@ object FuzzyJoin {
     val nSeg = maxDist + 1
     val segs = keyed.select(col("id"), col("s")).as[(Long, String)]
       .flatMap { case (id, s) =>
-        val len = s.length
+        // CODE-POINT segmentation (not UTF-16 units): the block key and the
+        // DuckDB oracle both use SQL length/substr semantics, which count
+        // code points — segmenting by s.length would split surrogate pairs
+        // on non-BMP input and diverge from the oracle.
+        val len = s.codePointCount(0, s.length)
         (0 until nSeg).iterator.map { i =>
-          val from = i * len / nSeg
-          val until = (i + 1) * len / nSeg
+          val from = s.offsetByCodePoints(0, i * len / nSeg)
+          val until = s.offsetByCodePoints(0, (i + 1) * len / nSeg)
           (id, s, len, i, s.substring(from, until))
         }
       }.toDF("id", "s", "len", "seg_i", "seg")

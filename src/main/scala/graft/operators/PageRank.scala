@@ -77,8 +77,12 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // distinct() guards against duplicate seed rows: without it each
+    // duplicate fans out every score row through this left join and
+    // silently corrupts all subsequent iterations.
     val flagged = nodes
-      .join(seeds.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+      .join(seeds.select(col("node")).distinct()
+        .select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
     var score = flagged.withColumn("score",
       when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)))

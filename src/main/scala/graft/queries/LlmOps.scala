@@ -1024,6 +1024,25 @@ object LlmOps {
         .orderBy(col("vec_id"), col("rank"))
     },
 
+    // B120 query-time graph-ANN SEARCH —
+    // [[graft.operators.Ann.knnSearch]] (contract + scale posture on the
+    // operator): the serving half of the kNN-graph family. Frozen B95
+    // graph over the corpus (vec_id >= 10); the 10 query vectors descend
+    // from their LSH bucket-mates through 2 hops of frozen-graph
+    // neighbors (the shared B119 walk kernel — search and insert cannot
+    // drift), then exact-cosine re-rank top-5. No reverse update: a
+    // query READS the index. Recall vs exact at the hop dial is MEASURED
+    // in AnnRecallSpec (1/2/3 hops), not assumed. The oracle replays the
+    // whole timeline — the corpus-only builder chain
+    // (sqlKnnGraphCtesWhere), combined-corpus query-time blocking, both
+    // hops, and the re-rank — with the multiply-referenced CTEs AS
+    // MATERIALIZED (the q_embed_knn_insert inlining lesson).
+    "q_embed_knn_search" -> { (s, d) =>
+      Ann.knnSearch(embedVecs(s, d), col("vec_id") < 10, k = KnnK,
+        KnnLshCfg, rounds = 2, buildK = KnnBuildK, hops = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     "q_embed_knn_clusters" -> { (s, d) =>
       val g = Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
         buildK = KnnBuildK)
@@ -2363,7 +2382,7 @@ object LlmOps {
     "q_embed_prefix_rerank" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |pn AS (SELECT vec_id, sqrt(sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)) AS n
-        |  FROM e CROSS JOIN range(16) r(i) GROUP BY vec_id),
+        |  FROM e CROSS JOIN range(16) r(i) GROUP BY vec_id HAVING n > 0),
         |pdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |    sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
@@ -2573,6 +2592,55 @@ object LlmOps {
          |  cos AS cos_sim
          |FROM (SELECT * FROM vg UNION ALL SELECT * FROM og) f
          |ORDER BY vec_id, rank""".stripMargin,
+
+    // graph-ANN search: the frozen-graph replay over the corpus
+    // (WHERE-filtered builder chain), combined-corpus query-time
+    // blocking, 2-hop frozen-neighbor expansion, exact re-rank — the
+    // insert oracle minus the reverse half (a query reads, never joins)
+    "q_embed_knn_search" ->
+      s"""WITH ${sqlKnnGraphCtesWhere("WHERE vec_id >= 10")},
+         |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= $KnnK),
+         |e2 AS (SELECT vec_id, embedding FROM embeddings),
+         |norms2 AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e2) t GROUP BY vec_id),
+         |pdots2 AS (
+         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+         |  FROM e2 CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+         |  CROSS JOIN range(64) ri(i)
+         |  GROUP BY vec_id, j),
+         |buckets2 AS (
+         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots2 GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+         |ok2 AS (SELECT band, bucket FROM buckets2
+         |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+         |bx AS (SELECT b.vec_id, b.band, b.bucket, (b.vec_id < 10) AS isq
+         |  FROM buckets2 b JOIN ok2 z ON z.band = b.band AND z.bucket = b.bucket),
+         |seeds AS (SELECT DISTINCT q.vec_id AS src, o.vec_id AS dst
+         |  FROM bx q JOIN bx o ON o.band = q.band AND o.bucket = q.bucket
+         |  WHERE q.isq AND NOT o.isq),
+         |expand1 AS (SELECT s.src, g.dst FROM seeds s JOIN gold g ON g.src = s.dst
+         |  WHERE g.dst != s.src),
+         |cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM seeds UNION ALL SELECT src, dst FROM expand1) u),
+         |expand2 AS (SELECT c.src, g.dst FROM cand1 c JOIN gold g ON g.src = c.dst
+         |  WHERE g.dst != c.src),
+         |candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM cand1 UNION ALL SELECT src, dst FROM expand2) u),
+         |vdt AS (SELECT c.src, c.dst,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM candv c JOIN e2 a ON a.vec_id = c.src
+         |  JOIN e2 b ON b.vec_id = c.dst
+         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2)
+         |SELECT src AS qid, CAST(rn AS INT) AS rank, dst AS cid, cos AS cos_sim
+         |FROM (SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+         |    row_number() OVER (PARTITION BY d.src
+         |      ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+         |  FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
+         |  JOIN norms2 nd ON nd.vec_id = d.dst) t
+         |WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
 
     // mutual-kNN semantic clustering: the full graph replay + mutual edge
     // confirmation + the recursive min-reach walk (the q_dedup_clusters

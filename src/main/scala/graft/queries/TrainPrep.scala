@@ -637,9 +637,9 @@ object TrainPrep {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("doc_id"), col("logit_micro"))
       val counts = scored.groupBy(col("source"), col("logit_micro"))
-        .agg(sum(when((col("doc_id") / 20).cast("long") % 2 === 0, 1L)
+        .agg(sum(when(expr("doc_id DIV 20") % 2 === 0, 1L)
             .otherwise(0L)).as("c_old"),
-          sum(when((col("doc_id") / 20).cast("long") % 2 === 1, 1L)
+          sum(when(expr("doc_id DIV 20") % 2 === 1, 1L)
             .otherwise(0L)).as("c_del"))
       val w = Window.partitionBy(col("source")).orderBy(col("logit_micro"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -230,6 +230,52 @@ class AnnRecallSpec extends SparkSpecBase {
     }
   }
 
+  test("graph-ANN search: recall vs corpus-exact measured at 1/2/3 hops; monotone in hops") {
+    // B120: the hop dial is a MEASURED trade-off (mirroring the insert
+    // dial's 0.61 -> 0.83). Gold = exact top-5 per query AMONG THE CORPUS
+    // (vec_id >= 10) — knnSearch never returns another query, so the
+    // all-candidates exactTopK gold would be unfair. Monotone-in-hops is
+    // a theorem (hop h+1's candidate set contains hop h's; a displacer
+    // under the shared (round-6 cos DESC, id ASC) order is itself gold).
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).cache()
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val corpus = all.filter(_._1 >= 10)
+    val gold = all.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      corpus.map { case (cid, ce) => (cid, cos6(qe, ce)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(LlmOps.KnnK)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSet
+    val recalls = (1 to 3).map { h =>
+      val got = Ann.knnSearch(emb, col("vec_id") < 10, k = LlmOps.KnnK,
+          LlmOps.KnnLshCfg, rounds = 2, buildK = LlmOps.KnnBuildK, hops = h)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (gold & got).size.toDouble / gold.size
+    }
+    info(f"graph-ANN search top-5 recall: 1 hop ${recalls(0)}%.2f -> " +
+      f"2 hops ${recalls(1)}%.2f -> 3 hops ${recalls(2)}%.2f " +
+      s"(gold ${gold.size} pairs)")
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone in hops: $recalls")
+    assert(recalls(1) >= 0.75,
+      f"2-hop search recall degraded: ${recalls(1)}%.2f")
+    emb.unpersist()
+  }
+
   test("mutual-kNN clustering: components equal a driver-side union-find; structure non-vacuous") {
     // B98: the graph's clustering use. Three claims: (1) the entry's
     // components equal an INDEPENDENT union-find over the mutual edge set
