@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer TRAINING (SURVEY.md §2
+  * B121) — the other half of the tokenizer story next to BPE's merge
+  * induction ([[Bpe]]): Kudo 2018 ("Subword Regularization", §3.2) trains
+  * a subword vocabulary by EM over a bounded candidate set — seed a large
+  * candidate vocabulary from corpus substrings, iterate expectation
+  * (distribute each occurrence's mass over the candidates that could
+  * explain it, proportionally to current piece weights) and maximization
+  * (piece weight ← its collected mass), then keep the top-V survivors.
+  *
+  * EXACT-INTEGER discipline (the B91 lesson: log-likelihoods cannot
+  * hash-compare cross-engine): the paper's lattice posteriors are
+  * replaced by per-(word, position) weight shares in ppm —
+  * `share = w(piece)·1e6 DIV Σ w(q)` over the candidates starting at the
+  * same position of the same word type — and expected counts are
+  * `Σ f(word)·share`, all in int64 (shares sum to ≤ 1e6 per position, so
+  * round-over-round mass is bounded by 1e6·total occurrence mass — no
+  * growth, no overflow). The EM structure (soft counts ∝ current weights,
+  * renormalized per position, re-estimated per round) is the paper's; the
+  * arithmetic is the catalog's replayable integer form.
+  *
+  * Scale posture (100 TB): the corpus is touched ONCE (the word-frequency
+  * aggregate — the [[Bpe]] posture); the occurrence table is
+  * VOCABULARY-sized (word types × ≤ maxWordLen × maxPieceLen rows), every
+  * EM round is one broadcast-sized weights join + two aggregates over it,
+  * and nothing per-round touches the corpus again. `maxWordLen` refuses
+  * degenerate "words" (URLs, base64 blobs) whose substring fan-out would
+  * dominate the table — mirrored in the oracle's WHERE.
+  */
+object UnigramLm {
+
+  /** (word, f) — word types with frequencies, the one corpus pass.
+    * Words longer than `maxWordLen` are excluded (fan-out refusal). */
+  def wordFreq(docs: DataFrame, maxWordLen: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+
+  /** All (word, f, pos, piece) substring occurrences with
+    * 1 ≤ len(piece) ≤ maxPieceLen — SQL substring semantics (code
+    * points), so the DuckDB oracle segments identically. pos is 0-based. */
+  def occurrences(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("word"), col("f"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1), p ->
+             |  transform(sequence(1, least($maxPieceLen, length(word) - p)), l ->
+             |    struct(p AS pos, substring(word, p + 1, l) AS piece))))"""
+            .stripMargin)).as("o"))
+      .select(col("word"), col("f"), col("o.pos").as("pos"),
+        col("o.piece").as("piece"))
+
+  /** Train `emRounds` rounds; returns the final weights (piece, w) over
+    * the candidate vocabulary — pieces whose total occurrence mass
+    * tf = Σ f is ≥ minCount, plus ALL single characters (coverage: a
+    * tokenizer must be able to segment anything it saw). Initial weight =
+    * tf (the paper's frequency-seeded start). */
+  def train(docs: DataFrame, maxPieceLen: Int, minCount: Long,
+            emRounds: Int, maxWordLen: Int = 30): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen ($maxPieceLen) must be >= 1")
+    require(emRounds >= 1, s"emRounds ($emRounds) must be >= 1")
+    require(maxWordLen >= 1, s"maxWordLen ($maxWordLen) must be >= 1")
+    val occ = occurrences(wordFreq(docs, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tf = occ.groupBy(col("piece")).agg(sum(col("f")).as("tf"))
+      var w = tf.filter(col("tf") >= minCount || length(col("piece")) === 1)
+        .select(col("piece"), col("tf").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      for (_ <- 1 to emRounds) {
+        val cocc = occ.join(w, Seq("piece"))
+        val denom = cocc.groupBy(col("word"), col("pos"))
+          .agg(sum(col("w")).as("dw"))
+        val next = cocc.join(denom, Seq("word", "pos"))
+          .withColumn("share", expr("w * 1000000 DIV dw"))
+          .groupBy(col("piece")).agg(sum(col("f") * col("share")).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        w.unpersist(blocking = false)
+        w = next
+      }
+      val out = w.localCheckpoint(true)
+      w.unpersist(blocking = false)
+      out
+    } finally occ.unpersist(blocking = false)
+  }
+
+  /** The pruned vocabulary: top `vocabTarget` pieces by (w DESC, piece
+    * ASC) + every single character regardless of rank (Kudo §3.2 keeps
+    * chars unconditionally so segmentation never fails). Returns
+    * (rank, piece, w) with rank over the kept set in the same order. */
+  def vocab(trained: DataFrame, vocabTarget: Int): DataFrame = {
+    require(vocabTarget >= 1, s"vocabTarget ($vocabTarget) must be >= 1")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col("piece"))
+    // single-partition window is over the MODEL (|vocab| rows), not the
+    // corpus — the same bounded-state argument as Bpe's 1-row argmax
+    val ranked = trained.withColumn("r0", row_number().over(win))
+    ranked.filter(col("r0") <= vocabTarget || length(col("piece")) === 1)
+      .withColumn("rank", row_number().over(win))
+      .select(col("rank"), col("piece"), col("w"))
+  }
+}

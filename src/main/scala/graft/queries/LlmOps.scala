@@ -1561,6 +1561,25 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // B121 unigram-LM tokenizer TRAINING —
+    // [[graft.operators.UnigramLm]] (Kudo 2018 EM over a bounded
+    // candidate vocabulary; exact-integer ppm shares per the B91
+    // float discipline — contract + scale posture on the operator):
+    // candidates = substrings ≤ 4 chars with weighted mass ≥ 500 (probed:
+    // exactly 2 multi-char pieces excluded at BOTH SFs) + all single
+    // chars; 2 EM rounds; vocab pruned to top-50 (+chars). The oracle
+    // replays the word-frequency pass, the occurrence fan-out, both EM
+    // rounds' integer-share redistribution, and the two-stage prune rank
+    // as chained CTEs under one hash. UnigramLmSpec hand-derives a full
+    // EM round on a planted corpus.
+    "q_text_tokens_unigram" -> { (s, d) =>
+      graft.operators.UnigramLm.vocab(
+        graft.operators.UnigramLm.train(Tables.documents(s, d),
+          maxPieceLen = 4, minCount = 500L, emRounds = 2),
+        vocabTarget = 50)
+        .orderBy(col("rank"))
+    },
+
     // B52 quality score: weighted blend of length, lexical diversity and
     // stopword presence (all int-ratio terms ⇒ engine-exact doubles).
     "q_text_quality" -> { (s, d) =>
@@ -2784,6 +2803,48 @@ object LlmOps {
         |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // unigram-LM training replay: word-freq pass, substring occurrence
+    // fan-out, candidate HAVING, two EM rounds of integer-ppm share
+    // redistribution, two-stage prune rank — every DIV truncation and
+    // tie-break matching UnigramLm term for term
+    "q_text_tokens_unigram" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE length(word) >= 1 AND length(word) <= 30
+        |  GROUP BY word),
+        |occ AS (
+        |  SELECT word, f, p.pos AS pos,
+        |    substr(word, CAST(p.pos + 1 AS INT), CAST(l.l AS INT)) AS piece
+        |  FROM words
+        |  CROSS JOIN range(30) p(pos)
+        |  CROSS JOIN range(1, 5) l(l)
+        |  WHERE p.pos < length(word) AND p.pos + l.l <= length(word)),
+        |w0 AS (
+        |  SELECT piece, CAST(sum(f) AS BIGINT) AS w FROM occ GROUP BY piece
+        |  HAVING CAST(sum(f) AS BIGINT) >= 500 OR length(piece) = 1),
+        |d1 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
+        |  FROM occ o JOIN w0 w ON w.piece = o.piece GROUP BY o.word, o.pos),
+        |w1 AS (SELECT o.piece,
+        |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
+        |  FROM occ o JOIN w0 w ON w.piece = o.piece
+        |  JOIN d1 d ON d.word = o.word AND d.pos = o.pos
+        |  GROUP BY o.piece),
+        |d2 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
+        |  FROM occ o JOIN w1 w ON w.piece = o.piece GROUP BY o.word, o.pos),
+        |w2 AS (SELECT o.piece,
+        |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
+        |  FROM occ o JOIN w1 w ON w.piece = o.piece
+        |  JOIN d2 d ON d.word = o.word AND d.pos = o.pos
+        |  GROUP BY o.piece),
+        |ranked AS (SELECT piece, w,
+        |    row_number() OVER (ORDER BY w DESC, piece) AS r0 FROM w2),
+        |kept AS (SELECT piece, w FROM ranked
+        |  WHERE r0 <= 50 OR length(piece) = 1)
+        |SELECT CAST(row_number() OVER (ORDER BY w DESC, piece) AS INT) AS rank,
+        |  piece, w
+        |FROM kept ORDER BY rank""".stripMargin,
 
     "q_embed_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -203,6 +203,75 @@ object Sources {
         .orderBy(col("s_nationkey"))
     },
 
+    // B2 Avro round-trip — the row-oriented interchange format next to
+    // CSV/JSON/ORC. This Spark build ships avro-core/avro-mapred but NOT
+    // the spark-avro datasource module, so the entry goes through the
+    // public Hadoop-IO route (AvroKeyOutputFormat / AvroKeyInputFormat
+    // over standard Avro container files) — the sanctioned RDD escape
+    // hatch: per-record imperative construction nothing in the DataFrame
+    // API expresses without the connector. Both directions stay
+    // DISTRIBUTED (saveAsNewAPIHadoopFile / newAPIHadoopFile — one task
+    // per partition/file, no driver loop); records are mapped to plain
+    // tuples inside the same stage, so Hadoop's record-object reuse and
+    // Avro's Utf8 strings never escape the iterator. The aggregate
+    // proves long/string/int/double values all survived the trip.
+    "q_avro_roundtrip" -> { (s, d) =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+      import org.apache.hadoop.io.NullWritable
+      import org.apache.hadoop.mapreduce.Job
+      val dir = scratch(d, "avro")
+      val schemaJson =
+        """{"type":"record","name":"Supplier","fields":[
+          |{"name":"s_suppkey","type":"long"},
+          |{"name":"s_name","type":"string"},
+          |{"name":"s_nationkey","type":"int"},
+          |{"name":"s_acctbal","type":"double"}]}""".stripMargin
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val pairs = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .rdd.mapPartitions { it =>
+          val sch = new Schema.Parser().parse(schemaJson)
+          it.map { r =>
+            val rec = new GenericData.Record(sch)
+            rec.put("s_suppkey", r.getLong(0))
+            rec.put("s_name", r.getString(1))
+            rec.put("s_nationkey", r.getInt(2))
+            rec.put("s_acctbal", r.getDouble(3))
+            (new AvroKey[GenericRecord](rec), NullWritable.get())
+          }
+        }
+      val wjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wjob, new Schema.Parser().parse(schemaJson))
+      pairs.saveAsNewAPIHadoopFile(dir, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        wjob.getConfiguration)
+      val rjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
+      import s.implicits._
+      val back = s.sparkContext.newAPIHadoopFile(dir,
+          classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rjob.getConfiguration)
+        .map { case (k, _) =>
+          val r = k.datum()
+          (r.get("s_suppkey").asInstanceOf[Long], r.get("s_name").toString,
+            r.get("s_nationkey").asInstanceOf[Int],
+            r.get("s_acctbal").asInstanceOf[Double])
+        }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      back.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          max(length(col("s_name"))).as("max_name_len"),
+          QUtil.moneySum(col("s_acctbal"), 2).as("total_bal"),
+          sum(col("s_suppkey")).as("key_sum"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // B4 binaryFile: real file bytes back out of the source, digest-checked.
     "q_binaryfile_scan" -> { (s, d) =>
       binaryDocs(s, d)
@@ -449,6 +518,15 @@ object Sources {
     "q_orc_roundtrip" ->
       s"""SELECT s_nationkey, count(*) AS n,
          |  ${QUtil.moneySumSql("s_acctbal", 2)} AS total_bal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // avro round-trip is content-transparent: the aggregate over the
+    // read-back rows must equal the same aggregate over the source table
+    "q_avro_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+         |  CAST(max(length(s_name)) AS INT) AS max_name_len,
+         |  ${QUtil.moneySumSql("s_acctbal", 2)} AS total_bal,
+         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
          |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_binaryfile_scan" ->

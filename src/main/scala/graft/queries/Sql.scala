@@ -45,6 +45,60 @@ object Sql {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q1 shape: the agg-heavy pricing summary — 8 aggregates per
+    * (returnflag, linestatus) group. Float discipline: quantities are
+    * integer-valued (sums exact in any order); per-row products are
+    * round-scaled to 1e4 BEFORE the sum (IEEE-identical both engines);
+    * averages derive from the exact sums, never a distributed avg(). */
+  private val tpch1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(round(l_extendedprice * 1e4)) / 1e4, 4) AS sum_base_price,
+      |  round(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) / 1e4, 4) AS sum_disc_price,
+      |  round(sum(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e4)) / 1e4, 4) AS sum_charge,
+      |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+      |  round(sum(round(l_extendedprice * 1e4)) / 1e4 / count(*), 4) AS avg_price,
+      |  round(sum(round(l_discount * 1e4)) / 1e4 / count(*), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q9 shape (product-profit by nation and year): the 5-way join
+    * chain part⋈lineitem⋈supplier⋈orders⋈nation with a part-name LIKE
+    * filter. ADAPTED: the fixture has no partsupp table, so the profit
+    * term drops ps_supplycost·l_quantity — the multi-join shape (what the
+    * entry exercises) is unchanged. */
+  private val tpch9 =
+    """SELECT n_name AS nation, year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+      |  round(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) / 1e4, 4) AS sum_profit
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, year(CAST(o_orderdate AS TIMESTAMP))
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING-filtered IN
+    * subquery over the fact table itself + 3-way join + top-100. The 200
+    * threshold is probed non-vacuous at both SFs (874 / 9185 qualifying
+    * orders at sf0.01 / sf0.1); quantity sums are integer-exact so the
+    * HAVING boundary cannot float. */
+  private val tpch18 =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  o_totalprice, sum(l_quantity) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+      |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Correlated scalar subquery + HAVING — frontend features the DataFrame
     * catalog doesn't separately exercise. */
   private val subq =
@@ -144,8 +198,11 @@ object Sql {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_sql_tpch1" -> run(tpch1),
     "q_sql_tpch3" -> run(tpch3),
     "q_sql_tpch5" -> run(tpch5),
+    "q_sql_tpch9" -> run(tpch9),
+    "q_sql_tpch18" -> run(tpch18),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -154,8 +211,11 @@ object Sql {
     "q_sql_listagg" -> run(listaggSpark))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch1" -> tpch1,
     "q_sql_tpch3" -> tpch3,
     "q_sql_tpch5" -> tpch5,
+    "q_sql_tpch9" -> tpch9,
+    "q_sql_tpch18" -> tpch18,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (B121) — the BpeSpec convention: a
+  * planted corpus small enough to hand-derive EVERY number of the EM
+  * round, so the integer-ppm share arithmetic (the exact-integer stand-in
+  * for Kudo 2018's lattice posteriors) is pinned constant-by-constant.
+  *
+  * Fixture: docs { "aa ab", "ab" } with maxPieceLen=2, minCount=2.
+  *  - words: aa f=1, ab f=2
+  *  - occurrence mass: a=4 (two in "aa"·1 + one in "ab"·2), aa=1, ab=2, b=2
+  *  - candidates (tf ≥ 2 OR len=1): a(4), ab(2), b(2) — "aa" EXCLUDED
+  *    (the minCount branch is non-vacuous)
+  *  - EM round 1:
+  *      word "aa" pos0: only candidate a (aa is out) → share(a)=1e6
+  *      word "aa" pos1: a → 1e6
+  *      word "ab" pos0: a(4), ab(2), dw=6 → share(a)=4e6 DIV 6=666666,
+  *        share(ab)=2e6 DIV 6=333333 (DIV truncation pinned)
+  *      word "ab" pos1: b → 1e6
+  *    new weights: a = 1·1e6 + 1·1e6 + 2·666666 = 3333332
+  *                 ab = 2·333333 = 666666;  b = 2·1e6 = 2000000
+  */
+class UnigramLmSpec extends SparkSpecBase {
+  import org.apache.spark.sql.Row
+
+  private def plantedDocs = {
+    val s = spark
+    import s.implicits._
+    Seq("aa ab", "ab").toDF("text")
+  }
+
+  test("hand-derived EM round: candidate gate, integer shares, weights") {
+    val trained = UnigramLm.train(plantedDocs, maxPieceLen = 2,
+      minCount = 2L, emRounds = 1)
+    val got = trained.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("w")).toMap
+    assert(got === Map("a" -> 3333332L, "ab" -> 666666L, "b" -> 2000000L),
+      s"EM round diverged from the hand derivation: $got")
+    assert(!got.contains("aa"), "minCount gate failed: 'aa' (tf=1) survived")
+  }
+
+  test("vocab prune: top-V by (w DESC, piece ASC); chars kept unconditionally") {
+    val trained = UnigramLm.train(plantedDocs, maxPieceLen = 2,
+      minCount = 2L, emRounds = 1)
+    // vocabTarget=1: only 'a' makes the cut — 'b' survives ONLY through
+    // the char-coverage branch (non-vacuous), 'ab' is pruned.
+    val v = UnigramLm.vocab(trained, vocabTarget = 1).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("w")))
+    assert(v.toSeq === Seq((1, "a", 3333332L), (2, "b", 2000000L)),
+      s"pruned vocab diverged: ${v.toSeq}")
+  }
+
+  test("EM is mass-bounded and keeps every single character (fixture corpus)") {
+    // invariants on the real fixture: (1) per-(word,pos) shares sum to
+    // <= 1e6 by construction, so total round-r mass <= 1e6 * total
+    // occurrence mass — no weight blow-up across rounds (the int64
+    // safety argument on the operator); (2) every character of the
+    // corpus survives training (coverage).
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val occ = UnigramLm.occurrences(UnigramLm.wordFreq(docs, 30), 4)
+    val totalMass = occ.agg(sum(col("f"))).collect()(0).getLong(0)
+    val trained = UnigramLm.train(docs, maxPieceLen = 4, minCount = 500L,
+      emRounds = 2)
+    val totalW = trained.agg(sum(col("w"))).collect()(0).getLong(0)
+    assert(totalW <= totalMass * 1000000L,
+      s"round mass $totalW exceeds 1e6 x occurrence mass $totalMass")
+    val chars = occ.filter(length(col("piece")) === 1)
+      .select(col("piece")).distinct().collect().map(_.getString(0)).toSet
+    val kept = trained.select(col("piece")).collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(kept),
+      s"coverage broken: missing chars ${chars -- kept}")
+  }
+}
