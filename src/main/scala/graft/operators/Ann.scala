@@ -815,6 +815,68 @@ object Ann {
     } finally if (!callerCached) emb.unpersist(blocking = false)
   }
 
+  /** k-NN-graph DELETION maintenance (SURVEY.md §2 B122) — the third
+    * lifecycle operation of the graph family ([[knnGraph]] build,
+    * [[knnInsert]] insert, this delete): production indexes drop vectors
+    * (GDPR erasure, corpus re-curation) WITHOUT a rebuild, via the
+    * standard tombstone-and-repair flow:
+    *
+    *  - the frozen graph = [[knnGraph]] over the FULL (pre-delete)
+    *    corpus, k-prefix — the artifact as it existed when the delete
+    *    arrived;
+    *  - tombstone: every list of a deleted vector is dropped, and every
+    *    deleted id is purged from surviving lists;
+    *  - repair: a surviving list that lost a neighbor re-ranks over its
+    *    KEPT edges ∪ the DONATED candidates — each deleted neighbor
+    *    donates its own (surviving) adjacency to the lists that pointed
+    *    at it, the HNSW-repair heuristic that keeps the graph navigable
+    *    where a bare purge would thin it; exact-cosine top-k re-rank.
+    *    A repaired list may end shorter than k (candidate pool bounded by
+    *    k + k² per affected vertex) — stated, not hidden: the next full
+    *    rebuild restores width.
+    *  - untouched lists pass through VERBATIM (rank and cos_sim
+    *    unchanged) — repair cost is |affected| ≤ k·|deleted| lists, never
+    *    corpus-proportional.
+    *
+    * Float discipline: the repair re-rank recomputes round-6 cosine with
+    * the shared (cos DESC, id ASC) order, so kept edges re-score to their
+    * original values and the whole timeline replays in the DuckDB oracle.
+    *
+    * @return (src, rank, dst, cos_sim) — the post-delete graph */
+  def knnDelete(emb0: DataFrame, isDeleted: Column, k: Int,
+                cfg: EmbedLshConfig, rounds: Int, buildK: Int): DataFrame = {
+    val spark = emb0.sparkSession
+    val callerCached =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (callerCached) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = knnGraph(emb, k, cfg, rounds, buildK)
+      val flags = emb.select(col("vec_id"), isDeleted.as("is_del"))
+      val gf = g
+        .join(flags.select(col("vec_id").as("src"), col("is_del").as("src_del")), "src")
+        .join(flags.select(col("vec_id").as("dst"), col("is_del").as("dst_del")), "dst")
+      val live = gf.filter(!col("src_del"))
+      val keep = live.filter(!col("dst_del"))
+      val affected = live.filter(col("dst_del")).select(col("src")).distinct()
+      val donate = live.filter(col("dst_del"))
+        .select(col("src"), col("dst").as("mid"))
+        .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .join(flags.select(col("vec_id").as("dst"), col("is_del").as("w_del")), "dst")
+        .filter(!col("w_del") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val cand = keep.select(col("src"), col("dst")).join(affected, Seq("src"))
+        .union(donate).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val repaired = knnTopKOf(spark, k, knnScorePairs(withNorm(emb), cand))
+      val untouched = keep.join(affected, Seq("src"), "left_anti")
+        .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+      val out = untouched.union(repaired).localCheckpoint(true)
+      cand.unpersist(blocking = false)
+      out
+    } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): k-means cells make
     * within-cell all-pairs cosine dedup tractable — the third dedup axis

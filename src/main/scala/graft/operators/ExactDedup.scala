@@ -36,7 +36,11 @@ object ExactDedup {
   def bloomGatedNew(history: DataFrame, delta: DataFrame,
                     fpp: Double = 0.01): DataFrame = {
     val hist = history.select(col("sha"))
-    val histN = math.max(hist.count(), 1L)
+    val histN = hist.count()
+    // empty history (first batch, or everything tombstoned by a B122
+    // retraction): nothing can gate — and Spark's stat.bloomFilter NPEs
+    // on zero input rows, so the guard is correctness, not just speed
+    if (histN == 0L) return delta.withColumn("probe_hit", lit(false))
     val bf = hist.select(xxhash64(col("sha")).as("k"))
       .stat.bloomFilter("k", histN, fpp)
     val bos = new java.io.ByteArrayOutputStream()

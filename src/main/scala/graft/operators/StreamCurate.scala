@@ -58,41 +58,78 @@ object StreamCurate {
   private def fsOf(ss: SparkSession, p: Path): FileSystem =
     p.getFileSystem(ss.sessionState.newHadoopConf())
 
-  /** (newest snapshot (uptoBatch, path) if any, batch dirs (batchId, path))
-    * under `root` — Hadoop-FS listing, `.tmp` commit leftovers ignored.
-    * Batch dirs at or below the newest snapshot's uptoBatch are EXCLUDED:
-    * their rows live in the snapshot (a crash between snapshot rename and
-    * the merged-dir deletes must not double-count them). */
-  private def listState(ss: SparkSession,
-                        root: Path): (Option[(Long, Path)], Seq[(Long, Path)]) = {
+  /** (newest snapshot (uptoBatch, path) if any, batch dirs (batchId,
+    * path), tombstone dirs (batchId, path)) under `root` — Hadoop-FS
+    * listing, `.tmp` commit leftovers ignored. Batch AND tombstone dirs
+    * at or below the newest snapshot's uptoBatch are EXCLUDED: their
+    * effect lives in the snapshot (a crash between snapshot rename and
+    * the merged-dir deletes must not double-count or double-apply). */
+  private def listState(ss: SparkSession, root: Path)
+      : (Option[(Long, Path)], Seq[(Long, Path)], Seq[(Long, Path)]) = {
     val fs = fsOf(ss, root)
-    if (!fs.exists(root)) return (None, Nil)
+    if (!fs.exists(root)) return (None, Nil, Nil)
     val entries = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath).filterNot(_.getName.endsWith(".tmp"))
     val snaps = entries.filter(_.getName.startsWith("snap"))
       .flatMap(p => p.getName.drop(4).toLongOption.map(_ -> p))
     val newest = snaps.sortBy(_._1).lastOption
-    val bdirs = entries.filter(_.getName.startsWith("b"))
-      .flatMap(p => p.getName.drop(1).toLongOption.map(_ -> p))
+    def dirs(prefix: String) = entries
+      .filter(p => p.getName.startsWith(prefix) && !p.getName.startsWith("snap"))
+      .flatMap(p => p.getName.drop(prefix.length).toLongOption.map(_ -> p))
       .filter { case (id, _) => newest.forall(id > _._1) }
       .sortBy(_._1)
-    (newest, bdirs)
+    (newest, dirs("b"), dirs("d"))
   }
+
+  /** RETRACTION (SURVEY.md §2 B122's streaming half): record that the
+    * given shas are DELETED as of `batchId`. A tombstone at batch t
+    * shadows state rows inserted at batches STRICTLY BELOW t (an insert
+    * and delete in the same batch → the insert wins: the delete refers to
+    * past state), and a RE-SUBMISSION at any batch ≥ t re-enters
+    * normally — the sha stops gating future arrivals, which is the whole
+    * point of erasure in a dedup index. Tombstones follow the exact
+    * batchId-keyed overwrite discipline of the insert dirs (idempotent
+    * under at-least-once retry) and fold into snapshots under the same
+    * uptoBatch safety rule ([[compact]] applies then discards them). */
+  def retractBatch(deletes: DataFrame, batchId: Long, root: String): Unit =
+    deletes.select(col("sha")).distinct()
+      .write.mode("overwrite")
+      .parquet(new Path(root, s"d$batchId").toString)
+
+  def retractBatch(deletes: DataFrame, batchId: Long, root: java.io.File): Unit =
+    retractBatch(deletes, batchId, root.getPath)
 
   /** Accumulated state from batches strictly below `batchId`: the newest
     * snapshot filtered to `_batch_id < batchId` plus the uncompacted tail
-    * dirs below it. */
+    * dirs below it, MINUS rows shadowed by a later tombstone (sha has a
+    * tombstone with insert-batch < tombstone-batch < batchId). Tail dirs
+    * are tagged with their batch id at read time so the shadow rule is a
+    * row predicate — the same mechanism the snapshot already uses. */
   def readStateBefore(ss: SparkSession, root: String,
                       batchId: Long): Option[DataFrame] = {
-    val (snap, bdirs) = listState(ss, new Path(root))
-    val tail = bdirs.collect { case (id, p) if id < batchId => p.toString }
-    val parts =
+    val (snap, bdirs, ddirs) = listState(ss, new Path(root))
+    val insParts =
       snap.map { case (_, p) =>
-        ss.read.parquet(p.toString)
-          .filter(col("_batch_id") < batchId).drop("_batch_id")
+        ss.read.parquet(p.toString).filter(col("_batch_id") < batchId)
       }.toSeq ++
-        (if (tail.isEmpty) Nil else Seq(ss.read.parquet(tail: _*)))
-    parts.reduceOption(_ unionByName _)
+        bdirs.collect { case (id, p) if id < batchId =>
+          ss.read.parquet(p.toString).withColumn("_batch_id", lit(id))
+        }
+    val tombs = ddirs.collect { case (id, p) if id < batchId => (id, p) }
+    insParts.reduceOption(_ unionByName _).map { ins =>
+      val visible =
+        if (tombs.isEmpty) ins
+        else {
+          val t = tombs.map { case (id, p) =>
+            ss.read.parquet(p.toString)
+              .select(col("sha").as("_t_sha"), lit(id).as("_t_batch"))
+          }.reduce(_ unionByName _)
+            .groupBy(col("_t_sha")).agg(max(col("_t_batch")).as("_t_batch"))
+          ins.join(t, ins("sha") === t("_t_sha")
+            && col("_t_batch") > col("_batch_id"), "left_anti")
+        }
+      visible.drop("_batch_id")
+    }
   }
 
   /** All committed batch state (the entry's final read-back). */
@@ -113,26 +150,44 @@ object StreamCurate {
     val rootPath = new Path(root)
     val fs = fsOf(ss, rootPath)
     if (!fs.exists(rootPath)) return
-    val (snap, bdirs) = listState(ss, rootPath)
+    val (snap, bdirs, ddirs) = listState(ss, rootPath)
     snap.foreach { case (id, _) =>
       require(id <= uptoBatch,
         s"compact($uptoBatch) below existing snapshot snap$id")
     }
     val fold = bdirs.filter { case (id, _) => id <= uptoBatch }
-    if (fold.isEmpty && snap.exists(_._1 == uptoBatch)) return
+    val dfold = ddirs.filter { case (id, _) => id <= uptoBatch }
+    if (fold.isEmpty && dfold.isEmpty && snap.exists(_._1 == uptoBatch)) return
     val pieces =
       snap.map { case (_, p) => ss.read.parquet(p.toString) }.toSeq ++
         fold.map { case (id, p) =>
           ss.read.parquet(p.toString).withColumn("_batch_id", lit(id))
         }
-    if (pieces.isEmpty) return
+    if (pieces.isEmpty) { dfold.foreach { case (_, p) => fs.delete(p, true) }; return }
+    // tombstones in the window are APPLIED (a row whose sha has a
+    // tombstone with row-batch < tomb-batch is dropped) then DISCARDED:
+    // every read after compaction has batchId > uptoBatch ≥ tomb-batch,
+    // and every insert the tombstone could still shadow is in the window
+    // and already gone — same uptoBatch safety rule as the insert fold.
+    val merged0 = pieces.reduce(_ unionByName _)
+    val merged =
+      if (dfold.isEmpty) merged0
+      else {
+        val t = dfold.map { case (id, p) =>
+          ss.read.parquet(p.toString)
+            .select(col("sha").as("_t_sha"), lit(id).as("_t_batch"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("_t_sha")).agg(max(col("_t_batch")).as("_t_batch"))
+        merged0.join(t, merged0("sha") === t("_t_sha")
+          && col("_t_batch") > col("_batch_id"), "left_anti")
+      }
     val tmp = new Path(rootPath, s"snap$uptoBatch.tmp")
-    pieces.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(tmp.toString)
+    merged.write.mode("overwrite").parquet(tmp.toString)
     val dest = new Path(rootPath, s"snap$uptoBatch")
     if (fs.exists(dest)) fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"snapshot commit failed: $tmp -> $dest")
     fold.foreach { case (_, p) => fs.delete(p, true) }
+    dfold.foreach { case (_, p) => fs.delete(p, true) }
     snap.foreach { case (_, p) => fs.delete(p, true) }
   }
 

@@ -1043,6 +1043,23 @@ object LlmOps {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // B122 k-NN-graph DELETION maintenance —
+    // [[graft.operators.Ann.knnDelete]] (tombstone-and-repair contract +
+    // scale posture on the operator): the %10≡3 vectors are erased from
+    // the graph built over the FULL corpus — their lists dropped, their
+    // ids purged from surviving lists, and each affected list re-ranked
+    // over kept edges ∪ the deleted neighbor's donated adjacency.
+    // Untouched lists pass through verbatim. Oracle = the full builder
+    // chain + the same keep/affected/donate/re-rank CTEs (gold AS
+    // MATERIALIZED — the insert-oracle inlining lesson).
+    "q_embed_knn_delete" -> { (s, d) =>
+      Ann.knnDelete(embedVecs(s, d), col("vec_id") % 10 === 3, k = KnnK,
+        KnnLshCfg, rounds = 2, buildK = KnnBuildK)
+        .select(col("src").as("vec_id"), col("rank"),
+          col("dst").as("nbr_id"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
     "q_embed_knn_clusters" -> { (s, d) =>
       val g = Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
         buildK = KnnBuildK)
@@ -2660,6 +2677,41 @@ object LlmOps {
          |  FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
          |  JOIN norms2 nd ON nd.vec_id = d.dst) t
          |WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
+
+    // graph deletion: full-corpus builder chain + tombstone purge +
+    // donated-adjacency repair re-rank; untouched lists verbatim
+    "q_embed_knn_delete" ->
+      s"""WITH $sqlKnnGraphCtes,
+         |gold AS MATERIALIZED (SELECT src, dst, cos, rn FROM r2g WHERE rn <= $KnnK),
+         |keepg AS (SELECT src, dst, cos, rn FROM gold
+         |  WHERE src % 10 <> 3 AND dst % 10 <> 3),
+         |aff AS MATERIALIZED (SELECT DISTINCT src FROM gold
+         |  WHERE src % 10 <> 3 AND dst % 10 = 3),
+         |donate AS (SELECT g1.src, g2.dst FROM gold g1
+         |  JOIN gold g2 ON g2.src = g1.dst
+         |  WHERE g1.src % 10 <> 3 AND g1.dst % 10 = 3
+         |    AND g2.dst % 10 <> 3 AND g2.dst != g1.src),
+         |cand AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT k.src, k.dst FROM keepg k JOIN aff a ON a.src = k.src
+         |  UNION ALL SELECT src, dst FROM donate) u),
+         |cdt AS (SELECT c.src, c.dst,
+         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+         |  FROM cand c JOIN e a ON a.vec_id = c.src
+         |  JOIN e b ON b.vec_id = c.dst
+         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |rep AS (SELECT src, rn, dst, cos FROM (
+         |    SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+         |      row_number() OVER (PARTITION BY d.src
+         |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+         |    FROM cdt d JOIN norms ns ON ns.vec_id = d.src
+         |    JOIN norms nd ON nd.vec_id = d.dst) t
+         |  WHERE rn <= $KnnK),
+         |untouched AS (SELECT src, rn, dst, cos FROM keepg
+         |  WHERE src NOT IN (SELECT src FROM aff))
+         |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
+         |  cos AS cos_sim
+         |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM rep) f
+         |ORDER BY vec_id, rank""".stripMargin,
 
     // mutual-kNN semantic clustering: the full graph replay + mutual edge
     // confirmation + the recursive min-reach walk (the q_dedup_clusters

@@ -276,6 +276,73 @@ class AnnRecallSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("graph delete: tombstones purged, untouched lists verbatim, repair = driver recompute") {
+    // B122: (a) no deleted id survives as src or dst; (b) lists that never
+    // referenced a deleted vector pass through VERBATIM (rank and cos);
+    // (c) the repair is non-vacuous (some affected list admits a donated
+    // neighbor it did not already hold); (d) every repaired list equals an
+    // independent driver-side top-k over kept edges + donated candidates.
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).cache()
+    val isDel: Long => Boolean = _ % 10 == 3
+    val full = Ann.knnGraph(emb, LlmOps.KnnK, LlmOps.KnnLshCfg, rounds = 2,
+        buildK = LlmOps.KnnBuildK).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos_sim")))
+    val got = Ann.knnDelete(emb, col("vec_id") % 10 === 3, LlmOps.KnnK,
+        LlmOps.KnnLshCfg, rounds = 2, buildK = LlmOps.KnnBuildK).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos_sim")))
+    assert(!got.exists(r => isDel(r._1) || isDel(r._3)),
+      "a deleted id survived in the post-delete graph")
+    val fullBySrc = full.groupBy(_._1)
+    val gotBySrc = got.groupBy(_._1)
+    val affected = fullBySrc.collect {
+      case (src, rows) if !isDel(src) && rows.exists(r => isDel(r._3)) => src
+    }.toSet
+    assert(affected.nonEmpty, "fixture has no affected lists — delete untested")
+    // (b) untouched verbatim
+    fullBySrc.foreach { case (src, rows) =>
+      if (!isDel(src) && !affected(src))
+        assert(gotBySrc(src).sortBy(_._2) === rows.sortBy(_._2),
+          s"untouched list $src changed")
+    }
+    // (d) repaired = independent recompute over kept + donated, using the
+    // graph's own cos values for ordering ties on recomputation
+    val byId = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Double]]("e").toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos6(a: Long, b: Long): Double =
+      java.math.BigDecimal.valueOf(dot(byId(a), byId(b)) /
+          (math.sqrt(dot(byId(a), byId(a))) * math.sqrt(dot(byId(b), byId(b)))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var donatedNew = 0
+    affected.foreach { src =>
+      val rows = fullBySrc(src)
+      val kept = rows.filter(r => !isDel(r._3)).map(_._3).toSet
+      val donated = rows.filter(r => isDel(r._3)).map(_._3).flatMap(d =>
+        fullBySrc.getOrElse(d, Array.empty[(Long, Int, Long, Double)])
+          .map(_._3).filter(w => !isDel(w) && w != src)).toSet
+      val pool = kept ++ donated
+      val expect = pool.toSeq.map(c => (c, cos6(src, c)))
+        .sortBy { case (c, v) => (-v, c) }.take(LlmOps.KnnK)
+      val gotList = gotBySrc(src).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(gotList === expect, s"repair diverged for $src")
+      donatedNew += expect.map(_._1).count(c => !kept.contains(c))
+    }
+    info(s"delete: ${affected.size} affected lists repaired, " +
+      s"$donatedNew repaired slots filled by donated candidates")
+    assert(donatedNew > 0, "no donated candidate ever won a slot — repair vacuous")
+    emb.unpersist()
+  }
+
   test("mutual-kNN clustering: components equal a driver-side union-find; structure non-vacuous") {
     // B98: the graph's clustering use. Three claims: (1) the entry's
     // components equal an INDEPENDENT union-find over the mutual edge set

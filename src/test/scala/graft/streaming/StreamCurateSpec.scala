@@ -195,6 +195,54 @@ class StreamCurateSpec extends SparkSpecBase {
     assert(rowsOf(curB) === refCur, "idempotent re-compaction changed state")
   }
 
+  test("retraction: a deleted sha stops gating, re-submission re-accepted, tombstones survive compaction") {
+    // B122 (streaming half): erasure from the dedup index. A tombstone at
+    // batch t shadows inserts strictly below t; a re-submission at >= t
+    // re-enters normally AND starts gating again; reads at batchId <= t
+    // still see the pre-delete state (timeline fidelity); compaction
+    // applies-then-discards tombstones without changing any read.
+    import graft.operators.StreamCurate
+    val root = new java.io.File(scratch("curate_retract"))
+    val hist = new java.io.File(root, "hist")
+    val cur = new java.io.File(root, "cur")
+    val s = spark
+    import s.implicits._
+    val text = "alpha beta gamma delta epsilon"
+    def doc(id: Long) = Seq((id, text, "srcA")).toDF("doc_id", "text", "source")
+    def curIds(): Set[Long] = StreamCurate.readAll(spark, cur)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    StreamCurate.curateBatch(doc(1), 0, hist, cur, None)
+    StreamCurate.curateBatch(doc(2), 1, hist, cur, None) // dup: gated
+    assert(curIds() === Set(1L), "baseline dedup broken")
+    // batch 2: the erasure — tombstone the sha in BOTH the index and the
+    // curated zone (GDPR semantics: the content leaves everything)
+    val shaDf = doc(1).select(sha2(col("text"), 256).as("sha"))
+    StreamCurate.retractBatch(shaDf, 2, hist.getPath)
+    StreamCurate.retractBatch(shaDf, 2, cur.getPath)
+    assert(curIds() === Set.empty[Long], "tombstone did not erase the curated row")
+    // timeline fidelity: a read strictly below the tombstone still sees doc 1
+    val at2 = StreamCurate.readStateBefore(spark, hist.getPath, 2)
+      .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(at2 === Set(1L), "pre-delete read lost the insert")
+    // idempotent retry of the retraction batch
+    StreamCurate.retractBatch(shaDf, 2, hist.getPath)
+    assert(curIds() === Set.empty[Long])
+    // batch 3: the RE-SUBMISSION — identical text must be re-accepted
+    // (proves both the bloom/sha gate AND the near-dup gate released:
+    // were doc 1 still visible, the sha gate alone would drop doc 3)
+    StreamCurate.curateBatch(doc(3), 3, hist, cur, None)
+    assert(curIds() === Set(3L), "re-submitted deleted doc was not re-accepted")
+    // compaction across the tombstone boundary: reads unchanged
+    StreamCurate.compact(spark, hist.getPath, 3)
+    StreamCurate.compact(spark, cur.getPath, 3)
+    assert(curIds() === Set(3L), "compaction changed the post-delete state")
+    val histNames = hist.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(histNames === Set("snap3"), s"tombstone dirs not folded: $histNames")
+    // the re-entered doc gates again: a new duplicate is dropped
+    StreamCurate.curateBatch(doc(4), 4, hist, cur, None)
+    assert(curIds() === Set(3L), "re-entered doc no longer gates duplicates")
+  }
+
   test("a LIVE query killed after a commit restarts from its checkpoint into identical state") {
     // r12 verdict #4: the manual-replay test above pins the batch body;
     // this one pins the real recovery path — a StreamingQuery dies (crash
