@@ -144,7 +144,11 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
                            sum_abs: Long)
 
-  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+  /** Parsed 16-bit mono PCM payload: sample accessor over the data chunk. */
+  private final case class WavPcm(sampleRate: Int, n: Int,
+                                  sample: Int => Short)
+
+  private def parseWav(id: Long, bytes: Array[Byte]): WavPcm = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int): String =
@@ -181,14 +185,63 @@ object Multimodal {
     require(audioFormat == 1 && bitsPerSample == 16 && channels == 1,
       s"doc $id: unsupported WAV (format=$audioFormat bits=$bitsPerSample " +
         s"channels=$channels); only 16-bit mono PCM is decodable here")
-    val n = dataLen / 2
+    WavPcm(sampleRate, dataLen / 2, k => bb.getShort(dataOff + 2 * k))
+  }
+
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val w = parseWav(id, bytes)
     var sum = 0L
     var k = 0
-    while (k < n) {
-      sum += math.abs(bb.getShort(dataOff + 2 * k).toLong)
+    while (k < w.n) { sum += math.abs(w.sample(k).toLong); k += 1 }
+    AudioFeatures(id, w.sampleRate, w.n, sum)
+  }
+
+  /** AUDIO energy-band fingerprint (SURVEY.md §2 B123) — the aHash idea
+    * ([[decodeAHash]]) transplanted to PCM: cut the clip into `bands`
+    * equal time bands (sample k → band k·bands DIV n, the replayable
+    * integer partition), sum |sample| per band, and set bit b iff
+    * band b's energy is STRICTLY above the uniform share
+    * (bandAbs·bands > totalAbs). All int64 (|s| ≤ 32768, so a band sum
+    * fits to ~2.8·10¹⁴ samples); robust to sample-level perturbation
+    * (one sample moves a band sum by ≤ 65535 of a ~n/bands·16k scale)
+    * while clips of different content or length diverge — the property
+    * a fingerprint needs for equal-hash blocking dedup. A production
+    * fingerprint (Chromaprint-style) adds a filterbank over overlapping
+    * FFT windows; the energy-band form keeps the exact-integer oracle. */
+  case class AudioHash(doc_id: Long, n_samples: Long, fp: Long)
+
+  def decodeAudioBandHash(id: Long, bytes: Array[Byte],
+                          bands: Int = 12): AudioHash = {
+    require(bands >= 1 && bands <= 63, s"doc $id: bands ($bands) out of range")
+    val w = parseWav(id, bytes)
+    require(w.n >= bands, s"doc $id: ${w.n} samples < $bands bands")
+    val acc = new Array[Long](bands)
+    var total = 0L
+    var k = 0
+    while (k < w.n) {
+      val a = math.abs(w.sample(k).toLong)
+      acc((k.toLong * bands / w.n).toInt) += a
+      total += a
       k += 1
     }
-    AudioFeatures(id, sampleRate, n, sum)
+    var fp = 0L
+    var b = 0
+    while (b < bands) {
+      if (acc(b) * bands > total) fp |= 1L << b
+      b += 1
+    }
+    AudioHash(id, w.n, fp)
+  }
+
+  /** Fingerprint rows for `(doc_id, content)` via [[decodeAudioBandHash]]
+    * in a typed mapPartitions — decode in the scan stage, no shuffle. */
+  def audioBandHash(spark: SparkSession, bin: DataFrame,
+                    bands: Int = 12): DataFrame = {
+    import spark.implicits._
+    bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeAudioBandHash(id, bytes, bands) })
+      .toDF()
   }
 
   /** Audio features for `(doc_id, content)` rows via [[decodeWav]]. */

@@ -1316,16 +1316,18 @@ object LlmOps {
     // pipeline runs before tokenization (truncated fragments below P1,
     // concatenation blobs above P99). Exact discrete percentiles by
     // definition "smallest v with cumCount(v) ≥ ceil(p·n)" — computed on
-    // the LENGTH HISTOGRAM, so the window orders |distinct lengths| rows
-    // (bounded), never the corpus; every quantity is an integer, so the
-    // bound derivation is engine-exact where interpolated percentile()
-    // floats would not be. Output is the 1-row clip summary.
+    // the LENGTH HISTOGRAM (|distinct lengths| rows, never the corpus),
+    // with the running count through the B83 OrderedCumsum two-pass plan
+    // (r13 verdict #9): even the histogram's cardinality needn't fit one
+    // task at 100 TB, and the range-exchange form is row-identical to the
+    // single-partition window, so the oracle is unchanged. Every quantity
+    // is an integer — engine-exact where interpolated percentile() floats
+    // would not be. Output is the 1-row clip summary.
     "q_text_length_clip" -> { (s, d) =>
       val h = Tables.documents(s, d)
         .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val cum = graft.operators.OrderedCumsum.withRunningTotal(h,
+        Seq(col("n_chars")), col("c"), "cum", partitions = 8)
       val tot = h.agg(sum(col("c")).as("n"))
       val bounds = cum.crossJoin(broadcast(tot))
         .agg(

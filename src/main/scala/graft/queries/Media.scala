@@ -26,6 +26,8 @@ object Media {
   private val ImgH = 12
   private val NClips = 30
   private val SampleRate = 8000
+  private val NAfpBase = 40
+  private val NAfpVar = 10
 
   private def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
   private def pxG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
@@ -151,6 +153,41 @@ object Media {
     dir.getAbsolutePath
   }
 
+  /** B123 fixture: 40 base WAV clips (the q_audio_decode sample formula)
+    * plus 10 NEAR-DUPLICATE variants — clip 1000+b is base b with sample 0
+    * bumped by the closed form ((v+1) mod 65536) − 32768 (the pixel-bump
+    * convention). One sample moves a band's |s|-energy by exactly 1 of a
+    * ~(n/12)·16k scale, so the variant fingerprint-collides with its base
+    * while different bases/lengths diverge — planted ground truth for
+    * audio dedup. */
+  private def audioFpDir(d: String): String = {
+    val dir = new File("target/qscratch/media_afp_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      def write(fileId: Long, base: Long, bump: Boolean): Unit = {
+        val n = 400 + 13 * base.toInt
+        val dataLen = 2 * n
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1).putInt(SampleRate)
+          .putInt(SampleRate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        (0 until n).foreach { k =>
+          val v = (base * 7919 + k * 31) % 65536
+          val v2 = if (bump && k == 0) (v + 1) % 65536 else v
+          bb.putShort((v2 - 32768).toShort)
+        }
+        java.nio.file.Files.write(
+          new File(dir, f"clip$fileId%04d.wav").toPath, bb.array())
+      }
+      (0 until NAfpBase).foreach(id => write(id, id, bump = false))
+      (0 until NAfpVar).foreach(b => write(1000L + b, b, bump = true))
+    }
+    dir.getAbsolutePath
+  }
+
   private def binScan(s: SparkSession, dir: String, glob: String, stem: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(regexp_extract(col("path"), stem + "([0-9]+)\\.", 1)
@@ -199,6 +236,26 @@ object Media {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("ahash"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // B123 AUDIO-FINGERPRINT dedup — [[Multimodal.decodeAudioBandHash]]
+    // (integer energy-band fingerprint; contract on the decoder) over
+    // REAL WAV/PCM decodes, then the same equal-hash blocking join as
+    // B115 — the audio member of the dedup family, with planted
+    // one-sample-perturbed variants as ground truth (see audioFpDir).
+    // The join key includes n_samples: equal length is the cheap first
+    // block (a fingerprint family match at different lengths is a
+    // different clip), mirroring the oracle exactly. AudioFpSpec plants
+    // the collisions and pins decode ≡ closed form.
+    "q_audio_fingerprint_dedup" -> { (s, d) =>
+      val h = Multimodal.audioBandHash(
+        s, binScan(s, audioFpDir(d), "*.wav", "clip"), bands = 12)
+      h.select(col("doc_id").as("doc_a"), col("n_samples"), col("fp"))
+        .join(h.select(col("doc_id").as("doc_b"), col("n_samples"),
+          col("fp")), Seq("n_samples", "fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_samples"), col("fp"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -245,6 +302,34 @@ object Media {
          |       FROM cs JOIN tt ON tt.fid = cs.fid GROUP BY cs.fid)
          |SELECT a.fid AS doc_a, b.fid AS doc_b, a.ahash
          |FROM hs a JOIN hs b ON a.ahash = b.ahash AND a.fid < b.fid
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the fingerprint replay: base + bumped-sample variants, |s| energy
+    // per k*12 DIV n band, the strict bandSum*12 > total threshold,
+    // equal-(length, fp) pairs
+    "q_audio_fingerprint_dedup" ->
+      s"""WITH ids AS (
+         |  SELECT range AS fid, range AS base, FALSE AS bump FROM range($NAfpBase)
+         |  UNION ALL
+         |  SELECT 1000 + range, range, TRUE FROM range($NAfpVar)),
+         |sm AS (SELECT ids.fid, 400 + 13 * ids.base AS n, k.range AS k,
+         |    CASE WHEN ids.bump AND k.range = 0
+         |      THEN ((ids.base*7919 + k.range*31) % 65536 + 1) % 65536
+         |      ELSE (ids.base*7919 + k.range*31) % 65536 END AS v
+         |  FROM ids CROSS JOIN range(400 + 13 * ($NAfpBase - 1)) k
+         |  WHERE k.range < 400 + 13 * ids.base),
+         |ab AS (SELECT fid, n, (k * 12) // n AS band, abs(v - 32768) AS a
+         |  FROM sm),
+         |bs AS (SELECT fid, n, band, CAST(sum(a) AS BIGINT) AS bsum
+         |  FROM ab GROUP BY 1, 2, 3),
+         |tt AS (SELECT fid, CAST(sum(a) AS BIGINT) AS total
+         |  FROM ab GROUP BY 1),
+         |hs AS (SELECT bs.fid, CAST(max(bs.n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN bs.bsum * 12 > tt.total
+         |      THEN (1::BIGINT << band) ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bs JOIN tt ON tt.fid = bs.fid GROUP BY bs.fid)
+         |SELECT a.fid AS doc_a, b.fid AS doc_b, a.n AS n_samples, a.fp
+         |FROM hs a JOIN hs b ON a.n = b.n AND a.fp = b.fp AND a.fid < b.fid
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_audio_decode" ->
