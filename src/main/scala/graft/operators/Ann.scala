@@ -715,19 +715,95 @@ object Ann {
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val gOld = knnGraph(emb.filter(!isDelta), k, cfg, rounds, buildK)
-      val n = withNorm(emb)
-      val candV = frozenWalkCandidates(emb, isDelta, gOld, cfg, expandHops)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val listDelta = knnTopKOf(spark, k, knnScorePairs(n, candV))
-      // reverse update: old lists admit the delta vectors that saw them
-      val rev = candV.select(col("dst").as("src"), col("src").as("dst"))
-      val listOld = knnTopKOf(spark, k,
-        knnScorePairs(n, rev).union(gOld.select(col("src"), col("dst"),
-          col("cos_sim"))))
-      val out = listDelta.union(listOld).localCheckpoint(true)
-      candV.unpersist(blocking = false)
-      out
+      knnInsertInto(emb, isDelta, gOld, k, cfg, expandHops)
     } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
+  /** The insert kernel with EXPLICIT state ([[knnInsert]] minus the
+    * rebuild): insert the `isDelta` rows of `embVisible` against the
+    * caller-supplied frozen graph `gOld` (src, dst, cos_sim — k-prefix
+    * lists covering the non-delta rows). This is the form a maintained
+    * index actually runs — the graph is state handed forward between
+    * batches, never rebuilt ([[knnStreamBatch]] is the streaming driver).
+    * Same walk, re-rank, and reverse-update semantics as [[knnInsert]];
+    * same |delta|-proportional cost. */
+  def knnInsertInto(embVisible: DataFrame, isDelta: Column, gOld: DataFrame,
+                    k: Int, cfg: EmbedLshConfig, hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val spark = embVisible.sparkSession
+    val n = withNorm(embVisible)
+    val candV = frozenWalkCandidates(embVisible, isDelta, gOld, cfg, hops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val listDelta = knnTopKOf(spark, k, knnScorePairs(n, candV))
+    // reverse update: old lists admit the delta vectors that saw them
+    val rev = candV.select(col("dst").as("src"), col("src").as("dst"))
+    val listOld = knnTopKOf(spark, k,
+      knnScorePairs(n, rev).union(gOld.select(col("src"), col("dst"),
+        col("cos_sim"))))
+    val out = listDelta.union(listOld).localCheckpoint(true)
+    candV.unpersist(blocking = false)
+    out
+  }
+
+  /** STREAMING k-NN-graph maintenance (SURVEY.md §2 B124) — the B119
+    * insert composed with the exactly-once micro-batch state discipline
+    * ([[StreamCurate]]'s): batch 0 BUILDS the graph over its vectors;
+    * every later batch INSERTS its vectors against the graph state handed
+    * forward ([[knnInsertInto]]) over the corpus accumulated so far.
+    * State layout under the two roots, batchId-keyed and retry-safe:
+    *
+    *  - `<vRoot>/b<id>`: that batch's raw vectors (mode OVERWRITE);
+    *  - `<gRoot>/b<id>`: the FULL graph after batch id (mode OVERWRITE —
+    *    the persisted artifact a serving tier loads; production would
+    *    delta-encode, the contract here is the simple full-state form);
+    *  - every read takes only dirs with id STRICTLY BELOW the current
+    *    batch (an at-least-once foreachBatch retry must not see its own
+    *    failed attempt), so replaying any (batch, batchId) reproduces
+    *    byte-identical state — the StreamCurate theorem, pinned for this
+    *    operator in StreamKnnSpec. */
+  def knnStreamBatch(batch: DataFrame, batchId: Long, gRoot: String,
+                     vRoot: String, k: Int, cfg: EmbedLshConfig,
+                     rounds: Int, buildK: Int, hops: Int = 2): Unit = {
+    val ss = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    def dirs(root: String): Seq[(Long, Path)] = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap(q => q.getName.stripPrefix("b").toLongOption.map(_ -> q))
+        .filter { case (id, _) => id < batchId }
+    }
+    def toE(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val oldVecDirs = dirs(vRoot)
+    val g =
+      if (oldVecDirs.isEmpty) knnGraph(toE(batch), k, cfg, rounds, buildK)
+      else {
+        val oldVecs = toE(ss.read.parquet(oldVecDirs.map(_._2.toString): _*))
+          .withColumn("is_new", lit(false))
+        val cur = toE(batch).withColumn("is_new", lit(true))
+        val gPrev = ss.read.parquet(dirs(gRoot).maxBy(_._1)._2.toString)
+          .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+        knnInsertInto(oldVecs.unionByName(cur), col("is_new"), gPrev,
+          k, cfg, hops)
+      }
+    g.write.mode("overwrite").parquet(s"$gRoot/b$batchId")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$vRoot/b$batchId")
+  }
+
+  /** The newest committed graph state under `gRoot`. */
+  def knnStreamState(ss: org.apache.spark.sql.SparkSession,
+                     gRoot: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(gRoot)
+    val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
+    val newest = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap(q => q.getName.stripPrefix("b").toLongOption.map(_ -> q))
+      .maxBy(_._1)._2
+    ss.read.parquet(newest.toString)
+      .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
   }
 
   /** Shared frozen-graph candidate walk (the B119/B120 kernel): LSH

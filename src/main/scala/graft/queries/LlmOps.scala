@@ -245,9 +245,80 @@ object LlmOps {
     * the two replays cannot drift. */
   private def sqlKnnGraphCtes: String = sqlKnnGraphCtesWhere("")
 
+  /** One incremental-insert stage replay (shared by q_embed_knn_insert
+    * and q_stream_knn_insert so the two timelines cannot drift): visible
+    * corpus = embeddings WHERE `visWhere`, delta rows = `isDeltaSql`
+    * (over alias `b.vec_id`), frozen graph = CTE `gold` (src, dst, cos —
+    * k-prefix lists over the non-delta rows). Emits CTEs prefixed `f`,
+    * ending at `${f}out` (src, rn, dst, cos): combined-corpus blocking,
+    * the 2-hop frozen-graph walk, the delta re-rank, and the
+    * reverse-update re-rank of the old lists. cand CTEs AS MATERIALIZED
+    * (each referenced twice; default inlining re-expands the upstream
+    * chain — the 6 min → 10 s lesson). */
+  private[queries] def sqlKnnInsertStage(f: String, visWhere: String,
+      isDeltaSql: String, gold: String): String =
+    s"""${f}e AS (SELECT vec_id, embedding FROM embeddings $visWhere),
+       |${f}norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+       |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM ${f}e) t GROUP BY vec_id),
+       |${f}pdots AS (
+       |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+       |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+       |  FROM ${f}e CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+       |  CROSS JOIN range(64) ri(i)
+       |  GROUP BY vec_id, j),
+       |${f}buckets AS (
+       |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+       |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM ${f}pdots GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+       |${f}ok AS (SELECT band, bucket FROM ${f}buckets
+       |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+       |${f}bx AS (SELECT b.vec_id, b.band, b.bucket, ($isDeltaSql) AS isd
+       |  FROM ${f}buckets b JOIN ${f}ok z ON z.band = b.band AND z.bucket = b.bucket),
+       |${f}seeds AS (SELECT DISTINCT d.vec_id AS src, o.vec_id AS dst
+       |  FROM ${f}bx d JOIN ${f}bx o ON o.band = d.band AND o.bucket = d.bucket
+       |  WHERE d.isd AND NOT o.isd),
+       |${f}expand1 AS (SELECT s.src, g.dst FROM ${f}seeds s JOIN $gold g ON g.src = s.dst
+       |  WHERE g.dst != s.src),
+       |${f}cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ${f}seeds UNION ALL SELECT src, dst FROM ${f}expand1) u),
+       |${f}expand2 AS (SELECT c.src, g.dst FROM ${f}cand1 c JOIN $gold g ON g.src = c.dst
+       |  WHERE g.dst != c.src),
+       |${f}candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ${f}cand1 UNION ALL SELECT src, dst FROM ${f}expand2) u),
+       |${f}vdt AS (SELECT c.src, c.dst,
+       |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+       |  FROM ${f}candv c JOIN ${f}e a ON a.vec_id = c.src
+       |  JOIN ${f}e b ON b.vec_id = c.dst
+       |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+       |${f}vg AS (SELECT src, rn, dst, cos FROM (
+       |    SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+       |      row_number() OVER (PARTITION BY d.src
+       |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+       |    FROM ${f}vdt d JOIN ${f}norms ns ON ns.vec_id = d.src
+       |    JOIN ${f}norms nd ON nd.vec_id = d.dst) t
+       |  WHERE rn <= $KnnK),
+       |${f}rdt AS (SELECT c.dst AS src, c.src AS dst,
+       |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+       |  FROM ${f}candv c JOIN ${f}e a ON a.vec_id = c.dst
+       |  JOIN ${f}e b ON b.vec_id = c.src
+       |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+       |${f}uold AS (
+       |  SELECT src, dst, cos FROM $gold
+       |  UNION ALL
+       |  SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos
+       |  FROM ${f}rdt d JOIN ${f}norms ns ON ns.vec_id = d.src
+       |  JOIN ${f}norms nd ON nd.vec_id = d.dst),
+       |${f}og AS (SELECT src, rn, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (
+       |      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ${f}uold) t
+       |  WHERE rn <= $KnnK),
+       |${f}out AS (SELECT src, rn, dst, cos FROM ${f}vg
+       |  UNION ALL SELECT src, rn, dst, cos FROM ${f}og)""".stripMargin
+
   /** The builder chain with a WHERE on the source `e` — the incremental
     * insert's oracle replays the FROZEN graph over the old corpus only. */
-  private def sqlKnnGraphCtesWhere(where: String): String =
+  private[queries] def sqlKnnGraphCtesWhere(where: String): String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings $where),
        |norms AS (
        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
@@ -2570,66 +2641,10 @@ object LlmOps {
     "q_embed_knn_insert" ->
       s"""WITH ${sqlKnnGraphCtesWhere("WHERE vec_id % 10 <> 7")},
          |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= $KnnK),
-         |e2 AS (SELECT vec_id, embedding FROM embeddings),
-         |norms2 AS (
-         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e2) t GROUP BY vec_id),
-         |pdots2 AS (
-         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
-         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
-         |  FROM e2 CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
-         |  CROSS JOIN range(64) ri(i)
-         |  GROUP BY vec_id, j),
-         |buckets2 AS (
-         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
-         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots2 GROUP BY vec_id, j // ${KnnLshCfg.bits}),
-         |ok2 AS (SELECT band, bucket FROM buckets2
-         |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
-         |bx AS (SELECT b.vec_id, b.band, b.bucket, (b.vec_id % 10 = 7) AS isd
-         |  FROM buckets2 b JOIN ok2 z ON z.band = b.band AND z.bucket = b.bucket),
-         |seeds AS (SELECT DISTINCT d.vec_id AS src, o.vec_id AS dst
-         |  FROM bx d JOIN bx o ON o.band = d.band AND o.bucket = d.bucket
-         |  WHERE d.isd AND NOT o.isd),
-         |expand1 AS (SELECT s.src, g.dst FROM seeds s JOIN gold g ON g.src = s.dst
-         |  WHERE g.dst != s.src),
-         |cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM seeds UNION ALL SELECT src, dst FROM expand1) u),
-         |expand2 AS (SELECT c.src, g.dst FROM cand1 c JOIN gold g ON g.src = c.dst
-         |  WHERE g.dst != c.src),
-         |candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM cand1 UNION ALL SELECT src, dst FROM expand2) u),
-         |vdt AS (SELECT c.src, c.dst,
-         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
-         |  FROM candv c JOIN e2 a ON a.vec_id = c.src
-         |  JOIN e2 b ON b.vec_id = c.dst
-         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
-         |vg AS (SELECT src, rn, dst, cos FROM (
-         |    SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
-         |      row_number() OVER (PARTITION BY d.src
-         |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
-         |    FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
-         |    JOIN norms2 nd ON nd.vec_id = d.dst) t
-         |  WHERE rn <= $KnnK),
-         |rdt AS (SELECT c.dst AS src, c.src AS dst,
-         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
-         |  FROM candv c JOIN e2 a ON a.vec_id = c.dst
-         |  JOIN e2 b ON b.vec_id = c.src
-         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2),
-         |uold AS (
-         |  SELECT src, dst, cos FROM gold
-         |  UNION ALL
-         |  SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos
-         |  FROM rdt d JOIN norms2 ns ON ns.vec_id = d.src
-         |  JOIN norms2 nd ON nd.vec_id = d.dst),
-         |og AS (SELECT src, rn, dst, cos FROM (
-         |    SELECT src, dst, cos, row_number() OVER (
-         |      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM uold) t
-         |  WHERE rn <= $KnnK)
+         |${sqlKnnInsertStage("i", "", "b.vec_id % 10 = 7", "gold")}
          |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
          |  cos AS cos_sim
-         |FROM (SELECT * FROM vg UNION ALL SELECT * FROM og) f
-         |ORDER BY vec_id, rank""".stripMargin,
+         |FROM iout ORDER BY vec_id, rank""".stripMargin,
 
     // graph-ANN search: the frozen-graph replay over the corpus
     // (WHERE-filtered builder chain), combined-corpus query-time

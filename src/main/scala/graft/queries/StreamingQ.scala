@@ -174,6 +174,33 @@ object StreamingQ {
       .option("pathGlobFilter", "batch*.parquet")
       .parquet(docSplitDir(s, d))
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Three-file embeddings split (vec_id mod 3) for the streaming
+    * index-maintenance query — batch 0 is the corpus the index is built
+    * over, batches 1 and 2 are delta arrivals. */
+  private def embSplitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_emb3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      writeSplit(emb.filter(col("vec_id") % 3 === 0), dir, "batch0.parquet", 1000000L)
+      writeSplit(emb.filter(col("vec_id") % 3 === 1), dir, "batch1.parquet", 2000000L)
+      writeSplit(emb.filter(col("vec_id") % 3 === 2), dir, "batch2.parquet", 3000000L)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def embStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(embSplitDir(s, d))
+
   /** Child session for the multi-batch stateful queries: stateful streaming
     * partitions = state-store instances per micro-batch, so they are sized
     * to the STATE volume via [[graft.Sessions.statefulShufflePartitions]]
@@ -967,6 +994,48 @@ object StreamingQ {
             "read a partial corpus")
       }
       graft.operators.StreamCurate.readAll(s, curDir).orderBy(col("doc_id"))
+    },
+
+    // B124 STREAMING k-NN-graph maintenance —
+    // [[graft.operators.Ann.knnStreamBatch]] (state layout + exactly-once
+    // discipline on the operator): the B119 insert composed with the
+    // 3-batch foreachBatch harness. Batch 0 (vec_id %3=0) BUILDS the
+    // graph; batches 1 and 2 INSERT their vectors against the graph state
+    // handed forward, over the corpus accumulated so far — per-batch
+    // blocking sees arrival-time bucket occupancy, exactly like the
+    // curation entry's cumulative caps. Result = the newest persisted
+    // graph. The oracle replays the WHOLE timeline as chained CTEs:
+    // the batch-0 builder + two sqlKnnInsertStage stages (the SAME
+    // factored SQL q_embed_knn_insert uses — the two insert replays
+    // cannot drift). StreamKnnSpec pins stream ≡ manual staged replay
+    // and retry idempotence.
+    "q_stream_knn_insert" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_knn_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val gRoot = new File(root, "g").getPath
+      val vRoot = new File(root, "v").getPath
+      val q = embStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.Ann.knnStreamBatch(batch, bid, gRoot, vRoot,
+            k = graft.queries.LlmOps.KnnK, graft.queries.LlmOps.KnnLshCfg,
+            rounds = 2, buildK = graft.queries.LlmOps.KnnBuildK, hops = 2)
+        }
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_knn_insert still running after 300 s — refusing to read a partial graph")
+      }
+      graft.operators.Ann.knnStreamState(s, gRoot)
+        .select(col("src").as("vec_id"), col("rank"),
+          col("dst").as("nbr_id"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1318,6 +1387,19 @@ object StreamingQ {
     // survivors — score-rejected docs still participate in the dedup
     // chain (es / pairs / dropped are untouched), only the final SELECT
     // gains the score rule
+    // streaming graph maintenance: the batch-0 builder chain + two
+    // chained insert stages (the factored sqlKnnInsertStage — identical
+    // SQL to the q_embed_knn_insert replay, staged occupancy per arrival)
+    "q_stream_knn_insert" ->
+      s"""WITH ${LlmOps.sqlKnnGraphCtesWhere("WHERE vec_id % 3 = 0")},
+         |g0 AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= ${LlmOps.KnnK}),
+         |${LlmOps.sqlKnnInsertStage("s1", "WHERE vec_id % 3 <> 2", "b.vec_id % 3 = 1", "g0")},
+         |g1 AS MATERIALIZED (SELECT src, dst, cos FROM s1out),
+         |${LlmOps.sqlKnnInsertStage("s2", "", "b.vec_id % 3 = 2", "g1")}
+         |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
+         |  cos AS cos_sim
+         |FROM s2out ORDER BY vec_id, rank""".stripMargin,
+
     "q_stream_curate_scored" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
         |es AS (SELECT doc_id, text, source, b FROM (
