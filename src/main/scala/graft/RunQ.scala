@@ -11,12 +11,15 @@ object RunQ {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val explain = args.contains("explain")
     val spark = Sessions.get()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (explain) df.explain("formatted")
-    // run twice: first includes JVM/codegen warmup, second is steady-state
+    if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // run twice: first includes JVM/codegen warmup, second is steady-state.
+    // The ENTRY CALL is inside the timed window — some entries (the
+    // streaming harnesses, fixture-building sources) do their real work
+    // during construction, and Bench's window includes it too.
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       println(f"[runq] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -89,6 +89,73 @@ object UnigramLm {
     } finally occ.unpersist(blocking = false)
   }
 
+  /** EXACT Viterbi segmentation with the trained weights (SURVEY.md §2
+    * B125) — the APPLY half of the unigram tokenizer ([[train]] learns,
+    * this segments), and the exact decode the paper's inference uses
+    * (vs. the greedy longest-match shortcut WordPiece-style tokenizers
+    * take): per word type, the segmentation minimizing the additive
+    * integer cost Σ (1 + costScale DIV w(piece)), token count as the
+    * tie-break — both folded into ONE int64 key `combined =
+    * cost·64 + n_tokens` (token counts < 64 ≤ maxWordLen bound, so the
+    * encoding is additive and min-combined IS the lexicographic
+    * (cost, n_tokens) minimum; the B91 discipline again: integer costs
+    * where true log-probs would never hash-compare).
+    *
+    * The DP is relational MIN-PLUS DOUBLING, not a per-word loop: edge
+    * (p → p+|piece|) for every vocab piece at position p, then
+    * ceil(log2(maxWordLen)) rounds of R ∪ min(R∘R) — each round one
+    * self-join on the middle position, state bounded by word types ×
+    * maxWordLen² pairs (the maxWordLen cap is what bounds it — stated
+    * refusal, mirrored in the oracle). Single-char coverage guarantees
+    * dist(0, len) exists for every word.
+    *
+    * @return (word, f, n_tokens, cost) — per word TYPE; callers join back
+    *         to docs for per-document totals */
+  def viterbiSegment(docs: DataFrame, maxPieceLen: Int, minCount: Long,
+                     emRounds: Int, costScale: Long,
+                     maxWordLen: Int = 30): DataFrame = {
+    require(costScale >= 1, s"costScale ($costScale) must be >= 1")
+    require(maxWordLen < 64,
+      s"maxWordLen ($maxWordLen) must stay < 64 for the combined encoding")
+    val w = train(docs, maxPieceLen, minCount, emRounds, maxWordLen)
+    val words = wordFreq(docs, maxWordLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val occ = occurrences(words, maxPieceLen)
+      val edges = occ.join(w, Seq("piece"))
+        .select(col("word"), col("pos").as("p"),
+          (col("pos") + length(col("piece"))).as("q"),
+          ((lit(1L) + expr(s"$costScale DIV w")) * 64 + 1).as("c"))
+      var r = edges.groupBy(col("word"), col("p"), col("q"))
+        .agg(min(col("c")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      val rounds = (math.log(maxWordLen.toDouble) / math.log(2.0)).ceil.toInt
+      for (_ <- 1 to rounds) {
+        val comp = r.select(col("word"), col("p"), col("q").as("m"), col("c").as("c1"))
+          .join(r.select(col("word"), col("p").as("m"), col("q"), col("c").as("c2")),
+            Seq("word", "m"))
+          .select(col("word"), col("p"), col("q"), (col("c1") + col("c2")).as("c"))
+        val next = r.select(col("word"), col("p"), col("q"), col("c"))
+          .union(comp)
+          .groupBy(col("word"), col("p"), col("q")).agg(min(col("c")).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        r.unpersist(blocking = false)
+        r = next
+      }
+      val out = words
+        .join(r.filter(col("p") === 0), Seq("word"))
+        .filter(col("q") === length(col("word")))
+        .select(col("word"), col("f"),
+          (col("c") % 64).cast("long").as("n_tokens"),
+          expr("c DIV 64").as("cost"))
+        .localCheckpoint(true)
+      r.unpersist(blocking = false)
+      out
+    } finally words.unpersist(blocking = false)
+  }
+
   /** The pruned vocabulary: top `vocabTarget` pieces by (w DESC, piece
     * ASC) + every single character regardless of rank (Kudo §3.2 keeps
     * chars unconditionally so segmentation never fails). Returns

@@ -316,6 +316,41 @@ object LlmOps {
        |${f}out AS (SELECT src, rn, dst, cos FROM ${f}vg
        |  UNION ALL SELECT src, rn, dst, cos FROM ${f}og)""".stripMargin
 
+  /** The unigram-LM training replay through the round-2 weights `w2`
+    * (word-freq pass, substring occurrence fan-out, candidate HAVING,
+    * two EM rounds of integer-ppm shares) — shared by the training entry
+    * and the Viterbi-apply entry so the two replays cannot drift. */
+  private def sqlUnigramTrainCtes: String =
+    """words AS (
+      |  SELECT word, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE length(word) >= 1 AND length(word) <= 30
+      |  GROUP BY word),
+      |occ AS (
+      |  SELECT word, f, p.pos AS pos,
+      |    substr(word, CAST(p.pos + 1 AS INT), CAST(l.l AS INT)) AS piece
+      |  FROM words
+      |  CROSS JOIN range(30) p(pos)
+      |  CROSS JOIN range(1, 5) l(l)
+      |  WHERE p.pos < length(word) AND p.pos + l.l <= length(word)),
+      |w0 AS (
+      |  SELECT piece, CAST(sum(f) AS BIGINT) AS w FROM occ GROUP BY piece
+      |  HAVING CAST(sum(f) AS BIGINT) >= 500 OR length(piece) = 1),
+      |d1 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
+      |  FROM occ o JOIN w0 w ON w.piece = o.piece GROUP BY o.word, o.pos),
+      |w1 AS (SELECT o.piece,
+      |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
+      |  FROM occ o JOIN w0 w ON w.piece = o.piece
+      |  JOIN d1 d ON d.word = o.word AND d.pos = o.pos
+      |  GROUP BY o.piece),
+      |d2 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
+      |  FROM occ o JOIN w1 w ON w.piece = o.piece GROUP BY o.word, o.pos),
+      |w2 AS (SELECT o.piece,
+      |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
+      |  FROM occ o JOIN w1 w ON w.piece = o.piece
+      |  JOIN d2 d ON d.word = o.word AND d.pos = o.pos
+      |  GROUP BY o.piece)""".stripMargin
+
   /** The builder chain with a WHERE on the source `e` — the incremental
     * insert's oracle replays the FROZEN graph over the old corpus only. */
   private[queries] def sqlKnnGraphCtesWhere(where: String): String =
@@ -1670,6 +1705,29 @@ object LlmOps {
         .orderBy(col("rank"))
     },
 
+    // B125 EXACT Viterbi segmentation with the trained unigram weights —
+    // [[graft.operators.UnigramLm.viterbiSegment]] (the APPLY half; the
+    // min-plus-doubling DP and the combined cost·64+n_tokens encoding on
+    // the operator): per word type the lexicographically (cost, n_tokens)
+    // minimal segmentation under cost(piece) = 1 + 1e12 DIV w(piece),
+    // rolled up per document. The oracle replays the full training chain
+    // (shared sqlUnigramTrainCtes) + the edge table + all 5 doubling
+    // rounds + the per-doc rollup under one hash. UnigramLmSpec pins the
+    // DP against a driver-side exhaustive-enumeration Viterbi.
+    "q_text_tokens_viterbi" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val seg = graft.operators.UnigramLm.viterbiSegment(docs,
+        maxPieceLen = 4, minCount = 500L, emRounds = 2,
+        costScale = 1000000000000L)
+      docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")).between(1, 30))
+        .join(seg.select(col("word"), col("n_tokens"), col("cost")), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_tokens")).as("n_tokens"), sum(col("cost")).as("cost"))
+        .orderBy(col("doc_id"))
+    },
+
     // B52 quality score: weighted blend of length, lexical diversity and
     // stopword presence (all int-ratio terms ⇒ engine-exact doubles).
     "q_text_quality" -> { (s, d) =>
@@ -2876,37 +2934,46 @@ object LlmOps {
     // unigram-LM training replay: word-freq pass, substring occurrence
     // fan-out, candidate HAVING, two EM rounds of integer-ppm share
     // redistribution, two-stage prune rank — every DIV truncation and
-    // tie-break matching UnigramLm term for term
+    // tie-break matching UnigramLm term for term (shared CTE prefix with
+    // the Viterbi-apply oracle so the two replays cannot drift)
+    // Viterbi apply replay: the shared training chain + the vocab edge
+    // table + 5 min-plus doubling rounds (r_k referenced twice each —
+    // MATERIALIZED) + the 0→len readout and per-doc rollup
+    "q_text_tokens_viterbi" -> {
+      def dbl(prev: String, f: String): String =
+        s"""$f AS MATERIALIZED (SELECT word, p, q, min(c) AS c FROM (
+           |  SELECT word, p, q, c FROM $prev
+           |  UNION ALL
+           |  SELECT a.word, a.p, b.q, a.c + b.c
+           |  FROM $prev a JOIN $prev b ON b.word = a.word AND b.p = a.q) u
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      s"""WITH $sqlUnigramTrainCtes,
+         |edges AS (SELECT o.word, o.pos AS p,
+         |    o.pos + length(o.piece) AS q,
+         |    CAST((1 + 1000000000000 // w.w) * 64 + 1 AS BIGINT) AS c
+         |  FROM occ o JOIN w2 w ON w.piece = o.piece),
+         |r0 AS MATERIALIZED (SELECT word, p, q, min(c) AS c FROM edges
+         |  GROUP BY 1, 2, 3),
+         |${dbl("r0", "r1")},
+         |${dbl("r1", "r2")},
+         |${dbl("r2", "r3")},
+         |${dbl("r3", "r4")},
+         |${dbl("r4", "r5")},
+         |wt AS (SELECT w.word, CAST(r.c % 64 AS BIGINT) AS n_tokens,
+         |    CAST(r.c // 64 AS BIGINT) AS cost
+         |  FROM words w JOIN r5 r ON r.word = w.word
+         |    AND r.p = 0 AND r.q = length(w.word)),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT d.doc_id, CAST(sum(wt.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(wt.cost) AS BIGINT) AS cost
+         |FROM dw d JOIN wt ON wt.word = d.word
+         |WHERE length(d.word) BETWEEN 1 AND 30
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q_text_tokens_unigram" ->
-      """WITH words AS (
-        |  SELECT word, count(*) AS f FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-        |  WHERE length(word) >= 1 AND length(word) <= 30
-        |  GROUP BY word),
-        |occ AS (
-        |  SELECT word, f, p.pos AS pos,
-        |    substr(word, CAST(p.pos + 1 AS INT), CAST(l.l AS INT)) AS piece
-        |  FROM words
-        |  CROSS JOIN range(30) p(pos)
-        |  CROSS JOIN range(1, 5) l(l)
-        |  WHERE p.pos < length(word) AND p.pos + l.l <= length(word)),
-        |w0 AS (
-        |  SELECT piece, CAST(sum(f) AS BIGINT) AS w FROM occ GROUP BY piece
-        |  HAVING CAST(sum(f) AS BIGINT) >= 500 OR length(piece) = 1),
-        |d1 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
-        |  FROM occ o JOIN w0 w ON w.piece = o.piece GROUP BY o.word, o.pos),
-        |w1 AS (SELECT o.piece,
-        |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
-        |  FROM occ o JOIN w0 w ON w.piece = o.piece
-        |  JOIN d1 d ON d.word = o.word AND d.pos = o.pos
-        |  GROUP BY o.piece),
-        |d2 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
-        |  FROM occ o JOIN w1 w ON w.piece = o.piece GROUP BY o.word, o.pos),
-        |w2 AS (SELECT o.piece,
-        |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
-        |  FROM occ o JOIN w1 w ON w.piece = o.piece
-        |  JOIN d2 d ON d.word = o.word AND d.pos = o.pos
-        |  GROUP BY o.piece),
+      s"""WITH $sqlUnigramTrainCtes,
         |ranked AS (SELECT piece, w,
         |    row_number() OVER (ORDER BY w DESC, piece) AS r0 FROM w2),
         |kept AS (SELECT piece, w FROM ranked

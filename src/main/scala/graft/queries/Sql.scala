@@ -99,6 +99,35 @@ object Sql {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): correlated EXISTS against
+    * the fact table + date-range filter + interval arithmetic. ADAPTED:
+    * the fixture has no commit/receipt dates, so "late line item" is
+    * l_shipdate > o_orderdate + 60 days — the EXISTS decorrelation (what
+    * the entry exercises) is unchanged. */
+  private val tpch4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation ratio
+    * over a fact⋈dim join. Both sums ship as exact scaled integers (the
+    * ratio is the reader's division) — a floating ratio of two
+    * distributed sums is the one thing the float discipline forbids. */
+  private val tpch14 =
+    """SELECT year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN round((l_extendedprice * (1 - l_discount)) * 1e4) ELSE 0 END) AS BIGINT) AS promo_rev4,
+      |  CAST(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) AS BIGINT) AS total_rev4
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY year(CAST(l_shipdate AS TIMESTAMP))
+      |ORDER BY l_year""".stripMargin
+
   /** Correlated scalar subquery + HAVING — frontend features the DataFrame
     * catalog doesn't separately exercise. */
   private val subq =
@@ -200,8 +229,10 @@ object Sql {
   val defs: Map[String, Q] = Map(
     "q_sql_tpch1" -> run(tpch1),
     "q_sql_tpch3" -> run(tpch3),
+    "q_sql_tpch4" -> run(tpch4),
     "q_sql_tpch5" -> run(tpch5),
     "q_sql_tpch9" -> run(tpch9),
+    "q_sql_tpch14" -> run(tpch14),
     "q_sql_tpch18" -> run(tpch18),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
@@ -213,8 +244,10 @@ object Sql {
   val oracle: Map[String, String] = Map(
     "q_sql_tpch1" -> tpch1,
     "q_sql_tpch3" -> tpch3,
+    "q_sql_tpch4" -> tpch4,
     "q_sql_tpch5" -> tpch5,
     "q_sql_tpch9" -> tpch9,
+    "q_sql_tpch14" -> tpch14,
     "q_sql_tpch18" -> tpch18,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,

@@ -53,6 +53,53 @@ class UnigramLmSpec extends SparkSpecBase {
       s"pruned vocab diverged: ${v.toSeq}")
   }
 
+  test("Viterbi apply: DP equals an exhaustive-enumeration reference at two cost scales") {
+    // B125: the min-plus-doubling DP must equal the DEFINITION — the
+    // lexicographic (cost, n_tokens) minimum over ALL segmentations of
+    // each word into trained-vocab pieces. Exhaustive enumeration is the
+    // structurally different second witness (the DuckDB replay is the
+    // first). Two scales: 1e7 makes [a,b] (cost 4+6=10) beat [ab]
+    // (cost 16) on "ab" — the per-piece cost genuinely steers the
+    // segmentation, not just the token count.
+    val s = spark
+    import s.implicits._
+    val docs = plantedDocs
+    val trainedW = UnigramLm.train(docs, maxPieceLen = 2, minCount = 2L,
+      emRounds = 1).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("w")).toMap
+    def enumerate(word: String, scale: Long): (Long, Long) = {
+      // all segmentations; min combined = cost*64 + ntok
+      def best(s0: String): Option[Long] =
+        if (s0.isEmpty) Some(0L)
+        else (1 to math.min(2, s0.length)).flatMap { l =>
+          val piece = s0.substring(0, l)
+          trainedW.get(piece).flatMap { w =>
+            best(s0.substring(l)).map(rest =>
+              (1L + scale / w) * 64 + 1 + rest)
+          }
+        }.minOption
+      val c = best(word).get
+      (c / 64, c % 64)
+    }
+    Seq(10000000L, 1L).foreach { scale =>
+      val got = UnigramLm.viterbiSegment(docs, maxPieceLen = 2,
+          minCount = 2L, emRounds = 1, costScale = scale, maxWordLen = 30)
+        .collect()
+        .map(r => r.getAs[String]("word") ->
+          ((r.getAs[Long]("cost"), r.getAs[Long]("n_tokens")))).toMap
+      Seq("aa", "ab").foreach { w =>
+        assert(got(w) === enumerate(w, scale),
+          s"DP diverges from exhaustive Viterbi for '$w' at scale $scale")
+      }
+    }
+    // the steering claim: at 1e7 the per-piece costs split "ab" into
+    // [a, b] (2 tokens) even though [ab] (1 token) exists in the vocab
+    val steered = UnigramLm.viterbiSegment(docs, 2, 2L, 1, 10000000L, 30)
+      .filter(col("word") === "ab").collect().head
+    assert(steered.getAs[Long]("n_tokens") === 2L,
+      "cost steering vacuous: the 1-token segmentation won anyway")
+  }
+
   test("EM is mass-bounded and keeps every single character (fixture corpus)") {
     // invariants on the real fixture: (1) per-(word,pos) shares sum to
     // <= 1e6 by construction, so total round-r mass <= 1e6 * total
