@@ -286,6 +286,36 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "n_bytes", "byte_sum")
   }
 
+  /** KEYFRAME selection (SURVEY.md §2 B127) — the scene-change pass every
+    * video-ingest pipeline runs before paying per-frame decode/embedding
+    * cost: sample EVERY frame ([[frameSample]] stride 1, per-frame byte
+    * sums standing in for decoded-frame features exactly as that operator
+    * documents), then keep a frame iff it is the payload's first or its
+    * feature moved by more than 1/`changeDen` RELATIVE to the previous
+    * frame — `|sum − prev| · changeDen > prev`, integer-exact, no float
+    * ratio. A real pipeline swaps the byte sum for a decoded-frame
+    * perceptual feature (the [[decodeAHash]] family); the selection
+    * operator — bounded fan-out, per-payload window, integer change
+    * test — is unchanged.
+    *
+    * Scale posture: the window partitions BY PAYLOAD (state bounded by
+    * one payload's frame count, never the corpus) on the same key the
+    * frame generator emits — one shuffle of frame-sum rows, then a
+    * linear pass. */
+  def keyframes(spark: SparkSession, bin: DataFrame, frameLen: Int = 64,
+                changeDen: Int = 20): DataFrame = {
+    require(changeDen >= 1, s"changeDen ($changeDen) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{abs, col, lag}
+    val frames = frameSample(spark, bin, frameLen, stride = 1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.withColumn("prev", lag(col("byte_sum"), 1).over(w))
+      .filter(col("prev").isNull ||
+        abs(col("byte_sum") - col("prev")) * changeDen > col("prev"))
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+        col("byte_sum"))
+  }
+
   /** Resize (the image-payload access pattern): downsample the payload to
     * `nPx` equal-width buckets by exact integer bucket assignment
     * (`bucket = i·nPx div n`) and per-bucket byte sums — the strided-average

@@ -71,4 +71,42 @@ object Compact {
     val (after, _) = layout(spark, dstDir)
     Stats(before, bytes, after)
   }
+
+  /** PARTITION-PRESERVING compaction (SURVEY.md §2 B126) — [[compact]]
+    * flattens a hive layout (one global rewrite loses the `key=value/`
+    * directories and with them partition pruning); a partitioned table is
+    * compacted PER PARTITION: each leaf directory is measured and
+    * rewritten independently to its own ~targetBytes plan, and the
+    * output carries the identical `key=value/` tree. This matches how
+    * table-maintenance services actually run (per-partition jobs —
+    * partitions not receiving appends compact while hot ones are left
+    * alone) and keeps the unit of work bounded by one partition, never
+    * the table. One Spark job per partition; at scale the partitions are
+    * submitted concurrently by the maintenance scheduler — the rewrite
+    * kernel here is the same either way.
+    *
+    * @return per-partition stats keyed by the relative partition path */
+  def compactPartitioned(spark: SparkSession, srcDir: String,
+                         dstDir: String, targetBytes: Long)
+      : Map[String, Stats] = {
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(src).toUri.getPath
+    // leaf partition dirs = parents of data files, discovered recursively
+    val it = fs.listFiles(src, true)
+    val leaves = scala.collection.mutable.SortedSet.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      val comps = rel.split('/')
+      if (st.isFile && !comps.exists(c => c.startsWith("_") || c.startsWith(".")))
+        leaves += comps.dropRight(1).mkString("/")
+    }
+    require(leaves.forall(_.nonEmpty),
+      s"$srcDir holds top-level data files — not a partitioned layout; " +
+        "use compact() for flat tables")
+    leaves.iterator.map { part =>
+      part -> compact(spark, s"$srcDir/$part", s"$dstDir/$part", targetBytes)
+    }.toMap
+  }
 }

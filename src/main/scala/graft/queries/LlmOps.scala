@@ -1883,6 +1883,18 @@ object LlmOps {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // B127 KEYFRAME selection — [[graft.multimodal.Multimodal.keyframes]]
+    // (scene-change pass over every frame; contract + scale posture on
+    // the operator): keep frame 0 and any frame whose byte-sum feature
+    // moved by > 1/20 relative to the previous frame, integer-exact.
+    // Probed non-vacuous on the fixture: 100 firsts + 96 scene changes
+    // kept, 294 static frames dropped. The oracle replays frame slicing,
+    // per-frame sums, the lag, and the integer change test.
+    "q_video_keyframes" -> { (s, d) =>
+      graft.multimodal.Multimodal.keyframes(s, Sources.binaryDocs(s, d))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // B53 resize: each payload downsampled to 16 equal-width buckets with
     // exact integer bucket assignment; the "pixel" is the rounded bucket
     // mean (exact integer sum / exact count — engine- and order-exact).
@@ -3214,6 +3226,28 @@ object LlmOps {
         |  CAST(list_sum(list_transform(range(1, length(fr) + 1),
         |    i -> ord(substr(fr, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // keyframes: every-frame sums + per-payload lag + the integer
+    // relative-change test |sum - prev| * 20 > prev
+    "q_video_keyframes" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, text, unnest(range(0, (n + 63) // 64)) AS fi FROM d),
+        |s AS (SELECT doc_id, fi, substr(text, CAST(fi * 64 + 1 AS INT), 64) AS fr
+        |      FROM f),
+        |sums AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(length(fr) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(1, length(fr) + 1),
+        |    i -> ord(substr(fr, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+        |  FROM s),
+        |lagd AS (SELECT doc_id, frame_idx, n_bytes, byte_sum,
+        |  lag(byte_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM sums)
+        |SELECT doc_id, frame_idx, n_bytes, byte_sum
+        |FROM lagd
+        |WHERE prev IS NULL OR abs(byte_sum - prev) * 20 > prev
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_resize" ->
       """WITH d AS (

@@ -449,6 +449,29 @@ object Sources {
         .orderBy(col("doc_id"))
     },
 
+    // B126 PARTITION-PRESERVING compaction —
+    // [[graft.operators.Compact.compactPartitioned]] (per-leaf rewrite,
+    // layout preserved; posture on the operator): a fragmented
+    // source=…-partitioned copy of documents (8 files per partition) is
+    // compacted per partition, and the entry returns the compacted
+    // table's content READ THROUGH the hive layout with a partition
+    // filter — so the hash breaks if the rewrite loses a row, corrupts a
+    // payload, OR destroys the key=value tree the pruned read depends
+    // on. Per-partition file-count/idempotence claims are CompactSpec's.
+    "q_maint_compact_part" -> { (s, d) =>
+      val frag = scratch(d, "fragpart")
+      val comp = scratch(d, "compactpart")
+      Tables.documents(s, d).repartition(8)
+        .write.mode("overwrite").partitionBy("source").parquet(frag)
+      graft.operators.Compact.compactPartitioned(s, frag, comp,
+        targetBytes = 256 * 1024)
+      s.read.parquet(comp)
+        .filter(col("source") > "src1")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -475,6 +498,13 @@ object Sources {
     "q_maint_compact" ->
       """SELECT doc_id, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // partitioned compaction: content-transparent AND layout-preserving —
+    // the entry reads through the rewritten hive tree with a partition
+    // filter, so a flattened layout or lost partition breaks the hash
+    "q_maint_compact_part" ->
+      """SELECT doc_id, source, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE source > 'src1' ORDER BY doc_id""".stripMargin,
 
     "q_schema_merge" ->
       s"""SELECT CAST(1 AS INT) AS b, 'pre_schema' AS status, count(*) AS n,

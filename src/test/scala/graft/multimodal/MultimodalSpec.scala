@@ -30,6 +30,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((0, 4, 1L + 2 + 3 + 4), (2, 2, 9L + 10)))
   }
 
+  test("keyframes: first kept, static dropped, jump kept, threshold strict") {
+    // B127 on a hand-built payload, frameLen=4, changeDen=20:
+    //   frame 0: [10,10,10,10] sum 40 -> kept (first)
+    //   frame 1: [10,10,10,11] sum 41 -> |1|*20=20 <= 40 -> dropped
+    //   frame 2: [10,10,10,13] sum 43 -> |2|*20=40 <= 41 -> dropped (BOUNDARY
+    //            CASE would be |Δ|*20 == prev exactly; strict > drops it)
+    //   frame 3: [50,50,50,50] sum 200 -> |157|*20 >> 43 -> kept (scene cut)
+    //   frame 4: [50,50,50,50] sum 200 -> Δ=0 -> dropped
+    val bytes = Array[Byte](10, 10, 10, 10, 10, 10, 10, 11, 10, 10, 10, 13,
+      50, 50, 50, 50, 50, 50, 50, 50)
+    val kept = Multimodal.keyframes(spark, binDf(Seq((1L, bytes))),
+        frameLen = 4, changeDen = 20)
+      .orderBy(col("frame_idx")).collect().map(_.getInt(1)).toSeq
+    assert(kept === Seq(0, 3), s"kept frames: $kept")
+    // the exact-boundary strictness: prev=40, delta=2 -> 2*20=40, NOT > 40
+    val b2 = Array[Byte](10, 10, 10, 10, 10, 10, 10, 12)
+    val kept2 = Multimodal.keyframes(spark, binDf(Seq((1L, b2))),
+        frameLen = 4, changeDen = 20)
+      .collect().map(_.getInt(1)).toSeq
+    assert(kept2 === Seq(0), "boundary |delta|*den == prev must be dropped")
+  }
+
   test("frameSample of an empty payload emits no frames") {
     assert(Multimodal.frameSample(spark,
       binDf(Seq((1L, Array.emptyByteArray)))).count() === 0)

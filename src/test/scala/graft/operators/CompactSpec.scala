@@ -44,6 +44,51 @@ class CompactSpec extends SparkSpecBase {
       a.map(x => x: AnyRef), b.map(x => x: AnyRef)))
   }
 
+  test("partitioned compaction preserves the hive tree, plans per leaf, refuses flat tables") {
+    // B126: per-partition plans from per-partition bytes, the key=value
+    // tree survives, content is identical through the partitioned read,
+    // re-compaction is a layout no-op, and a flat table is refused loudly.
+    val frag = scratch("compactp_frag")
+    val out = scratch("compactp_out")
+    spark.range(30000L)
+      .select(col("id"), (col("id") % 3).as("k"),
+        concat(lit("payload-"), col("id")).as("s"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("k").parquet(frag)
+    val stats = Compact.compactPartitioned(spark, frag, out, targetBytes = 64 * 1024)
+    assert(stats.keySet === Set("k=0", "k=1", "k=2"), s"leaves: ${stats.keySet}")
+    stats.foreach { case (part, st) =>
+      assert(st.filesBefore === 8, s"$part expected 8 fragments")
+      assert(st.filesAfter === Compact.planFiles(st.bytes, 64 * 1024),
+        s"$part landed off-plan: $st")
+    }
+    // layout: key=value dirs exist in the output
+    val outDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(outDirs === Set("k=0", "k=1", "k=2"), s"hive tree lost: $outDirs")
+    // content identical through the partitioned read (k comes back as a
+    // partition-inferred column — cast pins the comparison type)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select(col("id"), col("k").cast("long").as("k"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val a = rows(frag)
+    val b = rows(out)
+    assert(a === b, "partitioned compaction changed content")
+    // idempotence
+    val again = Compact.compactPartitioned(spark, out,
+      scratch("compactp_out2"), targetBytes = 64 * 1024)
+    assert(again.map { case (p, st) => p -> st.filesAfter } ===
+      stats.map { case (p, st) => p -> st.filesAfter },
+      "re-compaction changed the per-partition layout")
+    // a flat table is refused (use compact() instead)
+    val flat = scratch("compactp_flat")
+    write(flat, parts = 4, rows = 100)
+    val e = intercept[IllegalArgumentException] {
+      Compact.compactPartitioned(spark, flat, scratch("compactp_flatout"), 1024)
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("idempotence: compacting the compacted table is a layout no-op") {
     val frag = scratch("compact_idem_in")
     val out1 = scratch("compact_idem_1")
