@@ -104,6 +104,33 @@ object Curation {
         .orderBy(col("term"))
     },
 
+    // B128 positional PHRASE search — the retrieval operation the B54
+    // doc-level inverted index cannot answer: "these words ADJACENT, in
+    // order". Postings carry POSITIONS (term, doc_id, pos — the Lucene
+    // proximity-query layout); a phrase match is one broadcast join of
+    // the phrase table onto the postings plus ONE positional self-join
+    // (pos₂ = pos₁ + 1, all-equi → hash join), never a regex rescan of
+    // the corpus. Cost scales with posting-list sizes of the phrase's
+    // terms, not corpus bytes; longer phrases chain one join per gap.
+    // Phrases probed non-vacuous at both SFs (29–34 / 289–290 docs).
+    "q_text_phrase" -> { (s, d) =>
+      import s.implicits._
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val ph = Seq(("table value", "table", "value"),
+        ("key agg", "key", "agg")).toDF("phrase", "w1", "w2")
+      post.join(broadcast(ph), col("term") === col("w1"))
+        .select(col("phrase"), col("w2"), col("doc_id"),
+          (col("pos") + 1).as("pos2"))
+        .join(post.select(col("doc_id"), col("pos").as("pos2"),
+          col("term").as("t2")), Seq("doc_id", "pos2"))
+        .filter(col("t2") === col("w2"))
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("phrase"), col("doc_id"))
+    },
+
     // Embedding mean-pool per label class: posexplode dims → (label, dim)
     // aggregate with map-side combine. Float sums are order-dependent, so
     // the mean rides the integer-scaled exact-sum trick (QUtil doc): round
@@ -646,6 +673,21 @@ object Curation {
         |  array_to_string(list_transform(list_sort(list(doc_id))[1:20],
         |    x -> CAST(x AS VARCHAR)), ',') AS postings
         |FROM pairs GROUP BY term ORDER BY term""".stripMargin,
+
+    // phrase search: positional postings + the adjacency self-join
+    "q_text_phrase" ->
+      """WITH p AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(string_split(text, ' '))),
+        |      i -> {'pos': i, 'term': string_split(text, ' ')[i+1]})) AS u
+        |  FROM documents),
+        |pp AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM p),
+        |ph AS (SELECT * FROM (VALUES ('table value', 'table', 'value'),
+        |  ('key agg', 'key', 'agg')) v(phrase, w1, w2))
+        |SELECT ph.phrase, a.doc_id AS doc_id, count(*) AS n_hits
+        |FROM ph JOIN pp a ON a.term = ph.w1
+        |JOIN pp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.term = ph.w2
+        |GROUP BY 1, 2 ORDER BY phrase, a.doc_id""".stripMargin,
 
     "q_embed_pool" ->
       """WITH x AS (
