@@ -130,7 +130,14 @@ object UnigramLm {
         .agg(min(col("c")).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
-      val rounds = (math.log(maxWordLen.toDouble) / math.log(2.0)).ceil.toInt
+      // rounds sized to the CORPUS's longest word, not the cap: a path has
+      // ≤ maxLen unit edges, so ceil(log2(maxLen)) doublings close it —
+      // one 1-row aggregate of already-materialized state (the Bpe argmax
+      // convention), and each saved round is a saved shuffle trio
+      val maxLen = math.max(1L,
+        words.agg(max(length(col("word")))).collect()(0).getInt(0).toLong)
+      val rounds =
+        (math.log(maxLen.toDouble) / math.log(2.0)).ceil.toInt.max(1)
       for (_ <- 1 to rounds) {
         val comp = r.select(col("word"), col("p"), col("q").as("m"), col("c").as("c1"))
           .join(r.select(col("word"), col("p").as("m"), col("q"), col("c").as("c2")),
