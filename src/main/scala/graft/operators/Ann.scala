@@ -879,16 +879,52 @@ object Ann {
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val gOld = knnGraph(emb.filter(!isQuery), k, cfg, rounds, buildK)
-      val n = withNorm(emb)
-      val candV = frozenWalkCandidates(emb, isQuery, gOld, cfg, hops)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = knnTopKOf(spark, k, knnScorePairs(n, candV))
-        .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
-          col("cos_sim"))
-        .localCheckpoint(true)
-      candV.unpersist(blocking = false)
-      out
+      knnSearchInto(emb, isQuery, gOld, k, cfg, hops)
     } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
+  /** The search kernel with EXPLICIT state ([[knnSearch]] minus the
+    * build): answer the `isQuery` rows of `embVisible` against the
+    * caller-supplied frozen graph `gOld` — the form a serving tier runs,
+    * where the index is a loaded artifact ([[knnStreamServe]] is the
+    * streaming driver). Same walk and re-rank as [[knnSearch]]; the
+    * index is READ, never written. */
+  def knnSearchInto(embVisible: DataFrame, isQuery: Column, gOld: DataFrame,
+                    k: Int, cfg: EmbedLshConfig, hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val spark = embVisible.sparkSession
+    val candV = frozenWalkCandidates(embVisible, isQuery, gOld, cfg, hops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = knnTopKOf(spark, k, knnScorePairs(withNorm(embVisible), candV))
+      .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
+        col("cos_sim"))
+      .localCheckpoint(true)
+    candV.unpersist(blocking = false)
+    out
+  }
+
+  /** STREAMING graph-ANN SERVING (SURVEY.md §2 B129) — the read side of
+    * the streaming index lifecycle ([[knnStreamBatch]] maintains, this
+    * answers): the graph is built OFFLINE over the corpus (the frozen
+    * artifact a serving tier deploys — the q_stream_curate_scored
+    * offline-train/online-apply convention), query batches arrive on a
+    * stream, and each micro-batch is answered by the [[knnSearchInto]]
+    * walk against corpus + THIS batch — per-batch LSH blocking sees the
+    * corpus plus the arriving queries only (arrival-time occupancy,
+    * exactly the insert entry's timeline discipline), and queries never
+    * touch the index or each other's batches. Answers land batchId-keyed
+    * (`<aRoot>/b<id>`, mode OVERWRITE) — a retry rewrites its own
+    * directory; with a static index and no cross-batch state that alone
+    * is exactly-once. */
+  def knnStreamServe(batch: DataFrame, batchId: Long, corpus: DataFrame,
+                     gFrozen: DataFrame, aRoot: String, k: Int,
+                     cfg: EmbedLshConfig, hops: Int = 2): Unit = {
+    val cur = batch.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("is_q", lit(true))
+    val visible = corpus.withColumn("is_q", lit(false)).unionByName(cur)
+    knnSearchInto(visible, col("is_q"), gFrozen, k, cfg, hops)
+      .write.mode("overwrite").parquet(s"$aRoot/b$batchId")
   }
 
   /** k-NN-graph DELETION maintenance (SURVEY.md §2 B122) — the third

@@ -245,18 +245,17 @@ object LlmOps {
     * the two replays cannot drift. */
   private def sqlKnnGraphCtes: String = sqlKnnGraphCtesWhere("")
 
-  /** One incremental-insert stage replay (shared by q_embed_knn_insert
-    * and q_stream_knn_insert so the two timelines cannot drift): visible
-    * corpus = embeddings WHERE `visWhere`, delta rows = `isDeltaSql`
+  /** The shared WALK prefix of an insert/search stage (factored so the
+    * B119/B124 insert and B120/B129 search oracles cannot drift):
+    * visible corpus = embeddings WHERE `visWhere`, new rows = `isNewSql`
     * (over alias `b.vec_id`), frozen graph = CTE `gold` (src, dst, cos —
-    * k-prefix lists over the non-delta rows). Emits CTEs prefixed `f`,
-    * ending at `${f}out` (src, rn, dst, cos): combined-corpus blocking,
-    * the 2-hop frozen-graph walk, the delta re-rank, and the
-    * reverse-update re-rank of the old lists. cand CTEs AS MATERIALIZED
+    * k-prefix lists over the old rows). Emits CTEs prefixed `f`:
+    * arrival-time LSH blocking, the 2-hop frozen-graph expansion, and
+    * the new-side exact re-rank `${f}vg`. cand CTEs AS MATERIALIZED
     * (each referenced twice; default inlining re-expands the upstream
     * chain — the 6 min → 10 s lesson). */
-  private[queries] def sqlKnnInsertStage(f: String, visWhere: String,
-      isDeltaSql: String, gold: String): String =
+  private def sqlKnnWalkCtes(f: String, visWhere: String,
+      isNewSql: String, gold: String): String =
     s"""${f}e AS (SELECT vec_id, embedding FROM embeddings $visWhere),
        |${f}norms AS (
        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
@@ -273,7 +272,7 @@ object LlmOps {
        |  FROM ${f}pdots GROUP BY vec_id, j // ${KnnLshCfg.bits}),
        |${f}ok AS (SELECT band, bucket FROM ${f}buckets
        |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
-       |${f}bx AS (SELECT b.vec_id, b.band, b.bucket, ($isDeltaSql) AS isd
+       |${f}bx AS (SELECT b.vec_id, b.band, b.bucket, ($isNewSql) AS isd
        |  FROM ${f}buckets b JOIN ${f}ok z ON z.band = b.band AND z.bucket = b.bucket),
        |${f}seeds AS (SELECT DISTINCT d.vec_id AS src, o.vec_id AS dst
        |  FROM ${f}bx d JOIN ${f}bx o ON o.band = d.band AND o.bucket = d.bucket
@@ -297,7 +296,14 @@ object LlmOps {
        |        ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
        |    FROM ${f}vdt d JOIN ${f}norms ns ON ns.vec_id = d.src
        |    JOIN ${f}norms nd ON nd.vec_id = d.dst) t
-       |  WHERE rn <= $KnnK),
+       |  WHERE rn <= $KnnK)""".stripMargin
+
+  /** One incremental-INSERT stage ([[sqlKnnWalkCtes]] + the
+    * reverse-update re-rank of the old lists): ends at `${f}out`
+    * (src, rn, dst, cos) covering delta AND updated-old lists. */
+  private[queries] def sqlKnnInsertStage(f: String, visWhere: String,
+      isDeltaSql: String, gold: String): String =
+    s"""${sqlKnnWalkCtes(f, visWhere, isDeltaSql, gold)},
        |${f}rdt AS (SELECT c.dst AS src, c.src AS dst,
        |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
        |  FROM ${f}candv c JOIN ${f}e a ON a.vec_id = c.dst
@@ -315,6 +321,14 @@ object LlmOps {
        |  WHERE rn <= $KnnK),
        |${f}out AS (SELECT src, rn, dst, cos FROM ${f}vg
        |  UNION ALL SELECT src, rn, dst, cos FROM ${f}og)""".stripMargin
+
+  /** One SERVING stage ([[sqlKnnWalkCtes]] alone — a query READS the
+    * index, no reverse update): ends at `${f}out` (src, rn, dst, cos)
+    * covering this batch's query answers only. */
+  private[queries] def sqlKnnSearchStage(f: String, visWhere: String,
+      isQuerySql: String, gold: String): String =
+    s"""${sqlKnnWalkCtes(f, visWhere, isQuerySql, gold)},
+       |${f}out AS (SELECT src, rn, dst, cos FROM ${f}vg)""".stripMargin
 
   /** The unigram-LM training replay through the round-2 weights `w2`
     * (word-freq pass, substring occurrence fan-out, candidate HAVING,

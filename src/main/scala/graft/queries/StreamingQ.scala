@@ -201,6 +201,29 @@ object StreamingQ {
       .option("pathGlobFilter", "batch*.parquet")
       .parquet(embSplitDir(s, d))
 
+  /** Three-file QUERY split (the vec_id < 10 query vectors, vec_id mod 3)
+    * for the streaming serving entry — the corpus itself never streams,
+    * it is the frozen index's training data. */
+  private def embQuerySplitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_embq3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      val q = graft.Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      writeSplit(q.filter(col("vec_id") % 3 === 0), dir, "batch0.parquet", 1000000L)
+      writeSplit(q.filter(col("vec_id") % 3 === 1), dir, "batch1.parquet", 2000000L)
+      writeSplit(q.filter(col("vec_id") % 3 === 2), dir, "batch2.parquet", 3000000L)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def embQueryStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(embQuerySplitDir(s, d))
+
   /** Child session for the multi-batch stateful queries: stateful streaming
     * partitions = state-store instances per micro-batch, so they are sized
     * to the STATE volume via [[graft.Sessions.statefulShufflePartitions]]
@@ -1036,6 +1059,52 @@ object StreamingQ {
         .select(col("src").as("vec_id"), col("rank"),
           col("dst").as("nbr_id"), col("cos_sim"))
         .orderBy(col("vec_id"), col("rank"))
+    },
+
+    // B129 STREAMING graph-ANN SERVING —
+    // [[graft.operators.Ann.knnStreamServe]] (read side of the streaming
+    // index lifecycle; contract on the operator): the graph is built
+    // OFFLINE over the corpus (vec_id >= 10 — the frozen artifact, the
+    // offline-train/online-apply convention of q_stream_curate_scored);
+    // the 10 query vectors arrive in 3 batches (vec_id % 3) and each
+    // micro-batch is answered by the B120 walk against corpus + THIS
+    // batch — per-batch LSH occupancy, no cross-batch state, batchId-
+    // keyed overwrite answers. Oracle = the corpus-only builder chain +
+    // three sqlKnnSearchStage replays (the factored walk shared with the
+    // insert oracles). StreamKnnSpec pins stream ≡ manual per-batch
+    // replay + rewrite idempotence.
+    "q_stream_knn_search" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_knnq_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val aRoot = new File(root, "a").getPath
+      // offline: the frozen index over the corpus, built before the stream
+      val corpus = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val gFrozen = graft.operators.Ann.knnGraph(corpus,
+        k = graft.queries.LlmOps.KnnK, graft.queries.LlmOps.KnnLshCfg,
+        rounds = 2, buildK = graft.queries.LlmOps.KnnBuildK)
+      val q = embQueryStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.Ann.knnStreamServe(batch, bid, corpus, gFrozen,
+            aRoot, k = graft.queries.LlmOps.KnnK,
+            graft.queries.LlmOps.KnnLshCfg, hops = 2)
+        }
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_knn_search still running after 300 s — refusing to read partial answers")
+      }
+      s.read.parquet(s"$aRoot/b*")
+        .orderBy(col("qid"), col("rank"))
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1399,6 +1468,23 @@ object StreamingQ {
          |SELECT src AS vec_id, CAST(rn AS INT) AS rank, dst AS nbr_id,
          |  cos AS cos_sim
          |FROM s2out ORDER BY vec_id, rank""".stripMargin,
+
+    // streaming serving: corpus-only builder chain + three search-stage
+    // walks (one per query batch, arrival-time occupancy each)
+    "q_stream_knn_search" ->
+      s"""WITH ${LlmOps.sqlKnnGraphCtesWhere("WHERE vec_id >= 10")},
+         |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= ${LlmOps.KnnK}),
+         |${LlmOps.sqlKnnSearchStage("t0",
+            "WHERE vec_id >= 10 OR vec_id % 3 = 0", "b.vec_id < 10", "gold")},
+         |${LlmOps.sqlKnnSearchStage("t1",
+            "WHERE vec_id >= 10 OR vec_id % 3 = 1", "b.vec_id < 10", "gold")},
+         |${LlmOps.sqlKnnSearchStage("t2",
+            "WHERE vec_id >= 10 OR vec_id % 3 = 2", "b.vec_id < 10", "gold")}
+         |SELECT src AS qid, CAST(rn AS INT) AS rank, dst AS cid,
+         |  cos AS cos_sim
+         |FROM (SELECT * FROM t0out UNION ALL SELECT * FROM t1out
+         |      UNION ALL SELECT * FROM t2out) f
+         |ORDER BY qid, rank""".stripMargin,
 
     "q_stream_curate_scored" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),

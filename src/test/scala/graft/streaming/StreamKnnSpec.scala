@@ -48,6 +48,38 @@ class StreamKnnSpec extends SparkSpecBase {
     assert(bs === Set(0L, 1L, 2L), s"lists missing for batches: ${Set(0L,1L,2L) -- bs}")
   }
 
+  test("streaming serving equals per-batch kernel replay; retry rewrites identical answers") {
+    // B129: the real stream's answers must equal a manual per-batch
+    // knnSearchInto replay against the same frozen index (per-batch LSH
+    // occupancy = corpus + that batch only), and a retried serve batch
+    // must rewrite byte-identical answers (static index, no state reads).
+    val corpus = emb(col("vec_id") >= 10)
+    val gFrozen = Ann.knnGraph(corpus, K, Cfg, rounds = 2, buildK = BK)
+    val expected = (0 to 2).flatMap { b =>
+      val qs = emb(col("vec_id") < 10 && col("vec_id") % 3 === b)
+        .withColumn("is_q", lit(true))
+      val visible = corpus.withColumn("is_q", lit(false)).unionByName(qs)
+      rows(Ann.knnSearchInto(visible, col("is_q"), gFrozen, K, Cfg, hops = 2))
+    }.toSet
+    val got = rows(graft.SparkEntry.queries("q_stream_knn_search")(spark, sf))
+    assert(got === expected,
+      "streaming answers diverge from the per-batch kernel replay")
+    assert(got.map(_._1) === (0L until 10L).toSet,
+      "not every query was answered")
+    // retry idempotence of the serve body
+    val aRoot = new java.io.File(scratch("stream_knn_serve_retry")).getPath
+    val b1 = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10 && col("vec_id") % 3 === 1)
+      .select(col("vec_id"), col("embedding"))
+    Ann.knnStreamServe(b1, 1, corpus, gFrozen, aRoot, K, Cfg, hops = 2)
+    val first = rows(spark.read.parquet(s"$aRoot/b1")
+      .select(col("qid"), col("rank"), col("cid"), col("cos_sim")))
+    Ann.knnStreamServe(b1, 1, corpus, gFrozen, aRoot, K, Cfg, hops = 2)
+    val second = rows(spark.read.parquet(s"$aRoot/b1")
+      .select(col("qid"), col("rank"), col("cid"), col("cos_sim")))
+    assert(first === second, "retried serve batch changed its answers")
+  }
+
   test("knnStreamBatch is exactly-once: a retried batch rewrites identical state") {
     val root = new java.io.File(scratch("stream_knn_retry"))
     val gRoot = new java.io.File(root, "g").getPath
