@@ -735,7 +735,17 @@ object Ann {
     val candV = frozenWalkCandidates(embVisible, isDelta, gOld, cfg, hops)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val listDelta = knnTopKOf(spark, k, knnScorePairs(n, candV))
-    // reverse update: old lists admit the delta vectors that saw them
+    // reverse update: old lists admit the delta vectors that saw them.
+    // MEASURED alternative (r14, rejected): the knnDeleteFrom
+    // untouched-verbatim trick — re-rank only the lists some delta
+    // candidate reversed onto — is EXACT here too, but on the 22k-vector
+    // soak it LOST (15.6 s → 23.5 s): a 1% delta's LSH-mates + 2-hop
+    // candidates already touch most old lists at this blocking geometry,
+    // so the extra distincts and anti/semi joins cost more than the
+    // skipped re-ranks. Delete keeps the trick because its affected set
+    // is genuinely tiny (only lists that POINTED at a deleted vector,
+    // ≤ k·|deleted|); insert's touched set is fan-out-shaped, not
+    // k-bounded. Full re-rank of the bounded lists table it is.
     val rev = candV.select(col("dst").as("src"), col("src").as("dst"))
     val listOld = knnTopKOf(spark, k,
       knnScorePairs(n, rev).union(gOld.select(col("src"), col("dst"),
@@ -964,29 +974,39 @@ object Ann {
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val g = knnGraph(emb, k, cfg, rounds, buildK)
-      val flags = emb.select(col("vec_id"), isDeleted.as("is_del"))
-      val gf = g
-        .join(flags.select(col("vec_id").as("src"), col("is_del").as("src_del")), "src")
-        .join(flags.select(col("vec_id").as("dst"), col("is_del").as("dst_del")), "dst")
-      val live = gf.filter(!col("src_del"))
-      val keep = live.filter(!col("dst_del"))
-      val affected = live.filter(col("dst_del")).select(col("src")).distinct()
-      val donate = live.filter(col("dst_del"))
-        .select(col("src"), col("dst").as("mid"))
-        .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
-        .join(flags.select(col("vec_id").as("dst"), col("is_del").as("w_del")), "dst")
-        .filter(!col("w_del") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-      val cand = keep.select(col("src"), col("dst")).join(affected, Seq("src"))
-        .union(donate).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val repaired = knnTopKOf(spark, k, knnScorePairs(withNorm(emb), cand))
-      val untouched = keep.join(affected, Seq("src"), "left_anti")
-        .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
-      val out = untouched.union(repaired).localCheckpoint(true)
-      cand.unpersist(blocking = false)
-      out
+      knnDeleteFrom(emb, isDeleted, g, k)
     } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
+  /** The delete kernel with EXPLICIT state ([[knnDelete]] minus the
+    * rebuild): tombstone-and-repair against the caller-supplied graph —
+    * the form a maintained index runs, symmetric with [[knnInsertInto]]
+    * and [[knnSearchInto]]. */
+  def knnDeleteFrom(emb: DataFrame, isDeleted: Column, g: DataFrame,
+                  k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val flags = emb.select(col("vec_id"), isDeleted.as("is_del"))
+    val gf = g
+      .join(flags.select(col("vec_id").as("src"), col("is_del").as("src_del")), "src")
+      .join(flags.select(col("vec_id").as("dst"), col("is_del").as("dst_del")), "dst")
+    val live = gf.filter(!col("src_del"))
+    val keep = live.filter(!col("dst_del"))
+    val affected = live.filter(col("dst_del")).select(col("src")).distinct()
+    val donate = live.filter(col("dst_del"))
+      .select(col("src"), col("dst").as("mid"))
+      .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .join(flags.select(col("vec_id").as("dst"), col("is_del").as("w_del")), "dst")
+      .filter(!col("w_del") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val cand = keep.select(col("src"), col("dst")).join(affected, Seq("src"))
+      .union(donate).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repaired = knnTopKOf(spark, k, knnScorePairs(withNorm(emb), cand))
+    val untouched = keep.join(affected, Seq("src"), "left_anti")
+      .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+    val out = untouched.union(repaired).localCheckpoint(true)
+    cand.unpersist(blocking = false)
+    out
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
