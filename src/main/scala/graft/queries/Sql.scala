@@ -128,6 +128,34 @@ object Sql {
       |GROUP BY year(CAST(l_shipdate AS TIMESTAMP))
       |ORDER BY l_year""".stripMargin
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure filter-and-
+    * aggregate scan — no join at all, the query whose whole cost is
+    * pushdown quality. The revenue sum ships as an exact scaled integer. */
+  private val tpch6 =
+    """SELECT CAST(sum(round((l_extendedprice * l_discount) * 1e4)) AS BIGINT) AS revenue4,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting): 4-way join, returnflag
+    * filter, top-20 customers by lost revenue. */
+  private val tpch10 =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) / 1e4, 4) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Correlated scalar subquery + HAVING — frontend features the DataFrame
     * catalog doesn't separately exercise. */
   private val subq =
@@ -231,7 +259,9 @@ object Sql {
     "q_sql_tpch3" -> run(tpch3),
     "q_sql_tpch4" -> run(tpch4),
     "q_sql_tpch5" -> run(tpch5),
+    "q_sql_tpch6" -> run(tpch6),
     "q_sql_tpch9" -> run(tpch9),
+    "q_sql_tpch10" -> run(tpch10),
     "q_sql_tpch14" -> run(tpch14),
     "q_sql_tpch18" -> run(tpch18),
     "q_sql_subquery" -> run(subq),
@@ -246,7 +276,9 @@ object Sql {
     "q_sql_tpch3" -> tpch3,
     "q_sql_tpch4" -> tpch4,
     "q_sql_tpch5" -> tpch5,
+    "q_sql_tpch6" -> tpch6,
     "q_sql_tpch9" -> tpch9,
+    "q_sql_tpch10" -> tpch10,
     "q_sql_tpch14" -> tpch14,
     "q_sql_tpch18" -> tpch18,
     "q_sql_subquery" -> subq,
