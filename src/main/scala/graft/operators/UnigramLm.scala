@@ -134,8 +134,10 @@ object UnigramLm {
       // ≤ maxLen unit edges, so ceil(log2(maxLen)) doublings close it —
       // one 1-row aggregate of already-materialized state (the Bpe argmax
       // convention), and each saved round is a saved shuffle trio
-      val maxLen = math.max(1L,
-        words.agg(max(length(col("word")))).collect()(0).getInt(0).toLong)
+      val maxLenRow = words.agg(max(length(col("word")))).collect()(0)
+      require(!maxLenRow.isNullAt(0),
+        "viterbiSegment on an empty corpus (no words within maxWordLen)")
+      val maxLen = math.max(1L, maxLenRow.getInt(0).toLong)
       val rounds =
         (math.log(maxLen.toDouble) / math.log(2.0)).ceil.toInt.max(1)
       for (_ <- 1 to rounds) {
