@@ -794,7 +794,15 @@ object Ann {
         val oldVecs = toE(ss.read.parquet(oldVecDirs.map(_._2.toString): _*))
           .withColumn("is_new", lit(false))
         val cur = toE(batch).withColumn("is_new", lit(true))
-        val gPrev = ss.read.parquet(dirs(gRoot).maxBy(_._1)._2.toString)
+        // g-before-v write ordering below is what makes this read safe: a
+        // committed vector dir implies its graph dir exists. The require
+        // documents (and fail-louds) that invariant rather than surfacing
+        // an `empty.maxBy` if the ordering is ever changed.
+        val gDirs = dirs(gRoot)
+        require(gDirs.nonEmpty,
+          s"no committed graph state under $gRoot for batch $batchId — " +
+            "vector dirs exist but no graph dir (g-before-v write ordering broken?)")
+        val gPrev = ss.read.parquet(gDirs.maxBy(_._1)._2.toString)
           .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
         knnInsertInto(oldVecs.unionByName(cur), col("is_new"), gPrev,
           k, cfg, hops)
@@ -809,9 +817,14 @@ object Ann {
                      gRoot: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(gRoot)
     val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
-    val newest = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val committed = (if (fs.exists(p))
+        fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      else Nil)
       .flatMap(q => q.getName.stripPrefix("b").toLongOption.map(_ -> q))
-      .maxBy(_._1)._2
+    require(committed.nonEmpty,
+      s"no committed graph state under $gRoot — reading index state " +
+        "before any batch committed (or gRoot/vRoot swapped)")
+    val newest = committed.maxBy(_._1)._2
     ss.read.parquet(newest.toString)
       .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
   }

@@ -439,6 +439,81 @@ object Pq {
     rerankExact(vecs, isQuery, k, sl, cfg)
   }
 
+  /** Incremental ENCODE-INTO — the write side of the IVFADC index
+    * lifecycle (r14 verdict #1; mirrors the graph index's B119 insert):
+    * assign + encode a DELTA of vectors against FROZEN model state — the
+    * coarse quantizer `coarseCents(cent_id, ce)` and the PQ codebook
+    * `cents(m, cent_id, si, c)` both trained earlier and NOT retrained
+    * here. Returns index rows (vec_id, cell, codes) — the 8-byte/vector
+    * layout the store appends.
+    *
+    * This is the production vector-store write loop: train once (or
+    * per-epoch), then absorb arrivals with two broadcast joins — cell
+    * assignment (delta ⋈ broadcast coarse) and code assignment (delta
+    * coords ⋈ broadcast codebook) — each map-side against the delta scan,
+    * ZERO passes over the existing index. Because encoding is stateless
+    * given frozen models, delta-encode ≡ full-encode restricted to the
+    * delta, and existing rows are untouched by construction (PqSpec pins
+    * both). The cost of freezing is drift, not correctness: codes stay
+    * exact w.r.t. the frozen codebook while the data distribution moves —
+    * the B74/B86 drift monitors are the signal to retrain, exactly the
+    * FAISS operational posture. */
+  def encodeInto(delta: DataFrame, cfg: PqConfig, cents: DataFrame,
+                 coarseCents: DataFrame): DataFrame = {
+    val (assigned, _) = assignProbes(delta, lit(false), 1, coarseCents)
+    codesWide(delta, cfg, cents).join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** DELETE maintenance on the codes index (the lifecycle's other write):
+    * drop the deleted vectors' rows. Unlike the graph index — where
+    * deletion must repair surviving adjacency lists ([[Ann.knnDelete]]'s
+    * tombstone-and-donate pass) — a PQ index keeps NO cross-row state:
+    * each row is (vec_id, cell, codes) derived from that vector alone, so
+    * deletion is EXACT and O(deleted) with zero repair, one of the
+    * operational reasons stores keep the IVFADC form at 100 TB. At scale
+    * this filter is a partition-pruned anti-join on the id key (or a
+    * tombstone file merged at read, the [[Compact]] posture); survivors
+    * pass through verbatim (PqSpec pins that). */
+  def deleteFrom(index: DataFrame, isDeleted: Column): DataFrame =
+    index.filter(!isDeleted)
+
+  /** SERVE — ADC top-k against a PRE-BUILT index (vec_id, cell, codes)
+    * with frozen models: no training, no corpus-side encode, the read
+    * loop of the lifecycle. Probes and per-query distance tables come
+    * from the `queries(vec_id, e)` rows alone (O(model): n_q·m·k table
+    * entries + n_q·nprobe probe rows, both broadcast); the scan touches
+    * only codes in probed cells, map-side, with [[graft.functions.TopKAgg]]
+    * bounding the single shuffle to n_q·k rows. Self-match excluded (the
+    * [[ivfAdcTopK]] convention). Returns (qid, rank, vec_id, adc). */
+  def ivfAdcServeTopK(queries: DataFrame, index: DataFrame, k: Int,
+                      nprobe: Int, cfg: PqConfig, cents: DataFrame,
+                      coarseCents: DataFrame): DataFrame = {
+    val (_, probes) = assignProbes(queries, lit(true), nprobe, coarseCents)
+    val dt = dtState(queries, lit(true), cfg, cents)
+    val cand = index
+      .join(broadcast(probes),
+        index("cell") === probes("qcell") && probes("qid") =!= index("vec_id"))
+      .select(col("qid"), col("vec_id"), col("codes"))
+    adcRank(cand, k, dt)
+  }
+
+  /** One streaming micro-batch of the serve loop (B124/B129 pattern —
+    * batchId-keyed overwrite = exactly-once): answer THIS batch's query
+    * vectors against the frozen index + models and write to
+    * `aRoot/b<batchId>`. Serving is stateless per query (no cross-batch
+    * LSH occupancy, unlike [[Ann.knnStreamServe]]'s walk), so a retried
+    * batch rewrites byte-identical answers and batch composition cannot
+    * change any answer — StreamPqSpec pins both. */
+  def ivfStreamServe(batch: DataFrame, batchId: Long, index: DataFrame,
+                     cents: DataFrame, coarseCents: DataFrame, aRoot: String,
+                     k: Int, nprobe: Int, cfg: PqConfig): Unit = {
+    val qs = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    ivfAdcServeTopK(qs, index, k, nprobe, cfg, cents, coarseCents)
+      .write.mode("overwrite").parquet(s"$aRoot/b$batchId")
+  }
+
   /** The shared exact re-rank stage: fetch the raw coordinates of the
     * (qid, vec_id) shortlist via ONE broadcast semi-join against the
     * corpus scan, re-aggregate exact per-coordinate squared L2 (round-6,

@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
   * replaced by per-(word, position) weight shares in ppm —
   * `share = w(piece)·1e6 DIV Σ w(q)` over the candidates starting at the
   * same position of the same word type — and expected counts are
-  * `Σ f(word)·share`, all in int64 (shares sum to ≤ 1e6 per position, so
-  * round-over-round mass is bounded by 1e6·total occurrence mass — no
-  * growth, no overflow). The EM structure (soft counts ∝ current weights,
-  * renormalized per position, re-estimated per round) is the paper's; the
-  * arithmetic is the catalog's replayable integer form.
+  * `Σ f(word)·share`, RENORMALIZED back to occurrence-mass scale after
+  * every round (`w ← Σ f·share DIV 1e6`, single characters clamped to
+  * ≥ 1 so every position keeps a usable piece and the Viterbi edge cost
+  * never divides by zero). The renormalization is what keeps the
+  * arithmetic int64-safe round over round (r14 ADVICE): without it
+  * round-2 weights are already ppm-scaled and the share product
+  * `w·1e6` overflows once a piece's occurrence mass passes ~9.2e6.
+  * With it, `w ≤ mass(piece)` holds at EVERY round, so the per-round
+  * product is bounded by 1e6·mass — the same ceiling as round 1. The
+  * residual ceiling is total corpus occurrence mass ~9.2e12 per piece
+  * (≈ trillions of occurrences of ONE piece), at which point shard the
+  * corpus and average — stated, not silent. The EM structure (soft
+  * counts ∝ current weights, renormalized per position, re-estimated
+  * per round) is the paper's; the arithmetic is the catalog's
+  * replayable integer form.
   *
   * Scale posture (100 TB): the corpus is touched ONCE (the word-frequency
   * aggregate — the [[Bpe]] posture); the occurrence table is
@@ -77,7 +87,13 @@ object UnigramLm {
           .agg(sum(col("w")).as("dw"))
         val next = cocc.join(denom, Seq("word", "pos"))
           .withColumn("share", expr("w * 1000000 DIV dw"))
-          .groupBy(col("piece")).agg(sum(col("f") * col("share")).as("w"))
+          .groupBy(col("piece")).agg(sum(col("f") * col("share")).as("wr"))
+          // renormalize to mass scale (see scaladoc); single chars clamp
+          // to >= 1 — coverage AND a nonzero denominator at every position
+          .select(col("piece"),
+            greatest(expr("wr DIV 1000000"),
+              when(length(col("piece")) === 1, lit(1L)).otherwise(lit(0L)))
+              .as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         w.unpersist(blocking = false)
@@ -122,7 +138,12 @@ object UnigramLm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val occ = occurrences(words, maxPieceLen)
-      val edges = occ.join(w, Seq("piece"))
+      // w >= 1 only: integer share truncation can drive a low-mass
+      // multi-char piece's weight to exactly 0 and `costScale DIV 0`
+      // would throw (r14 ADVICE). Single chars are clamped >= 1 by
+      // train(), so every position keeps an edge — segmentation never
+      // fails. Mirrored in the oracle's edges CTE.
+      val edges = occ.join(w.filter(col("w") >= 1), Seq("piece"))
         .select(col("word"), col("pos").as("p"),
           (col("pos") + length(col("piece"))).as("q"),
           ((lit(1L) + expr(s"$costScale DIV w")) * 64 + 1).as("c"))

@@ -221,9 +221,13 @@ object LlmOps {
     * shared [[graft.operators.PqConfig]] geometry). Parameterized so the
     * residual-IVFADC oracle replays the SAME training machinery over
     * residual coords (prefix `r`) that the raw PQ entries use over raw
-    * coords (prefix `p`). */
-  private val PqCfg = graft.operators.PqConfig()
-  private def sqlPqTrainEncode(src: String, f: String, seedFrom: Int = 0): String =
+    * coords (prefix `p`), and — via `encSrc` — so the B130 insert oracle
+    * TRAINS on the old rows but ENCODES the full corpus against the
+    * frozen codebook (the Pq.encodeInto split). */
+  private[queries] val PqCfg = graft.operators.PqConfig()
+  private[queries] def sqlPqTrainEncode(src: String, f: String, seedFrom: Int = 0,
+                                        encSrc: String = null): String = {
+    val enc = Option(encSrc).getOrElse(src)
     s"""${f}c0 AS (SELECT m, vec_id - $seedFrom AS cent_id, si, x AS c FROM $src
        |  WHERE vec_id >= $seedFrom AND vec_id < $seedFrom + ${PqCfg.k}),
        |${sqlPqIter(1, src, f)},
@@ -232,12 +236,13 @@ object LlmOps {
        |  FROM ${f}c2),
        |${f}dF AS (SELECT e.vec_id, e.m, p.cent_id,
        |    floor(sum((e.x - p.c)*(e.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
-       |  FROM $src e JOIN ${f}cb p ON p.m = e.m AND p.si = e.si
+       |  FROM $enc e JOIN ${f}cb p ON p.m = e.m AND p.si = e.si
        |  GROUP BY 1, 2, 3),
        |${f}aF AS (SELECT vec_id, m, cent_id AS code FROM (
        |    SELECT vec_id, m, cent_id, row_number() OVER (
        |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn FROM ${f}dF) t
        |  WHERE rn = 1)""".stripMargin
+  }
 
   /** The full NN-descent graph replay through the round-2 lists `r2g`
     * (weak-seed LSH buckets, per-src top-buildK, two refinement rounds) —
@@ -352,18 +357,22 @@ object LlmOps {
       |  HAVING CAST(sum(f) AS BIGINT) >= 500 OR length(piece) = 1),
       |d1 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
       |  FROM occ o JOIN w0 w ON w.piece = o.piece GROUP BY o.word, o.pos),
-      |w1 AS (SELECT o.piece,
-      |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
-      |  FROM occ o JOIN w0 w ON w.piece = o.piece
-      |  JOIN d1 d ON d.word = o.word AND d.pos = o.pos
-      |  GROUP BY o.piece),
+      |w1 AS (SELECT piece, CAST(greatest(wr // 1000000,
+      |    CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w
+      |  FROM (SELECT o.piece,
+      |      CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS wr
+      |    FROM occ o JOIN w0 w ON w.piece = o.piece
+      |    JOIN d1 d ON d.word = o.word AND d.pos = o.pos
+      |    GROUP BY o.piece) t1),
       |d2 AS (SELECT o.word, o.pos, CAST(sum(w.w) AS BIGINT) AS dw
       |  FROM occ o JOIN w1 w ON w.piece = o.piece GROUP BY o.word, o.pos),
-      |w2 AS (SELECT o.piece,
-      |    CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS w
-      |  FROM occ o JOIN w1 w ON w.piece = o.piece
-      |  JOIN d2 d ON d.word = o.word AND d.pos = o.pos
-      |  GROUP BY o.piece)""".stripMargin
+      |w2 AS (SELECT piece, CAST(greatest(wr // 1000000,
+      |    CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w
+      |  FROM (SELECT o.piece,
+      |      CAST(sum(o.f * (w.w * 1000000 // d.dw)) AS BIGINT) AS wr
+      |    FROM occ o JOIN w1 w ON w.piece = o.piece
+      |    JOIN d2 d ON d.word = o.word AND d.pos = o.pos
+      |    GROUP BY o.piece) t2)""".stripMargin
 
   /** The builder chain with a WHERE on the source `e` — the incremental
     * insert's oracle replays the FROZEN graph over the old corpus only. */
@@ -1090,6 +1099,59 @@ object LlmOps {
       graft.operators.Pq.ivfAdcResidualRerankTopK(emb, col("vec_id") < 10,
         k = 3, shortlist = 20, nprobe = IvfCfg.nprobe, cents,
         graft.operators.PqConfig(), pqSeedFrom = IvfCfg.numCentroids)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B130 IVFADC index INSERT maintenance (r14 verdict #1 — see
+    // Pq.encodeInto): the lifecycle the PQ family lacked next to the
+    // graph index's B119/B122/B124/B129. Models are trained on the OLD
+    // corpus only (the %10≡7, id≥16 delta withheld — ids <16 stay so the
+    // coarse/seed ranges are intact), then FROZEN; the delta is absorbed
+    // with two broadcast joins and ZERO passes over the existing index,
+    // and the search runs against old ∪ delta codes — queries can now
+    // retrieve delta vectors through 8-byte codes the codebook never
+    // trained on. Oracle = the q_embed_ivfpq replay with TRAINING
+    // restricted to the old rows and ENCODING over all (the frozen-model
+    // split, sqlPqTrainEncode's encSrc) under one hash. PqSpec pins
+    // delta-encode ≡ full-encode on the delta, untouched-codes-verbatim,
+    // and that the search's delta hits are non-vacuous.
+    "q_embed_ivfpq_insert" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      val isNew = col("vec_id") % 10 === 7 && col("vec_id") >= IvfCfg.numCentroids
+      val old = vecs.filter(!isNew)
+      val cb = graft.operators.Pq.train(old, cfg)
+      val coarse = old.filter(col("vec_id") < IvfCfg.numCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val index = graft.operators.Pq.encodeInto(old, cfg, cb, coarse)
+        .unionByName(
+          graft.operators.Pq.encodeInto(vecs.filter(isNew), cfg, cb, coarse))
+      graft.operators.Pq.ivfAdcServeTopK(vecs.filter(col("vec_id") < 10),
+        index, k = 3, nprobe = IvfCfg.nprobe, cfg, cb, coarse)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B130 IVFADC index DELETE maintenance (r14 verdict #1 — see
+    // Pq.deleteFrom for why a codes table needs ZERO repair, unlike the
+    // graph index's B122 tombstone-and-donate): the %10≡3 vectors' codes
+    // are dropped from the index built over the full corpus and the
+    // search re-runs — deleted ids must vanish from every answer and the
+    // ranks reflow to the survivors. Queries exclude the deleted id 3
+    // (a deleted vector has no serving contract). Oracle = the
+    // q_embed_ivfpq replay with the deleted ids excluded from candidates
+    // and queries.
+    "q_embed_ivfpq_delete" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      val cb = graft.operators.Pq.train(vecs, cfg)
+      val coarse = vecs.filter(col("vec_id") < IvfCfg.numCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val index = graft.operators.Pq.deleteFrom(
+        graft.operators.Pq.encodeInto(vecs, cfg, cb, coarse),
+        col("vec_id") % 10 === 3)
+      graft.operators.Pq.ivfAdcServeTopK(
+        vecs.filter(col("vec_id") < 10 && col("vec_id") % 10 =!= 3),
+        index, k = 3, nprobe = IvfCfg.nprobe, cfg, cb, coarse)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2290,6 +2352,60 @@ object LlmOps {
          |    PARTITION BY qid ORDER BY d2, cid) AS rank FROM exd) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // B130 insert maintenance: the q_embed_ivfpq replay with the
+    // frozen-model split — PQ TRAINS on pexold (delta withheld) but
+    // ENCODES pex (all rows, sqlPqTrainEncode's encSrc), mirroring
+    // Pq.encodeInto's stateless delta absorption; the IVF coarse stage is
+    // unchanged (centroids 0..15 are old rows by construction)
+    "q_embed_ivfpq_insert" ->
+      s"""WITH pex AS (SELECT vec_id, i // ${PqCfg.subDim} AS m,
+         |    i % ${PqCfg.subDim} AS si, embedding[i+1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(${PqCfg.dim}) r(i)),
+         |pexold AS (SELECT * FROM pex
+         |  WHERE NOT (vec_id % 10 = 7 AND vec_id >= ${IvfCfg.numCentroids})),
+         |${sqlPqTrainEncode("pexold", "p", seedFrom = 0, encSrc = "pex")},
+         |$sqlIvfCtes,
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // B130 delete maintenance: the q_embed_ivfpq replay with the %10≡3
+    // codes dropped from the candidate set and the deleted query excluded
+    // (Pq.deleteFrom — exact deletion, zero repair)
+    "q_embed_ivfpq_delete" ->
+      s"""WITH $sqlPqCtes,
+         |$sqlIvfCtes,
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 AND q.vec_id % 10 != 3 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id
+         |  WHERE a.vec_id % 10 != 3 AND p.vec_id % 10 != 3),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     // canonical residual IVFADC: the kmeans replay (sqlKmeansCtes — shared
     // with q_embed_kmeans / q_embed_ann_ivf_trained) + round-6 trained
     // centroids + cosine assignment, then the SAME PQ train→encode
@@ -2977,7 +3093,7 @@ object LlmOps {
          |edges AS (SELECT o.word, o.pos AS p,
          |    o.pos + length(o.piece) AS q,
          |    CAST((1 + 1000000000000 // w.w) * 64 + 1 AS BIGINT) AS c
-         |  FROM occ o JOIN w2 w ON w.piece = o.piece),
+         |  FROM occ o JOIN w2 w ON w.piece = o.piece AND w.w >= 1),
          |r0 AS MATERIALIZED (SELECT word, p, q, min(c) AS c FROM edges
          |  GROUP BY 1, 2, 3),
          |${dbl("r0", "r1")},

@@ -1105,6 +1105,60 @@ object StreamingQ {
       }
       s.read.parquet(s"$aRoot/b*")
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // B130 STREAMING IVFADC SERVING — [[graft.operators.Pq.ivfStreamServe]]
+    // (r14 verdict #1: the PQ mirror of B129): the index is built OFFLINE
+    // over the corpus (vec_id >= 10) — coarse quantizer = its first 16
+    // rows, PQ codebook trained with seedFrom=10, codes via Pq.encodeInto,
+    // all FROZEN; the 10 query vectors arrive in 3 micro-batches and each
+    // batch is answered by the ADC scan against the frozen codes with
+    // batchId-keyed overwrite answers (exactly-once). Unlike the graph
+    // walk, ADC serving is stateless per query — batch composition cannot
+    // change any answer, so the oracle is ONE static replay over all 10
+    // queries (train + coarse-assign + per-query tables + probed-cell ADC
+    // under one hash); StreamPqSpec pins stream ≡ static replay and retry
+    // idempotence.
+    "q_stream_ivfpq_search" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_ivfpq_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val aRoot = new File(root, "a").getPath
+      val cfg = graft.operators.PqConfig()
+      val nCoarse = graft.queries.LlmOps.IvfCfg.numCentroids
+      // offline: frozen models + index over the corpus, built before the
+      // stream (the q_stream_knn_search offline-train/online-apply shape)
+      val corpus = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cb = graft.operators.Pq.train(corpus, cfg, seedFrom = 10L)
+      val coarse = corpus.filter(col("vec_id") < 10 + nCoarse)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val index = graft.operators.Pq.encodeInto(corpus, cfg, cb, coarse)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        index.count()
+        val q = embQueryStream(s, d).writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", new File(root, "_ckpt").getPath)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.operators.Pq.ivfStreamServe(batch, bid, index, cb, coarse,
+              aRoot, k = 3, nprobe = graft.queries.LlmOps.IvfCfg.nprobe, cfg)
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_ivfpq_search still running after 300 s — refusing to read partial answers")
+        }
+        s.read.parquet(s"$aRoot/b*")
+          .orderBy(col("qid"), col("rank"))
+          .localCheckpoint(true)
+      } finally index.unpersist(blocking = false)
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1485,6 +1539,58 @@ object StreamingQ {
          |FROM (SELECT * FROM t0out UNION ALL SELECT * FROM t1out
          |      UNION ALL SELECT * FROM t2out) f
          |ORDER BY qid, rank""".stripMargin,
+
+    // streaming IVFADC serving: ONE static replay (ADC serving is
+    // stateless per query — batch composition cannot change answers):
+    // PQ train (seed from vec_id 10) + encode over the corpus rows only,
+    // coarse assignment against corpus rows 10..25, per-query distance
+    // tables, probed-cell ADC — the q_embed_ivfpq replay re-anchored to
+    // the corpus/query split
+    "q_stream_ivfpq_search" -> {
+      val nC = LlmOps.IvfCfg.numCentroids
+      s"""WITH pex AS (SELECT vec_id, i // ${LlmOps.PqCfg.subDim} AS m,
+         |    i % ${LlmOps.PqCfg.subDim} AS si, embedding[i+1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(${LlmOps.PqCfg.dim}) r(i)),
+         |pexc AS (SELECT * FROM pex WHERE vec_id >= 10),
+         |${LlmOps.sqlPqTrainEncode("pexc", "p", seedFrom = 10)},
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cent_id,
+         |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+         |  FROM e v JOIN e c ON c.vec_id >= 10 AND c.vec_id < ${10 + nC}
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cd.vec_id, cd.cent_id,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+         |  FROM cdots cd
+         |  JOIN norms nv ON nv.vec_id = cd.vec_id
+         |  JOIN norms nc ON nc.vec_id = cd.cent_id),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked
+         |             WHERE arn = 1 AND vec_id >= 10),
+         |probes AS (SELECT vec_id, cent_id AS cell FROM ranked
+         |           WHERE arn <= ${LlmOps.IvfCfg.nprobe} AND vec_id < 10),
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
 
     "q_stream_curate_scored" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),

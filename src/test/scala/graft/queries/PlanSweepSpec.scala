@@ -63,7 +63,10 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_embed_ivfpq_rerank",
     // B96: the residual composition of the same sanctioned ADC stage —
     // per-(qid, cell) tables; the post-shortlist re-rank is relational
-    "q_embed_ivfpq_residual_rerank")
+    "q_embed_ivfpq_residual_rerank",
+    // B130 lifecycle entries: Pq.ivfAdcServeTopK runs the same sanctioned
+    // ADC scan against the maintained codes index
+    "q_embed_ivfpq_insert", "q_embed_ivfpq_delete", "q_stream_ivfpq_search")
 
   /** Legitimate shuffled joins:
     *  - q_join_sortmerge pins the SMJ path itself; q_bucket_join's
@@ -103,7 +106,10 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_embed_ivfpq_residual_rerank",
     // B91: doc-bigram instances ⋈ the bigram-TYPE table — same
     // heavy-tailed-vocabulary argument as q_text_tokens_learned
-    "q_text_bigram_coverage")
+    "q_text_bigram_coverage",
+    // B130: Pq.encodeInto's codes ⋈ cell-assignment join — both sides are
+    // every indexed vector (the q_embed_ivfpq argument verbatim)
+    "q_embed_ivfpq_insert", "q_embed_ivfpq_delete", "q_stream_ivfpq_search")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
