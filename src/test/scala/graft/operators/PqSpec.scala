@@ -349,4 +349,78 @@ class PqSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](Pq.train(sparse, cfg))
     assert(e.getMessage.contains("seed"))
   }
+
+  private def idxRows(df: DataFrame): Set[(Long, Long, List[Long])] =
+    df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+      r.getAs[Seq[Long]]("codes").toList)).toSet
+
+  private val nCoarse = graft.queries.LlmOps.IvfCfg.numCentroids
+  private val nProbe = graft.queries.LlmOps.IvfCfg.nprobe
+
+  test("lifecycle insert: delta encode-into equals full encode on the delta; " +
+    "existing rows verbatim; inserts change served answers (non-vacuous)") {
+    // B130 (r14 verdict #1): encodeInto is STATELESS given frozen models —
+    // encoding the delta alongside the old corpus or alone must produce
+    // identical rows, and the old rows must be byte-identical whether or
+    // not the delta exists. A future 'improvement' that retrains or
+    // re-balances inside encodeInto breaks exactly these pins.
+    val isNew = col("vec_id") % 10 === 7 && col("vec_id") >= nCoarse
+    val old = vecs.filter(!isNew)
+    val cbOld = Pq.train(old, cfg)
+    val coarse = old.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val oldIdx = idxRows(Pq.encodeInto(old, cfg, cbOld, coarse))
+    val deltaIdx = idxRows(Pq.encodeInto(vecs.filter(isNew), cfg, cbOld, coarse))
+    val allIdx = idxRows(Pq.encodeInto(vecs, cfg, cbOld, coarse))
+    assert(deltaIdx.nonEmpty, "delta predicate selected no vectors")
+    assert(allIdx === oldIdx ++ deltaIdx,
+      "encodeInto is not stateless: combined encode differs from " +
+        "old-encode ++ delta-encode under the same frozen models")
+    // serving the maintained index differs from serving the pre-insert
+    // index — the inserts are REACHABLE through probed cells, not dead rows
+    val queries = vecs.filter(col("vec_id") < 10)
+    def serve(idx: DataFrame) =
+      Pq.ivfAdcServeTopK(queries, idx, k = 3, nProbe, cfg, cbOld, coarse)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+    val before = serve(Pq.encodeInto(old, cfg, cbOld, coarse))
+    val after = serve(Pq.encodeInto(vecs, cfg, cbOld, coarse))
+    assert(before !== after,
+      "inserting the delta changed no answer — the non-vacuity probe " +
+        "that pins the delta as reachable has gone stale")
+    assert(after.exists { case (_, _, v) => v % 10 == 7 && v >= nCoarse },
+      "no delta vector appears in any post-insert top-3")
+  }
+
+  test("lifecycle delete: survivors verbatim; serving never returns a " +
+    "deleted id; answers reflow (non-vacuous)") {
+    // B130: deletion on a codes table is EXACT — each row derives from its
+    // vector alone (the operator scaladoc's contrast with Ann.knnDelete's
+    // repair pass), so deleteFrom must pass survivors through verbatim and
+    // the only observable change is deleted ids vanishing + rank reflow.
+    // %10≡8 here (the catalog entry deletes %10≡3): PROBED at sf0.001 —
+    // the full-codebook top-3 answers contain six %10≡8 ids across
+    // queries 2/4/5/6/9 but ZERO %10≡3 ids, so ≡3 would make the reflow
+    // pin vacuous at this SF (it is non-vacuous at the entry's sf0.01).
+    val coarse = vecs.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val index = Pq.encodeInto(vecs, cfg, cb, coarse)
+    val kept = Pq.deleteFrom(index, col("vec_id") % 10 === 8)
+    val all = idxRows(index)
+    assert(idxRows(kept) === all.filter(_._1 % 10 != 8),
+      "deleteFrom did not pass survivors through verbatim")
+    val queries = vecs.filter(col("vec_id") < 10 && col("vec_id") % 10 =!= 8)
+    def serve(idx: DataFrame) =
+      Pq.ivfAdcServeTopK(queries, idx, k = 3, nProbe, cfg, cb, coarse)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+    val before = serve(index)
+    val after = serve(kept)
+    assert(after.forall(_._3 % 10 != 8),
+      "a deleted id survived in a served answer")
+    assert(before.exists(_._3 % 10 == 8),
+      "no pre-delete answer contained a deleted id — the reflow check " +
+        "is vacuous on this corpus; re-pick the delete predicate")
+    assert(before !== after, "deletion changed no answer")
+  }
 }
