@@ -170,13 +170,15 @@ object CurateCli {
           windowTokens = cfg.boilerWindow, minDocs = cfg.boilerMinDocs)
         .select(col("doc_id"), col("boiler_ppm"))
       val sized = uncontained.withColumn("n_chars", length(col("text")))
-      // exact discrete P1/P99 over the length HISTOGRAM (the
-      // q_text_length_clip shape: the window orders distinct lengths,
-      // never the corpus)
+      // exact discrete P1/P99 over the length HISTOGRAM via the B83
+      // OrderedCumsum two-pass plan (r14 verdict #6 — the same migration
+      // q_text_length_clip made in r14): row-identical to the
+      // single-partition `Window.orderBy(n_chars)` it replaces, but the
+      // running count scales past one task even when the histogram's
+      // distinct-length cardinality doesn't fit a single partition
       val h = sized.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = h.withColumn("cum", sum(col("c")).over(wc))
+      val cum = graft.operators.OrderedCumsum.withRunningTotal(h,
+        Seq(col("n_chars")), col("c"), "cum", partitions = 8)
       val tot = h.agg(sum(col("c")).as("n"))
       val bounds = cum.crossJoin(broadcast(tot))
         .agg(min(when(col("cum") >= expr("(n + 99) DIV 100"), col("n_chars")))

@@ -53,9 +53,17 @@ object Bpe {
         concat(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
           array(lit("</w>"))).as("s"))
 
-  /** Weighted adjacent-pair counts over the symbol table. */
+  /** Weighted adjacent-pair counts over the symbol table. Fully-merged
+    * words (single-symbol sequences) have no pairs and are filtered FIRST:
+    * Spark's `sequence(0, -1)` DESCENDS instead of returning empty (the
+    * [[symbolTable]] caveat again), so without the guard a word that
+    * collapses to one symbol after enough merges crashes the count with an
+    * out-of-bounds `s[1]` — reachable on small vocabularies at high merge
+    * counts (the batched entry's regime). The oracle's `rr.i <= len-2`
+    * bound skips these rows the same way. */
   def pairCounts(syms: DataFrame): DataFrame =
-    syms.select(col("f"), explode(expr(
+    syms.filter(size(col("s")) >= 2)
+      .select(col("f"), explode(expr(
         "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))"))
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -119,9 +127,13 @@ object Bpe {
       val (a0, b0, c0) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((r, a0, b0, c0))
-      val next = applyMerge(syms, a0, b0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      // eager localCheckpoint, not persist: applyMerge references its
+      // input several times, so the LOGICAL plan multiplies ~4x per round
+      // and at 8+ rounds the un-truncated lineage OOMs the driver just
+      // STRINGIFYING the plan — persistence alone stops recompute, only
+      // checkpointing stops plan growth (the production-32k-merge regime
+      // mergesBatched exists for makes this non-optional)
+      val next = applyMerge(syms, a0, b0).localCheckpoint(true)
       syms.unpersist(blocking = false)
       syms = next
     }
@@ -165,4 +177,134 @@ object Bpe {
     * equals the training-side state [[mergesWithVocab]] returns. */
   def applyMerges(syms: DataFrame, learned: Seq[(String, String)]): DataFrame =
     learned.foldLeft(syms) { case (t, (a, b)) => applyMerge(t, a, b) }
+
+  /** Apply a BATCH of pairwise-disjoint merges in ONE vocabulary pass —
+    * the rewrite kernel of [[mergesBatched]]. Precondition (the caller's
+    * prefix rule establishes it): no two batch pairs share a symbol and no
+    * pair contains another's concatenation. Under it, match SITES of
+    * different pairs can never overlap — positions i, i+1 matching pairs
+    * P, Q forces P's right symbol = Q's left symbol — so the simultaneous
+    * rewrite is well-defined and equals applying the batch sequentially in
+    * any order. Same gaps-and-islands greedy rule as [[applyMerge]], with
+    * the run grouping keyed per (word, pair): a same-symbol run only ever
+    * contains ONE pair's matches (a run of c's matches only (c,c)), so the
+    * per-pair islands are exactly the single-pair islands. */
+  def applyMergeBatch(syms: DataFrame, batch: Seq[(String, String)]): DataFrame = {
+    require(batch.nonEmpty, "applyMergeBatch on an empty batch")
+    val spark = syms.sparkSession
+    import spark.implicits._
+    val byI = Window.partitionBy(col("word")).orderBy(col("i"))
+    val byPair = Window.partitionBy(col("word"), col("pa"), col("pb"))
+      .orderBy(col("i"))
+    val ex = syms.select(col("word"), col("f"),
+      posexplode(col("s")).as(Seq("i", "sym")))
+    val pdf = batch.toDF("pa", "pb")
+    val matches = ex
+      .withColumn("nxt", lead(col("sym"), 1).over(byI))
+      .join(broadcast(pdf), col("sym") === col("pa") && col("nxt") === col("pb"))
+      .withColumn("rn", row_number().over(byPair))
+      .withColumn("grp", col("i") - col("rn"))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("word"), col("pa"), col("pb"), col("grp"))
+          .orderBy(col("i"))))
+      .filter(col("rn2") % 2 === 1)
+      .select(col("word"), col("i"), concat(col("pa"), col("pb")).as("merged"))
+    val absorbed = matches.select(col("word"), (col("i") + 1).as("i"),
+      lit(true).as("absorbed"))
+    ex.join(matches, Seq("word", "i"), "left")
+      .join(absorbed, Seq("word", "i"), "left")
+      .filter(col("absorbed").isNull)
+      .select(col("word"), col("f"), col("i"),
+        coalesce(col("merged"), col("sym")).as("sym"))
+      .groupBy(col("word"), col("f"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sym")))),
+        x => x.getField("sym")).as("s"))
+  }
+
+  /** BATCHED merge induction (r14 verdict #2) — the scalable form of
+    * [[merges]] and EXACTLY equal to it (BpeSpec pins the theorem on both
+    * a planted corpus and the fixture): production tokenizer training is
+    * 32k merges, and [[mergesWithVocab]]'s one-argmax-collect-plus-one-
+    * table-rewrite PER MERGE makes that 32k Spark jobs — the driver loop
+    * is the bottleneck, not the data. Here each ROUND merges the longest
+    * ranked prefix of the pair-count snapshot that is provably
+    * order-equivalent to sequential induction, so the job count is bound
+    * by ROUNDS (merges/batch), not merges.
+    *
+    * The exact-safe prefix rule, with the proof sketch (each accepted
+    * pair must still be the sequential argmax at its turn):
+    *  1. PAIRWISE DISJOINT, including concatenations: accepting P_j
+    *     requires {a_j, b_j} ∩ ∪_{i<j}{a_i, b_i, a_i·b_i} = ∅. Merging
+    *     P_i then leaves every later P_j's occurrence count untouched (no
+    *     site of P_j contains a merged symbol), and sites of different
+    *     pairs cannot overlap, so the batch rewrite equals the sequential
+    *     one.
+    *  2. PREFIX, stopping at the FIRST conflict (never skip-and-continue):
+    *     a new pair created by merging P_i = (a,b) has the form (x, ab) or
+    *     (ab, y), and its count is bounded by the snapshot count of the
+    *     CONFLICTING pair (x, a) / (b, y) it descends from. A conflicting
+    *     pair is outside the prefix, hence ranked below every accepted
+    *     pair — so no created pair can outrank a later batch member…
+    *  3. …except on a COUNT TIE at the boundary (a conflicting pair ranked
+    *     just below the prefix with an EQUAL count could spawn a created
+    *     pair that wins the lexicographic tie-break at P_j's turn): the
+    *     batch is trimmed until its last count is STRICTLY greater than
+    *     the (m+1)-th ranked count. Floor at 1 — a single merge is
+    *     sequential by definition.
+    *
+    * Per round: one pair-count aggregate, ONE bounded collect (the top
+    * batchCap+1 ranked rows — O(model), the [[merges]] argmax collect
+    * widened), one [[applyMergeBatch]] vocabulary pass. Recorded counts
+    * are snapshot counts, which rule 1 proves equal the sequential
+    * at-turn counts. Returns (round = INDUCTION ORDER, sym_a, sym_b, cnt)
+    * — identical schema and contents to [[merges]]. */
+  def mergesBatched(docs: DataFrame, totalMerges: Int,
+                    batchCap: Int = 64): DataFrame =
+    mergesBatchedWithRounds(docs, totalMerges, batchCap)._1
+
+  /** [[mergesBatched]] plus the number of ROUNDS (Spark job groups) it
+    * took — the quantity the scale soak pins: rounds ≪ merges is the
+    * whole point. */
+  def mergesBatchedWithRounds(docs: DataFrame, totalMerges: Int,
+                              batchCap: Int): (DataFrame, Int) = {
+    require(totalMerges >= 1, s"totalMerges ($totalMerges) must be >= 1")
+    require(batchCap >= 1, s"batchCap ($batchCap) must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms = symbolTable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rounds = 0
+    while (out.length < totalMerges) {
+      rounds += 1
+      val top = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchCap + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(top.nonEmpty,
+        s"round $rounds: no pairs left after ${out.length} merges")
+      // rule 1+2: maximal pairwise-disjoint (incl. concats) ranked prefix
+      val used = scala.collection.mutable.Set[String]()
+      var m = 0
+      var stop = false
+      while (!stop && m < math.min(batchCap, top.length)) {
+        val (a, b, _) = top(m)
+        if (used(a) || used(b)) stop = true
+        else { used += a; used += b; used += (a + b); m += 1 }
+      }
+      // rule 3: strict count drop at the boundary, floor at 1
+      while (m > 1 && m < top.length && top(m - 1)._3 == top(m)._3) m -= 1
+      m = math.min(m, totalMerges - out.length)
+      val batch = top.take(m)
+      batch.foreach { case (a, b, c) => out += ((out.length + 1, a, b, c)) }
+      // eager localCheckpoint per round — truncates the multiplying
+      // applyMergeBatch lineage (see the mergesWithVocab comment)
+      val next = applyMergeBatch(syms, batch.map(t => (t._1, t._2)).toSeq)
+        .localCheckpoint(true)
+      syms.unpersist(blocking = false)
+      syms = next
+    }
+    syms.unpersist(blocking = false)
+    (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), rounds)
+  }
 }

@@ -1748,6 +1748,27 @@ object LlmOps {
         .orderBy(col("lang"), col("pred"))
     },
 
+    // B52 language ID as a TRAINED char-n-gram linear model (r14 verdict
+    // #4 — contract, integer discipline, and scale posture on
+    // [[graft.operators.LangId]]; the stopword heuristic above stays as
+    // the baseline): per-language trigram-ppm weights trained on the
+    // %10<8 split, applied map-side (broadcast model) to the held-out
+    // %10>=8 docs, argmax per doc (score DESC, lang ASC), 'und' for docs
+    // with no in-vocabulary grams. Output = the held-out confusion
+    // matrix. Oracle replays train→score→argmax→confusion as chained
+    // CTEs under one hash.
+    "q_text_langid_model" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LangId.model(
+        docs.filter(col("doc_id") % 10 < 8), n = 3, minCount = 5)
+      val test = docs.filter(col("doc_id") % 10 >= 8)
+      val pred = graft.operators.LangId.predict(test, m, n = 3)
+      test.join(pred, Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("pred"), lit("und")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    },
+
     // B52 token counting, BPE-ish: whitespace tokens vs regex subword-style
     // tokens (letter runs / digit runs / single symbols) per doc.
     "q_text_tokens_bpe" -> { (s, d) =>
@@ -3221,6 +3242,32 @@ object LlmOps {
         |SELECT lang, CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred,
         |  count(*) AS n
         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    // trained char-trigram LID: train split ppm weights, held-out argmax
+    // (score DESC, lang ASC), 'und' for no-vocabulary docs — mirrors
+    // LangId.model/predict term for term (char-semantics slicing both
+    // engines, multibyte-safe)
+    "q_text_langid_model" ->
+      """WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 10 < 8),
+        |g AS (SELECT lang, unnest(list_transform(range(len(text) - 2),
+        |    i -> text[i+1:i+3])) AS gram FROM tr),
+        |cnt AS (SELECT lang, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+        |m AS (SELECT cnt.lang, gram, c * 1000000 // t AS w
+        |  FROM cnt JOIN tot USING (lang) WHERE c >= 5),
+        |te AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8),
+        |dg AS (SELECT doc_id, unnest(list_transform(range(len(text) - 2),
+        |    i -> text[i+1:i+3])) AS gram
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |sc AS (SELECT dg.doc_id, m.lang, sum(m.w)::BIGINT AS score
+        |  FROM dg JOIN m USING (gram) GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, lang AS pred FROM (
+        |    SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc) t
+        |  WHERE rn = 1)
+        |SELECT te.lang, coalesce(pr.pred, 'und') AS pred, count(*) AS n
+        |FROM te LEFT JOIN pr USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

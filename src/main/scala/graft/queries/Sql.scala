@@ -230,6 +230,61 @@ object Sql {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, t.c_name""".stripMargin
 
+  /** TPC-H q12 SHAPE (r14 verdict #3) — disjunctive CASE aggregation over
+    * a fact-fact join: per line status (the fixture's stand-in for
+    * l_shipmode, which the driver schema omits), split the joined orders
+    * into high/low priority classes with IN / NOT IN CASE arms. The
+    * optimizer shape under test: the date filter must push to the
+    * lineitem scan BEFORE the join, and both CASE arms fold into one
+    * aggregate pass. */
+  private val tpch12 =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H q13 SHAPE — the left-outer count distribution: orders per
+    * customer INCLUDING zero-order customers (count(o_orderkey) over the
+    * outer join counts non-NULL only), then the histogram of those
+    * counts. The join predicate lives in the OUTER join's ON clause (the
+    * fixture's o_orderpriority filter standing in for the spec's
+    * o_comment NOT LIKE) — pushing it to a WHERE would change the
+    * semantics, the regression this entry pins. */
+  private val tpch13 =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H q19 SHAPE — OR-of-ANDs pushdown over lineitem ⋈ part: three
+    * disjoint (brand, size-range, quantity-range) branches OR'd together.
+    * The optimizer shape under test: the common p_partkey = l_partkey
+    * stays the join key while the disjunction splits into per-side
+    * pushable conjuncts (p_brand/p_size to the part scan, l_quantity to
+    * the lineitem scan) — the classic CNF-extraction case. Revenue in the
+    * tpch6/tpch14 exact-integer convention (per-row round ×1e4, integer
+    * sum). */
+  private val tpch19 =
+    """SELECT CAST(sum(round((l_extendedprice * (1 - l_discount)) * 1e4))
+      |    AS BIGINT) AS revenue4,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
   /** Ordered string aggregation — the one place the two frontends need
     * different spellings for the same ANSI feature: Spark 4 ships
     * `listagg(x, sep) WITHIN GROUP (ORDER BY ...)`, DuckDB spells it
@@ -262,8 +317,11 @@ object Sql {
     "q_sql_tpch6" -> run(tpch6),
     "q_sql_tpch9" -> run(tpch9),
     "q_sql_tpch10" -> run(tpch10),
+    "q_sql_tpch12" -> run(tpch12),
+    "q_sql_tpch13" -> run(tpch13),
     "q_sql_tpch14" -> run(tpch14),
     "q_sql_tpch18" -> run(tpch18),
+    "q_sql_tpch19" -> run(tpch19),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -279,8 +337,11 @@ object Sql {
     "q_sql_tpch6" -> tpch6,
     "q_sql_tpch9" -> tpch9,
     "q_sql_tpch10" -> tpch10,
+    "q_sql_tpch12" -> tpch12,
+    "q_sql_tpch13" -> tpch13,
     "q_sql_tpch14" -> tpch14,
     "q_sql_tpch18" -> tpch18,
+    "q_sql_tpch19" -> tpch19,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

@@ -673,6 +673,21 @@ object TrainPrep {
         .orderBy(col("round"))
     },
 
+    // B84 BATCHED merge induction (r14 verdict #2 — the exact-safe prefix
+    // rule, its three-part proof, and the rounds-not-merges job bound all
+    // on graft.operators.Bpe.mergesBatched): the first 8 merges learned
+    // with per-round disjoint batches (cap 4) instead of 8 driver
+    // round-trips. The ORACLE replays the merges SEQUENTIALLY (8 chained
+    // sqlBpeRound CTEs — the same machinery as q_bpe_merges) — the hash
+    // match IS the batched≡sequential theorem checked cross-engine on the
+    // live fixture; BpeSpec additionally pins it in-engine on a planted
+    // corpus where batching provably coalesces rounds.
+    "q_bpe_merges_batched" -> { (s, d) =>
+      graft.operators.Bpe.mergesBatched(Tables.documents(s, d),
+        totalMerges = 8, batchCap = 4)
+        .orderBy(col("round"))
+    },
+
     // B94 curriculum phase assignment via the SCALABLE global rank — the
     // second real consumer of OrderedCumsum (B83): curriculum training
     // orders the corpus by quality and feeds it in phases, which needs a
@@ -851,11 +866,16 @@ object TrainPrep {
     * against every testdata sf on the box (ADVICE r11 guard). */
   private def sqlBpeRound(r: Int): String = {
     val prev = s"s${r - 1}"
+    // b/s AS MATERIALIZED: each round references $prev and b$r several
+    // times, and DuckDB's default CTE inlining re-expands the upstream
+    // chain per reference — EXPONENTIAL in rounds (3 rounds fine; the
+    // batched entry's 8 rounds exhausted the fd limit re-opening the
+    // parquet thousands of times — the q_embed_knn_insert lesson again)
     s"""p$r AS (SELECT t.s[rr.i+1] AS a, t.s[rr.i+2] AS b,
        |    sum(t.f)::BIGINT AS cnt
        |  FROM $prev t CROSS JOIN range(64) rr(i)
        |  WHERE rr.i <= len(t.s) - 2 GROUP BY 1, 2),
-       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
        |m$r AS (SELECT t.word, rr.i
        |  FROM $prev t CROSS JOIN b$r CROSS JOIN range(64) rr(i)
        |  WHERE rr.i <= len(t.s) - 2 AND t.s[rr.i+1] = b$r.a
@@ -873,7 +893,7 @@ object TrainPrep {
        |  LEFT JOIN c$r c ON c.word = t.word AND c.i = rr.i
        |  WHERE rr.i < len(t.s) AND NOT EXISTS (
        |    SELECT 1 FROM c$r d WHERE d.word = t.word AND d.i = rr.i - 1)),
-       |s$r AS (SELECT word, f, list(sym ORDER BY i) AS s
+       |s$r AS MATERIALIZED (SELECT word, f, list(sym ORDER BY i) AS s
        |  FROM e$r GROUP BY word, f)""".stripMargin
   }
 
@@ -891,6 +911,21 @@ object TrainPrep {
          |SELECT 1 AS round, a AS sym_a, b AS sym_b, cnt FROM b1
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
+         |ORDER BY round""".stripMargin,
+
+    // SEQUENTIAL 8-round replay of the batched entry — the cross-engine
+    // statement of the batched≡sequential theorem (see mergesBatched)
+    "q_bpe_merges_batched" ->
+      s"""WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT word, f,
+         |    list_append(list_transform(range(len(word)), i -> word[i+1:i+1]),
+         |      '</w>') AS s FROM wf),
+         |${(1 to 8).map(sqlBpeRound).mkString(",\n")}
+         |${(1 to 8).map(r =>
+             s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt FROM b$r")
+             .mkString("\n|UNION ALL ")}
          |ORDER BY round""".stripMargin,
 
     // the single-partition window form the scalable rank replaces

@@ -88,4 +88,66 @@ class BpeSpec extends SparkSpecBase {
     assert(st("to") === ((3L, Seq("t", "o", "</w>"))))
     assert(st("go") === ((1L, Seq("g", "o", "</w>"))))
   }
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("round")).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("batched ≡ sequential theorem: planted corpora exercising every prefix rule") {
+    // r14 verdict #2 — mergesBatched must reproduce merges() EXACTLY.
+    // Corpus A exercises rule 1 + coalescing. Doubled words ('abab' x5,
+    // 'cdcd' x4, 'efef' x3): the internal pair counts TWICE per
+    // occurrence, so (a,b)=10 > (c,d)=8 > (e,f)=6 strictly dominate every
+    // other pair ((b,a)/(b,</w>)=5 at best) and are symbol-disjoint —
+    // round 1 must take all three. Merge 4 is then (ab,</w>) (tie with
+    // (ab,ab) at 5 broken by b ASC, '<'<'a'), which conflicts with
+    // everything at its count — a second round of one.
+    val a = docsDf(Seq.fill(5)("abab").mkString(" ") + " " +
+      Seq.fill(4)("cdcd").mkString(" ") + " " + Seq.fill(3)("efef").mkString(" "))
+    val (gotA, roundsA) = Bpe.mergesBatchedWithRounds(a, totalMerges = 4,
+      batchCap = 8)
+    assert(mergeRows(gotA) === mergeRows(Bpe.merges(a, rounds = 4)),
+      "batched diverged from sequential on the disjoint corpus")
+    assert(mergeRows(gotA).take(3) === Seq((1, "a", "b", 10L),
+      (2, "c", "d", 8L), (3, "e", "f", 6L)), "hand-derived sequence changed")
+    assert(roundsA === 2,
+      s"3 disjoint merges + 1 should take exactly 2 rounds, took $roundsA")
+
+    // Corpus B exercises rule 2 (stop at first conflict): 'aaab aab' makes
+    // round 1's top pairs share symbols — (a,a) then (a,b)/(b,</w>) all
+    // touch 'a' or 'b' chains — so batches stay small but the result must
+    // still equal sequential.
+    val b = docsDf("aaab aaab aab")
+    val (gotB, _) = Bpe.mergesBatchedWithRounds(b, totalMerges = 3,
+      batchCap = 8)
+    assert(mergeRows(gotB) === mergeRows(Bpe.merges(b, rounds = 3)),
+      "batched diverged from sequential on the conflict-heavy corpus")
+    assert(mergeRows(gotB) === Seq((1, "a", "a", 5L), (2, "b", "</w>", 3L),
+      (3, "a", "b</w>", 2L)), "hand-derived sequence changed")
+
+    // Corpus C exercises rule 3 (the boundary tie trim is LOAD-BEARING):
+    // 'aib' ranks (a,i), (b,</w>), (i,b) all at count 1 — (b,</w>) is
+    // symbol-disjoint from (a,i) so rules 1+2 alone would batch it, but
+    // sequential merge 2 is (ai,b) (the pair CREATED by merge 1, winning
+    // the count-1 tie on a ASC: 'ai' < 'b'). The trim must shrink the
+    // batch to 1; without it the batched table would be wrong.
+    val c = docsDf("aib")
+    val (gotC, _) = Bpe.mergesBatchedWithRounds(c, totalMerges = 2,
+      batchCap = 8)
+    assert(mergeRows(gotC) === mergeRows(Bpe.merges(c, rounds = 2)),
+      "batched diverged from sequential on the boundary-tie corpus")
+    assert(mergeRows(gotC)(1)._2 === "ai",
+      "merge 2 should be the created pair (ai,b) — tie trim not exercised")
+  }
+
+  test("batched ≡ sequential on the fixture corpus; rounds bound the job count") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (got, rounds) = Bpe.mergesBatchedWithRounds(docs, totalMerges = 8,
+      batchCap = 4)
+    assert(mergeRows(got) === mergeRows(Bpe.merges(docs, rounds = 8)),
+      "batched diverged from sequential on the fixture corpus")
+    assert(rounds < 8,
+      s"batching never coalesced on the fixture (rounds=$rounds of 8 " +
+        "merges) — the catalog entry's batching is vacuous")
+  }
 }
