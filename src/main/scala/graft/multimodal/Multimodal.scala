@@ -316,6 +316,55 @@ object Multimodal {
         col("byte_sum"))
   }
 
+  /** REAL MJPEG keyframe selection (r14 verdict #7) — [[keyframes]] with
+    * the byte-slice "frame decode" replaced by an actual video-container
+    * walk and codec: MJPEG is concatenated JPEG frames (the simplest real
+    * container — what many IP cameras emit), so the splitter scans for SOI
+    * markers (FF D8 FF) and each frame runs through the SAME javax.imageio
+    * JPEG decoder q_image_decode_jpeg proved exact on block-uniform
+    * fixtures. Per-frame feature = the decoded channel sum (r = g = b on
+    * the gray fixtures); the selection rule is [[keyframes]]' verbatim —
+    * keep frame 0 and frames whose feature moved by more than 1/changeDen
+    * RELATIVE to the previous frame, integer-exact.
+    *
+    * The splitter is the standard MJPEG heuristic: SOI inside a frame's
+    * entropy stream is impossible (FF is escaped as FF 00) and the fixed
+    * JFIF headers contain none, so marker scan = frame boundary. A
+    * corrupted split fails LOUDLY (ImageIO returns null → require), never
+    * silently mis-features. Scale posture: decode stays in the scan stage
+    * (flatMap, no shuffle); the selection window partitions BY PAYLOAD —
+    * state bounded by one video's frame count. */
+  def mjpegKeyframes(spark: SparkSession, bin: DataFrame,
+                     changeDen: Int = 20): DataFrame = {
+    require(changeDen >= 1, s"changeDen ($changeDen) must be >= 1")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{abs, col, lag}
+    val frames = bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val starts = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i + 2 < bytes.length) {
+          if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8 &&
+              (bytes(i + 2) & 0xff) == 0xff) starts += i
+          i += 1
+        }
+        require(starts.nonEmpty && starts(0) == 0,
+          s"doc $id: payload does not start with a JPEG SOI — not MJPEG")
+        val bounds = starts.toSeq :+ bytes.length
+        bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), fi) =>
+          val f = decodeImage(id, java.util.Arrays.copyOfRange(bytes, a, b))
+          (id, fi, f.width, f.height, f.sum_r)
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "sum_gray")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.withColumn("prev", lag(col("sum_gray"), 1).over(w))
+      .filter(col("prev").isNull ||
+        abs(col("sum_gray") - col("prev")) * changeDen > col("prev"))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("sum_gray"))
+  }
+
   /** Resize (the image-payload access pattern): downsample the payload to
     * `nPx` equal-width buckets by exact integer bucket assignment
     * (`bucket = i·nPx div n`) and per-bucket byte sums — the strided-average

@@ -541,6 +541,37 @@ object LlmOps {
        |${(1 to PcaSquarings).map(k => sqlPcaSquare(k, "d")).mkString(",\n")},
        |${sqlPcaExtract("d")}""".stripMargin
 
+  /** One GENERIC deflation stage for the B102-k oracle (r14 verdict #9):
+    * given the previous matrix CTE `prevM` (i, j, g) and the direction
+    * extracted under prefix `pf` (`${pf}pcaw`), emit — under prefix `q` —
+    * the deflation Rayleigh quotient against the CURRENT matrix, the
+    * rank-one deflated matrix, its normalized h0, the squaring chain, and
+    * the direction extraction: term-for-term [[Pca.fitK]]'s loop body. */
+  private def sqlPcaDeflateStage(prevM: String, pf: String, q: String): String =
+    s"""${q}gv AS (SELECT m.i, floor(sum(m.g * w.w) * 1e6 + 0.5) / 1e6 AS gv
+       |  FROM $prevM m JOIN ${pf}pcaw w ON w.i = m.j GROUP BY m.i),
+       |${q}lam AS (SELECT floor(sum(w.w * g.gv) * 1e6 + 0.5) / 1e6 AS l
+       |  FROM ${pf}pcaw w JOIN ${q}gv g ON g.i = w.i),
+       |${q}cov AS MATERIALIZED (SELECT c.i, c.j,
+       |    floor((c.g - ${q}lam.l * wa.w * wb.w) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM $prevM c JOIN ${pf}pcaw wa ON wa.i = c.i
+       |  JOIN ${pf}pcaw wb ON wb.i = c.j CROSS JOIN ${q}lam),
+       |${q}hm0 AS (SELECT max(abs(g)) AS m FROM ${q}cov),
+       |${q}h0 AS MATERIALIZED (
+       |  SELECT i, j, floor((g / m) * 1e6 + 0.5) / 1e6 AS g
+       |  FROM ${q}cov CROSS JOIN ${q}hm0),
+       |${(1 to PcaSquarings).map(k => sqlPcaSquare(k, q)).mkString(",\n")},
+       |${sqlPcaExtract(q)}""".stripMargin
+
+  /** 4-component chain: the shared covariance+PC1 replay, then three
+    * chained deflation stages (k2 from cov/w1, k3 from k2cov/w2, k4 from
+    * k3cov/w3). */
+  private def sqlPcaKCtes: String =
+    s"""$sqlPcaCovCtes,
+       |${sqlPcaDeflateStage("cov", "", "k2")},
+       |${sqlPcaDeflateStage("k2cov", "k2", "k3")},
+       |${sqlPcaDeflateStage("k3cov", "k3", "k4")}""".stripMargin
+
   private def sqlResidualAdcCtes: String =
     s"""$sqlKmeansCtes,
        |cr AS (SELECT cent_id, i, round(c, 6) AS c FROM c2),
@@ -1284,6 +1315,20 @@ object LlmOps {
       val vecs = embedVecs(s, d)
       Pca.projectSubspace(vecs,
         Pca.fitSubspace(vecs, dim = 64, squarings = PcaSquarings))
+        .orderBy(col("vec_id"))
+    },
+
+    // B102-k: the deflation loop generalized to FOUR components under one
+    // hash (r14 verdict #9 — loop semantics, eigenvalue conventions, and
+    // the one-corpus-pass posture on [[graft.operators.Pca.fitK]]; PcaSpec
+    // extends the orthogonality + variance-decomposition asserts and pins
+    // fitK(2) ≡ fitSubspace). Oracle = the B99/B102 replay + three chained
+    // generic deflation stages — 40 materialized matrix squarings on the
+    // 64×64 model, never the corpus.
+    "q_embed_pca_k" -> { (s, d) =>
+      val vecs = embedVecs(s, d)
+      Pca.projectK(vecs,
+        Pca.fitK(vecs, dim = 64, squarings = PcaSquarings, k = 4))
         .orderBy(col("vec_id"))
     },
 
@@ -2993,6 +3038,22 @@ object LlmOps {
          |  floor(sum((x.x - m.mu) * dpcaw.w) * 1e6 + 0.5) / 1e6 AS pc2
          |FROM pcax x JOIN pcamean m ON m.i = x.i
          |JOIN pcaw ON pcaw.i = x.i JOIN dpcaw ON dpcaw.i = x.i
+         |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
+
+    // B102-k: the covariance replay + three chained deflation stages,
+    // then the 4-way projection (mirrors Pca.projectK)
+    "q_embed_pca_k" ->
+      s"""WITH $sqlPcaKCtes,
+         |pcamean AS (SELECT pcas.i, floor((pcas.s / pcan.n) * 1e6 + 0.5) / 1e6 AS mu
+         |  FROM pcas CROSS JOIN pcan)
+         |SELECT x.vec_id,
+         |  floor(sum((x.x - m.mu) * w1.w) * 1e6 + 0.5) / 1e6 AS pc1,
+         |  floor(sum((x.x - m.mu) * w2.w) * 1e6 + 0.5) / 1e6 AS pc2,
+         |  floor(sum((x.x - m.mu) * w3.w) * 1e6 + 0.5) / 1e6 AS pc3,
+         |  floor(sum((x.x - m.mu) * w4.w) * 1e6 + 0.5) / 1e6 AS pc4
+         |FROM pcax x JOIN pcamean m ON m.i = x.i
+         |JOIN pcaw w1 ON w1.i = x.i JOIN k2pcaw w2 ON w2.i = x.i
+         |JOIN k3pcaw w3 ON w3.i = x.i JOIN k4pcaw w4 ON w4.i = x.i
          |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->

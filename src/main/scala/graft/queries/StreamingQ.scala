@@ -954,6 +954,51 @@ object StreamingQ {
       graft.operators.StreamCurate.readAll(s, curDir).orderBy(col("doc_id"))
     },
 
+    // B81 file-level AS-OF read over the StreamCurate batch-dir layout
+    // (r14 verdict #8 — [[graft.operators.StreamCurate.readStateBefore]]'s
+    // timeline EXPOSED as a query, the batch-granular time travel a Delta/
+    // Iceberg user gets from VERSION AS OF): run the 3-batch curation,
+    // COMPACT the curated layout up to batch 1 (b0+b1 fold into snap1 with
+    // rows tagged `_batch_id`; b2 stays a tail dir), then read AS OF every
+    // horizon 1..3. AS OF 1 must reach INSIDE the snapshot (the
+    // `_batch_id < 1` row filter — the boundary-crossing read), AS OF 2 is
+    // the whole snapshot, AS OF 3 snapshot + tail. Oracle: rows written at
+    // batch b never change after b commits, so state-before-A = the
+    // full-feed survivors with arrival batch < A — three horizons under
+    // one hash. StreamCurateSpec pins compacted ≡ pre-compaction reads at
+    // every horizon.
+    "q_stream_asof" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_asof_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val histDir = new File(root, "hist")
+      val curDir = new File(root, "curated")
+      val q = docStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCurate.curateBatch(batch, bid, histDir,
+            curDir, score = None)
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_asof still running after 180 s — refusing to read a partial corpus")
+      }
+      graft.operators.StreamCurate.compact(s, curDir.getPath, uptoBatch = 1)
+      (1L to 3L).map { a =>
+        graft.operators.StreamCurate.readStateBefore(s, curDir.getPath, a)
+          .getOrElse(throw new IllegalStateException(
+            s"no curated state before batch $a under $curDir"))
+          .select(lit(a).as("as_of"), col("doc_id"), col("source"), col("sha"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("as_of"), col("doc_id"))
+    },
+
     // B81 SCORED streaming curation (r11 verdict #5) — q_stream_curate
     // ships every dedup survivor; production ingest ALSO gates on quality
     // online: a FROZEN classifier (B71's broadcast-model scoreUdf — the
@@ -1192,6 +1237,57 @@ object StreamingQ {
        |  n0 + n1 + n2, c0 + c1 + c2
        |FROM per WHERE n2 > 0
        |ORDER BY user_id, upd_seq""".stripMargin
+
+  /** The full-feed streaming-curation replay chain (see the
+    * q_stream_curate entry comment for the semantics): arrival order
+    * (b = doc_id % 3, doc_id); exact survivors by arrival rank per sha;
+    * the minhash/band chain (identical constants to the
+    * q_dedup_minhash_lsh oracle) over exact survivors; the bucket cap
+    * counted against the CUMULATIVE bucket population at the later side's
+    * arrival batch; milli-rounded Jaccard confirm; drop the later arrival
+    * of each confirmed pair. Shared by q_stream_curate and the B81 AS-OF
+    * entry so the two replays cannot drift. */
+  private val sqlStreamCurateChain: String =
+    """d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
+      |es AS (SELECT doc_id, text, source, b FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY sha256(text) ORDER BY b, doc_id) AS rn FROM d) t
+      |  WHERE rn = 1),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM es) t
+      |  WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, CAST('0x' || substr(md5(u.s), 1, 7) AS BIGINT) AS h
+      |       FROM sh, unnest(shingles) u(s)),
+      |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b
+      |           FROM range(12) r(i)),
+      |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
+      |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
+      |bands AS (SELECT mh.doc_id, es.b, i // 2 AS band,
+      |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+      |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+      |  FROM mh JOIN es ON es.doc_id = mh.doc_id
+      |  GROUP BY mh.doc_id, es.b, i // 2),
+      |bcnt AS (SELECT band, mh0, mh1, b, count(*) AS nb
+      |         FROM bands GROUP BY 1, 2, 3, 4),
+      |bcum AS (SELECT band, mh0, mh1, b, sum(nb) OVER (
+      |           PARTITION BY band, mh0, mh1 ORDER BY b) AS cum FROM bcnt),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
+      |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+      |  JOIN bcum c ON c.band = x.band AND c.mh0 = x.mh0 AND c.mh1 = x.mh1
+      |    AND c.b = greatest(x.b, y.b)
+      |  WHERE c.cum <= 1000),
+      |pairs AS (SELECT c.doc_a, c.doc_b
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b
+      |  WHERE floor(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |      - len(list_intersect(sa.shingles, sb.shingles))) * 1e3 + 0.5)
+      |    / 1e3 >= 0.8),
+      |dropped AS (SELECT DISTINCT CASE WHEN doc_b % 3 >= doc_a % 3
+      |    THEN doc_b ELSE doc_a END AS doc_id FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -1460,49 +1556,23 @@ object StreamingQ {
     // arrival of each confirmed pair (doc_a < doc_b, so doc_b is later iff
     // its batch is >= doc_a's)
     "q_stream_curate" ->
-      """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
-        |es AS (SELECT doc_id, text, source, b FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY sha256(text) ORDER BY b, doc_id) AS rn FROM d) t
-        |  WHERE rn = 1),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
-        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM es) t
-        |  WHERE len(toks) >= 3),
-        |ex AS (SELECT doc_id, CAST('0x' || substr(md5(u.s), 1, 7) AS BIGINT) AS h
-        |       FROM sh, unnest(shingles) u(s)),
-        |params AS (SELECT i, 1234567 + 7654321*i AS a, 987654 + 123457*i AS b
-        |           FROM range(12) r(i)),
-        |mh AS (SELECT doc_id, i, min((a*h + b) % 268435399) AS mh
-        |       FROM ex CROSS JOIN params GROUP BY doc_id, i),
-        |bands AS (SELECT mh.doc_id, es.b, i // 2 AS band,
-        |    max(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
-        |    max(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
-        |  FROM mh JOIN es ON es.doc_id = mh.doc_id
-        |  GROUP BY mh.doc_id, es.b, i // 2),
-        |bcnt AS (SELECT band, mh0, mh1, b, count(*) AS nb
-        |         FROM bands GROUP BY 1, 2, 3, 4),
-        |bcum AS (SELECT band, mh0, mh1, b, sum(nb) OVER (
-        |           PARTITION BY band, mh0, mh1 ORDER BY b) AS cum FROM bcnt),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.mh0 = y.mh0
-        |    AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
-        |  JOIN bcum c ON c.band = x.band AND c.mh0 = x.mh0 AND c.mh1 = x.mh1
-        |    AND c.b = greatest(x.b, y.b)
-        |  WHERE c.cum <= 1000),
-        |pairs AS (SELECT c.doc_a, c.doc_b
-        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b
-        |  WHERE floor(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-        |    (len(sa.shingles) + len(sb.shingles)
-        |      - len(list_intersect(sa.shingles, sb.shingles))) * 1e3 + 0.5)
-        |    / 1e3 >= 0.8),
-        |dropped AS (SELECT DISTINCT CASE WHEN doc_b % 3 >= doc_a % 3
-        |    THEN doc_b ELSE doc_a END AS doc_id FROM pairs)
+      s"""WITH $sqlStreamCurateChain
         |SELECT es.doc_id, es.source, sha256(es.text) AS sha
         |FROM es WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY es.doc_id""".stripMargin,
+
+    // the curate replay restricted per AS-OF horizon: rows written at
+    // batch b never change after b commits (drops always land on the
+    // LATER arrival, whose batch is the pair's max — that batch's own
+    // processing), so state-before-A is exactly the full-feed survivors
+    // with es.b < A. Three horizons under one hash.
+    "q_stream_asof" ->
+      s"""WITH $sqlStreamCurateChain,
+        |surv AS (SELECT es.b, es.doc_id, es.source, sha256(es.text) AS sha
+        |  FROM es WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped))
+        |SELECT CAST(a.a AS BIGINT) AS as_of, s.doc_id, s.source, s.sha
+        |FROM range(1, 4) a(a) JOIN surv s ON s.b < a.a
+        |ORDER BY as_of, doc_id""".stripMargin,
 
     // the q_stream_curate replay + the frozen-model quality gate: the B71
     // scorer and B73 per-source P75 cutoff recomputed over the FULL corpus

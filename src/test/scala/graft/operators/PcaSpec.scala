@@ -119,6 +119,44 @@ class PcaSpec extends SparkSpecBase {
       s"pc1/pc2 sample covariance not ~0: $c12")
   }
 
+  test("fitK: reproduces fitSubspace at k=2; 4-component orthogonality and variance decomposition") {
+    // r14 verdict #9 — the generalized loop must be a strict extension:
+    // identical directions/eigenvalues at k=2 (for j=1 the 'current
+    // matrix' Rayleigh IS the fitSubspace arithmetic)…
+    val sq = graft.queries.LlmOps.PcaSquarings
+    val m2 = Pca.fitSubspace(vecs, 64, sq)
+    val mk = Pca.fitK(vecs, 64, sq, k = 4)
+    assert(mk.ws(0).toSeq === m2.w1.toSeq, "fitK w1 != fitSubspace w1")
+    assert(mk.ws(1).toSeq === m2.w2.toSeq, "fitK w2 != fitSubspace w2")
+    assert(mk.lambdas(0) === m2.lambda1 && mk.lambdas(1) === m2.lambda2)
+    // …and the B102 asserts extended to all four components:
+    // non-increasing positive eigenvalues (variance decomposition)…
+    mk.lambdas.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"eigenvalue order broken: ${mk.lambdas}") }
+    assert(mk.lambdas.last > 0, s"lambda4 not positive: ${mk.lambdas}")
+    // …pairwise orthogonality and unit norms to the rounding floor…
+    for (i <- 0 until 4; j <- (i + 1) until 4) {
+      val dot = mk.ws(i).zip(mk.ws(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 2e-3, s"|w${i + 1}·w${j + 1}| = ${math.abs(dot)}")
+    }
+    for (w <- mk.ws) {
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-4, s"|w| = $nrm")
+    }
+    // …and per-component sample variance matching its ORIGINAL-covariance
+    // Rayleigh eigenvalue (the decomposition is real, not nominal)
+    val pts = Pca.projectK(vecs, mk).collect()
+      .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val n = pts.length.toDouble
+    for (j <- 0 until 4) {
+      val mean = pts.map(_(j)).sum / n
+      val v = pts.map(p => (p(j) - mean) * (p(j) - mean)).sum / n
+      assert(math.abs(v - mk.lambdas(j)) <= 0.02 * mk.lambdas(j),
+        s"var(pc${j + 1}) = $v vs lambda ${mk.lambdas(j)}")
+    }
+  }
+
   test("projection equals the driver-side (x − mu)·w recount at round-6") {
     val m = Pca.fitPc1(vecs, 64, graft.queries.LlmOps.PcaSquarings)
     val got = Pca.projectPc1(vecs, m).orderBy(col("vec_id"))

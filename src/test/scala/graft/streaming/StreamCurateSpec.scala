@@ -164,8 +164,13 @@ class StreamCurateSpec extends SparkSpecBase {
     (0 to 2).foreach(i => StreamCurate.curateBatch(b(i), i, histA, curA, None))
     val refCur = rowsOf(curA)
     val refHist = rowsOf(histA)
+    def asOfReads(dir: java.io.File): Map[Long, Set[Long]] =
+      (1L to 3L).map(a => a -> StreamCurate.readStateBefore(spark, dir.getPath, a)
+        .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet).toMap
     val refState1 = StreamCurate.readStateBefore(spark, curA.getPath, 1)
       .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // pre-compaction AS-OF timeline (the q_stream_asof horizons)
+    val refAsOf = asOfReads(curA)
     // compacted run, with the retry landing ACROSS the snapshot boundary
     val rootB = new java.io.File(scratch("curate_compact"))
     val (histB, curB) = (new java.io.File(rootB, "hist"), new java.io.File(rootB, "cur"))
@@ -187,6 +192,13 @@ class StreamCurateSpec extends SparkSpecBase {
       .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(st1 === refState1,
       "readStateBefore across the snapshot does not equal the uncompacted read")
+    // r14 verdict #8 (the q_stream_asof contract): EVERY AS-OF horizon
+    // reads identically over the compacted layout — horizon 1 and 2 reach
+    // inside snap2 via the _batch_id row filter, horizon 3 is the whole
+    // snapshot
+    assert(asOfReads(curB) === refAsOf,
+      "AS-OF timeline over the compacted layout diverges from the " +
+        "pre-compaction reads")
     // physical layout: only the stacked snapshot remains (b0..b2 + snap0
     // were folded and deleted), and re-compacting is a no-op
     val names = curB.listFiles().filter(_.isDirectory).map(_.getName).toSet
