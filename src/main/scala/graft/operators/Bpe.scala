@@ -96,6 +96,21 @@ object Bpe {
         x => x.getField("sym")).as("s"))
   }
 
+  /** Materialize one round's symbol table AND cut both lineage and
+    * STATISTICS: eager localCheckpoint truncates the physical lineage but
+    * PRESERVES the origin plan's size ESTIMATES, and those estimates are
+    * products over the round's joins — carried across rounds they compound
+    * into BigInts whose bare arithmetic froze the 256-merge soak (measured:
+    * driver pinned in SizeInBytesOnlyStatsPlanVisitor →
+    * BigInteger.multiplyToomCook3 after ~15 rounds, digits ~4× per round).
+    * Re-wrapping the checkpointed RDD in a fresh LogicalRDD resets the
+    * estimate to a constant-size leaf every round; execution still reads
+    * the checkpointed blocks. */
+  private def materializeRound(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Train `rounds` merges; returns (round, sym_a, sym_b, cnt) — the merge
     * table, in induction order. Each round's argmax is a ONE-row collect
     * (the O(model) driver state); ties break (cnt DESC, a ASC, b ASC). */
@@ -127,13 +142,15 @@ object Bpe {
       val (a0, b0, c0) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((r, a0, b0, c0))
-      // eager localCheckpoint, not persist: applyMerge references its
-      // input several times, so the LOGICAL plan multiplies ~4x per round
-      // and at 8+ rounds the un-truncated lineage OOMs the driver just
+      // materializeRound, not persist: applyMerge references its input
+      // several times, so the LOGICAL plan multiplies ~4x per round and at
+      // 8+ rounds the un-truncated lineage OOMs the driver just
       // STRINGIFYING the plan — persistence alone stops recompute, only
-      // checkpointing stops plan growth (the production-32k-merge regime
-      // mergesBatched exists for makes this non-optional)
-      val next = applyMerge(syms, a0, b0).localCheckpoint(true)
+      // checkpointing stops plan growth, and only the stats re-wrap stops
+      // the size-estimate BigInt blow-up (see materializeRound) — the
+      // production-32k-merge regime mergesBatched exists for makes both
+      // non-optional
+      val next = materializeRound(applyMerge(syms, a0, b0))
       syms.unpersist(blocking = false)
       syms = next
     }
@@ -297,10 +314,11 @@ object Bpe {
       m = math.min(m, totalMerges - out.length)
       val batch = top.take(m)
       batch.foreach { case (a, b, c) => out += ((out.length + 1, a, b, c)) }
-      // eager localCheckpoint per round — truncates the multiplying
-      // applyMergeBatch lineage (see the mergesWithVocab comment)
-      val next = applyMergeBatch(syms, batch.map(t => (t._1, t._2)).toSeq)
-        .localCheckpoint(true)
+      // materializeRound per round — truncates the multiplying
+      // applyMergeBatch lineage AND the compounding size estimates (see
+      // the mergesWithVocab comment and the materializeRound scaladoc)
+      val next = materializeRound(
+        applyMergeBatch(syms, batch.map(t => (t._1, t._2)).toSeq))
       syms.unpersist(blocking = false)
       syms = next
     }
