@@ -109,7 +109,12 @@ class PlanSweepSpec extends SparkSpecBase {
     "q_text_bigram_coverage",
     // B130: Pq.encodeInto's codes ⋈ cell-assignment join — both sides are
     // every indexed vector (the q_embed_ivfpq argument verbatim)
-    "q_embed_ivfpq_insert", "q_embed_ivfpq_delete", "q_stream_ivfpq_search")
+    "q_embed_ivfpq_insert", "q_embed_ivfpq_delete", "q_stream_ivfpq_search",
+    // B131: held-out docs ⋈ their per-doc argmax predictions — BOTH sides
+    // are every held-out document (the prediction table is corpus-sized,
+    // not a dimension), the q_dedup_survivor category; AQE broadcasts at
+    // toy SF when it measures small
+    "q_text_langid_model")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
