@@ -514,6 +514,24 @@ object Pq {
       .write.mode("overwrite").parquet(s"$aRoot/b$batchId")
   }
 
+  /** One streaming micro-batch of the WRITE side — the B124 mirror for
+    * the codes index: [[encodeInto]] THIS batch's vectors against the
+    * frozen models into `iRoot/b<batchId>` (batchId-keyed overwrite =
+    * exactly-once). Encoding is stateless given frozen models, so unlike
+    * the graph insert there is NO cross-batch state read: a retried
+    * batch rewrites byte-identical codes and batch composition cannot
+    * change any row — StreamPqSpec pins both. The accumulated index is
+    * simply the union of the batch dirs; production compacts them with
+    * the [[Compact]]/[[StreamCurate.compact]] posture. */
+  def ivfStreamEncode(batch: DataFrame, batchId: Long, cents: DataFrame,
+                      coarseCents: DataFrame, iRoot: String,
+                      cfg: PqConfig): Unit = {
+    val vs = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    encodeInto(vs, cfg, cents, coarseCents)
+      .write.mode("overwrite").parquet(s"$iRoot/b$batchId")
+  }
+
   /** The shared exact re-rank stage: fetch the raw coordinates of the
     * (qid, vec_id) shortlist via ONE broadcast semi-join against the
     * corpus scan, re-aggregate exact per-coordinate squared L2 (round-6,

@@ -285,6 +285,46 @@ object Sql {
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
 
+  /** TPC-H q17 SHAPE — the correlated scalar AVG subquery (small-quantity
+    * revenue): per Brand#23 lineitem, compare against 0.2 × that PART's
+    * average quantity. The optimizer shape under test: decorrelation into
+    * a per-part aggregate + join, not a per-row rescan. Float discipline:
+    * l_quantity is integer-valued, so the distributed double sum is
+    * order-free exact and avg = sum/count is the identical IEEE division
+    * in both engines; revenue in the tpch6/14 exact-integer convention. */
+  private val tpch17 =
+    """SELECT CAST(sum(round(l_extendedprice * 1e4)) AS BIGINT)
+      |    AS small_qty_rev4,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** TPC-H q22 SHAPE — NOT EXISTS anti-join + uncorrelated scalar AVG
+    * threshold (global sales opportunity): above-average-balance
+    * customers with no urgent orders, bucketed by the last digit of
+    * c_name (the fixture's stand-in for the phone country code; the
+    * spec's no-orders-at-all form is vacuous here — every fixture
+    * customer has orders, PROBED). Float discipline: the threshold is an
+    * INTEGER centi-balance floor-average — `avg(c_acctbal)` over
+    * non-integer doubles would be order-dependent in the last ulp across
+    * engines, exactly the boundary a hash compare cannot tolerate. */
+  private val tpch22 =
+    """SELECT right(c_name, 1) AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS totacctbal_cents
+      |FROM customer
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+      |  (SELECT CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+      |       * 1.0 / count(*)) AS BIGINT)
+      |   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY right(c_name, 1)
+      |ORDER BY cntrycode""".stripMargin
+
   /** Ordered string aggregation — the one place the two frontends need
     * different spellings for the same ANSI feature: Spark 4 ships
     * `listagg(x, sep) WITHIN GROUP (ORDER BY ...)`, DuckDB spells it
@@ -320,8 +360,10 @@ object Sql {
     "q_sql_tpch12" -> run(tpch12),
     "q_sql_tpch13" -> run(tpch13),
     "q_sql_tpch14" -> run(tpch14),
+    "q_sql_tpch17" -> run(tpch17),
     "q_sql_tpch18" -> run(tpch18),
     "q_sql_tpch19" -> run(tpch19),
+    "q_sql_tpch22" -> run(tpch22),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -340,8 +382,10 @@ object Sql {
     "q_sql_tpch12" -> tpch12,
     "q_sql_tpch13" -> tpch13,
     "q_sql_tpch14" -> tpch14,
+    "q_sql_tpch17" -> tpch17,
     "q_sql_tpch18" -> tpch18,
     "q_sql_tpch19" -> tpch19,
+    "q_sql_tpch22" -> tpch22,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

@@ -201,6 +201,35 @@ object StreamingQ {
       .option("pathGlobFilter", "batch*.parquet")
       .parquet(embSplitDir(s, d))
 
+  /** RANGE-keyed three-file embeddings split (vec_id < 300 / 300..399 /
+    * ≥ 400) for the streaming PQ-encode entry: the %3 split would tear
+    * the [[graft.operators.Pq]] seed contract (codebook seeds are the
+    * contiguous ids 0..k−1, which must all land in the TRAINING range),
+    * so the write-side stream batches by id range instead — batch 0 is
+    * the initial corpus the frozen models are trained on, batches 1–2
+    * are later arrivals encoded against them. Fixed absolute boundaries
+    * so the oracle mirrors the predicate verbatim at every SF. */
+  private def embRangeSplitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_embr3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      writeSplit(emb.filter(col("vec_id") < 300), dir, "batch0.parquet", 1000000L)
+      writeSplit(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        dir, "batch1.parquet", 2000000L)
+      writeSplit(emb.filter(col("vec_id") >= 400), dir, "batch2.parquet", 3000000L)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def embRangeStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(embRangeSplitDir(s, d))
+
   /** Three-file QUERY split (the vec_id < 10 query vectors, vec_id mod 3)
     * for the streaming serving entry — the corpus itself never streams,
     * it is the frozen index's training data. */
@@ -1204,6 +1233,57 @@ object StreamingQ {
           .orderBy(col("qid"), col("rank"))
           .localCheckpoint(true)
       } finally index.unpersist(blocking = false)
+    },
+
+    // B130 STREAMING IVFADC index MAINTENANCE — the WRITE side
+    // ([[graft.operators.Pq.ivfStreamEncode]]; the B124 mirror for the
+    // codes index): models are trained OFFLINE on the initial corpus
+    // (vec_id < 300 — the range split, see embRangeSplitDir for why %3
+    // would tear the seed contract) and FROZEN; the full corpus then
+    // arrives in 3 range batches, each encoded map-side against the
+    // frozen models into a batchId-keyed dir (exactly-once — encoding is
+    // stateless, so a retry rewrites identical codes). Result = the
+    // accumulated index, codes pivoted wide. Oracle: statelessness means
+    // the union of per-batch encodes equals ONE static encode of the
+    // corpus against the old-trained models (the sqlPqTrainEncode
+    // train/encode split again). StreamPqSpec pins stream ≡ static
+    // encode and retry idempotence.
+    "q_stream_ivfpq_insert" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_ivfpqw_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val iRoot = new File(root, "i").getPath
+      val cfg = graft.operators.PqConfig()
+      val nCoarse = graft.queries.LlmOps.IvfCfg.numCentroids
+      val trainCorpus = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cb = graft.operators.Pq.train(trainCorpus, cfg)
+      val coarse = trainCorpus.filter(col("vec_id") < nCoarse)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val q = embRangeStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.Pq.ivfStreamEncode(batch, bid, cb, coarse,
+            iRoot, cfg)
+        }
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_ivfpq_insert still running after 300 s — refusing to read a partial index")
+      }
+      val cs = (0 until cfg.m).map(m =>
+        element_at(col("codes"), m + 1).as(s"c$m"))
+      s.read.parquet(s"$iRoot/b*")
+        .select(col("vec_id") +: col("cell") +: cs: _*)
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true)
     })
 
   /** Shared by q_stream_stateful (flatMapGroupsWithState) and q_stream_tws
@@ -1662,6 +1742,43 @@ object StreamingQ {
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
 
+    // streaming index maintenance (write side): encoding is stateless
+    // against frozen models, so the union of per-batch encodes = ONE
+    // static encode — train on vec_id < 300 (the initial-corpus range),
+    // encode all, coarse-assign all against centroids 0..15
+    "q_stream_ivfpq_insert" -> {
+      val nC = LlmOps.IvfCfg.numCentroids
+      s"""WITH pex AS (SELECT vec_id, i // ${LlmOps.PqCfg.subDim} AS m,
+         |    i % ${LlmOps.PqCfg.subDim} AS si, embedding[i+1]::DOUBLE AS x
+         |  FROM embeddings CROSS JOIN range(${LlmOps.PqCfg.dim}) r(i)),
+         |pextr AS (SELECT * FROM pex WHERE vec_id < 300),
+         |${LlmOps.sqlPqTrainEncode("pextr", "p", seedFrom = 0, encSrc = "pex")},
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e) t GROUP BY vec_id),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cent_id,
+         |    sum(v.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) AS dp
+         |  FROM e v JOIN e c ON c.vec_id < $nC
+         |  CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cd.vec_id, cd.cent_id,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 9) DESC, cd.cent_id) AS arn
+         |  FROM cdots cd
+         |  JOIN norms nv ON nv.vec_id = cd.vec_id
+         |  JOIN norms nc ON nc.vec_id = cd.cent_id),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE arn = 1)
+         |SELECT a.vec_id, a.cell,
+         |  ${(0 until LlmOps.PqCfg.m).map(m =>
+             s"max(CASE WHEN f.m = $m THEN f.code END) AS c$m")
+             .mkString(",\n         |  ")}
+         |FROM paF f JOIN assigned a ON a.vec_id = f.vec_id
+         |GROUP BY 1, 2 ORDER BY a.vec_id""".stripMargin
+    },
+
     "q_stream_curate_scored" ->
       """WITH d AS (SELECT doc_id, text, source, doc_id % 3 AS b FROM documents),
         |es AS (SELECT doc_id, text, source, b FROM (
@@ -1732,5 +1849,6 @@ object StreamingQ {
         |JOIN cut ON cut.source = es.source
         |WHERE es.doc_id NOT IN (SELECT doc_id FROM dropped)
         |  AND sc.logit_micro >= cut.p75_micro
-        |ORDER BY es.doc_id""".stripMargin)
+        |ORDER BY es.doc_id""".stripMargin,
+  )
 }

@@ -60,4 +60,42 @@ class StreamPqSpec extends SparkSpecBase {
         "the retried batch's answers are not a subset of the full replay")
     } finally index.unpersist(blocking = false)
   }
+
+  private def idxRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, List[Long])] =
+    df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+      r.getAs[Seq[Long]]("codes").toList)).toSet
+
+  test("streaming IVFADC encode accumulates to one static encode; retry rewrites identical codes") {
+    // the WRITE side (q_stream_ivfpq_insert's kernel): frozen models from
+    // the initial-corpus range, then per-range ivfStreamEncode batches —
+    // statelessness means the batch-dir union must equal ONE encodeInto
+    // of the whole corpus, and a retried batch must rewrite byte-identical
+    // codes (no cross-batch state read exists to diverge on).
+    val trainC = emb(col("vec_id") < 300)
+    val cb = Pq.train(trainC, cfg)
+    val coarse = trainC.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val expected = idxRows(Pq.encodeInto(all, cfg, cb, coarse))
+    val iRoot = new java.io.File(scratch("stream_ivfpq_encode")).getPath
+    def raw(cond: org.apache.spark.sql.Column) =
+      graft.Tables.embeddings(spark, sf).filter(cond)
+        .select(col("vec_id"), col("embedding"))
+    Pq.ivfStreamEncode(raw(col("vec_id") < 300), 0, cb, coarse, iRoot, cfg)
+    Pq.ivfStreamEncode(raw(col("vec_id") >= 300 && col("vec_id") < 400),
+      1, cb, coarse, iRoot, cfg)
+    Pq.ivfStreamEncode(raw(col("vec_id") >= 400), 2, cb, coarse, iRoot, cfg)
+    val got = idxRows(spark.read.parquet(s"$iRoot/b*"))
+    assert(got === expected,
+      "accumulated batch dirs diverge from the static encode")
+    // retry idempotence
+    val before = idxRows(spark.read.parquet(s"$iRoot/b1"))
+    Pq.ivfStreamEncode(raw(col("vec_id") >= 300 && col("vec_id") < 400),
+      1, cb, coarse, iRoot, cfg)
+    val after = idxRows(spark.read.parquet(s"$iRoot/b1"))
+    assert(before === after && before.nonEmpty,
+      "retried encode batch changed its codes")
+  }
 }
