@@ -327,13 +327,19 @@ object Multimodal {
     * keep frame 0 and frames whose feature moved by more than 1/changeDen
     * RELATIVE to the previous frame, integer-exact.
     *
-    * The splitter is the standard MJPEG heuristic: SOI inside a frame's
-    * entropy stream is impossible (FF is escaped as FF 00) and the fixed
-    * JFIF headers contain none, so marker scan = frame boundary. A
-    * corrupted split fails LOUDLY (ImageIO returns null → require), never
-    * silently mis-features. Scale posture: decode stays in the scan stage
-    * (flatMap, no shuffle); the selection window partitions BY PAYLOAD —
-    * state bounded by one video's frame count. */
+    * The splitter is a real marker-segment walk, not a raw FF D8 FF byte
+    * scan (r15 advice): length-carrying segments (APPn/COM/DQT/DHT/SOF…)
+    * are skipped by their length field, so an EXIF APP1 payload with an
+    * embedded thumbnail — whose bytes CONTAIN a SOI a raw scan would
+    * split on, mid-frame, decodable, silently mis-featured — can never
+    * produce a boundary; inside the post-SOS entropy stream FF is only a
+    * stuffed 00, a restart D0–D7, a fill FF, or the next real marker, so
+    * each frame ends exactly at its own EOI. Malformed input (no SOI at
+    * a frame start, truncated segment, marker desync) fails LOUDLY, as
+    * does a corrupted frame slice (ImageIO returns null → require) —
+    * never a silent mis-feature. Scale posture: decode stays in the scan
+    * stage (flatMap, no shuffle); the selection window partitions BY
+    * PAYLOAD — state bounded by one video's frame count. */
   def mjpegKeyframes(spark: SparkSession, bin: DataFrame,
                      changeDen: Int = 20): DataFrame = {
     require(changeDen >= 1, s"changeDen ($changeDen) must be >= 1")
@@ -342,17 +348,13 @@ object Multimodal {
     import org.apache.spark.sql.functions.{abs, col, lag}
     val frames = bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val starts = scala.collection.mutable.ArrayBuffer[Int]()
-        var i = 0
-        while (i + 2 < bytes.length) {
-          if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8 &&
-              (bytes(i + 2) & 0xff) == 0xff) starts += i
-          i += 1
+        val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
+        var off = 0
+        while (off < bytes.length) {
+          off = jpegFrameEnd(id, bytes, off)
+          bounds += off
         }
-        require(starts.nonEmpty && starts(0) == 0,
-          s"doc $id: payload does not start with a JPEG SOI — not MJPEG")
-        val bounds = starts.toSeq :+ bytes.length
-        bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), fi) =>
+        bounds.toSeq.sliding(2).zipWithIndex.map { case (Seq(a, b), fi) =>
           val f = decodeImage(id, java.util.Arrays.copyOfRange(bytes, a, b))
           (id, fi, f.width, f.height, f.sum_r)
         }
@@ -363,6 +365,59 @@ object Multimodal {
         abs(col("sum_gray") - col("prev")) * changeDen > col("prev"))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("sum_gray"))
+  }
+
+  /** Walk ONE JPEG frame starting at `off`; returns the index just past
+    * its EOI ([[mjpegKeyframes]]' splitter kernel). Marker-segment walk
+    * per ITU T.81 §B: after SOI, every segment either carries a 2-byte
+    * big-endian length (skipped wholesale — this is what makes an EXIF
+    * thumbnail's embedded SOI invisible) or is standalone (TEM, RSTn);
+    * after an SOS header the entropy stream is scanned with the three FF
+    * escapes (stuffed 00, restart D0–D7, fill FF) until the next REAL
+    * marker, which hands control back to the segment walk — so multi-scan
+    * (progressive) frames terminate at their own EOI too. Every structural
+    * violation is a loud require, never a guessed boundary. */
+  private[multimodal] def jpegFrameEnd(id: Long, bytes: Array[Byte],
+                                       off: Int): Int = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    require(off + 1 < bytes.length && u(off) == 0xff && u(off + 1) == 0xd8,
+      s"doc $id: no JPEG SOI at offset $off — not MJPEG")
+    var i = off + 2
+    var end = -1
+    while (end < 0) {
+      require(i + 1 < bytes.length, s"doc $id: truncated JPEG at $i")
+      require(u(i) == 0xff,
+        f"doc $id: marker desync at $i (0x${u(i)}%02x, expected 0xff)")
+      u(i + 1) match {
+        case 0xd9 => end = i + 2 // EOI — this frame's end
+        case 0xd8 => require(false,
+          s"doc $id: nested SOI at $i outside any segment payload"); ()
+        case 0xff => i += 1 // fill byte before a marker
+        case 0x01 => i += 2 // TEM, standalone
+        case m if m >= 0xd0 && m <= 0xd7 => i += 2 // RSTn, standalone
+        case 0xda => // SOS: skip header, then entropy-scan to a real marker
+          require(i + 3 < bytes.length, s"doc $id: truncated SOS at $i")
+          i += 2 + ((u(i + 2) << 8) | u(i + 3))
+          var entropy = true
+          while (entropy) {
+            require(i + 1 < bytes.length,
+              s"doc $id: entropy stream ran past the payload end")
+            if (u(i) != 0xff) i += 1
+            else u(i + 1) match {
+              case 0x00 => i += 2 // stuffed data FF
+              case 0xff => i += 1 // fill
+              case m if m >= 0xd0 && m <= 0xd7 => i += 2 // restart
+              case _ => entropy = false // real marker — outer walk takes it
+            }
+          }
+        case m =>
+          require(m >= 0xc0, f"doc $id: reserved marker 0x$m%02x at $i")
+          require(i + 3 < bytes.length,
+            s"doc $id: truncated segment header at $i")
+          i += 2 + ((u(i + 2) << 8) | u(i + 3))
+      }
+    }
+    end
   }
 
   /** Resize (the image-payload access pattern): downsample the payload to

@@ -585,8 +585,11 @@ object Ann {
     * ≤ k rows per vertex per partition before its shuffle. Each round is
     * MATERIALIZED (persist + count) — the iterative-ML shape kmeansFit
     * uses — so round r+1's two references to G_r never recompute the
-    * chain; the final graph is returned as an eager localCheckpoint so no
-    * session-lifetime cache leaks ([[graft.queries]] r12 convention).
+    * chain; the final graph is returned via [[Materialize.cutFinal]] (an
+    * eager checkpoint in the session's durability mode — executor-local
+    * blocks by default, reliable-FS files under
+    * `graft.checkpoint.reliable`) so no session-lifetime cache leaks
+    * ([[graft.queries]] r12 convention).
     *
     * Float discipline: cosine rounded to 6 dp before every rank, dst-id
     * ascending tie-break — the whole construction (LSH seed, reverse cap,
@@ -671,7 +674,7 @@ object Ann {
         g.unpersist(blocking = false)
         g = next
       }
-      val out = g.filter(col("rank") <= k).localCheckpoint(true)
+      val out = Materialize.cutFinal(g.filter(col("rank") <= k))
       g.unpersist(blocking = false)
       out
     } finally if (!callerCached) emb.unpersist(blocking = false)
@@ -750,7 +753,7 @@ object Ann {
     val listOld = knnTopKOf(spark, k,
       knnScorePairs(n, rev).union(gOld.select(col("src"), col("dst"),
         col("cos_sim"))))
-    val out = listDelta.union(listOld).localCheckpoint(true)
+    val out = Materialize.cutFinal(listDelta.union(listOld))
     candV.unpersist(blocking = false)
     out
   }
@@ -918,10 +921,72 @@ object Ann {
     val spark = embVisible.sparkSession
     val candV = frozenWalkCandidates(embVisible, isQuery, gOld, cfg, hops)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = knnTopKOf(spark, k, knnScorePairs(withNorm(embVisible), candV))
-      .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
-        col("cos_sim"))
-      .localCheckpoint(true)
+    val out = Materialize.cutFinal(
+      knnTopKOf(spark, k, knnScorePairs(withNorm(embVisible), candV))
+        .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
+          col("cos_sim")))
+    candV.unpersist(blocking = false)
+    out
+  }
+
+  /** FILTERED graph-ANN search (r15 verdict #3) — [[knnSearch]] with a
+    * metadata predicate over the corpus: "top-k neighbors among vectors
+    * WHERE allowed", the filtered-search form every production vector
+    * store serves (tenant/category/date filters next to the vector
+    * match). The discipline is the standard post-filtering walk:
+    *
+    *  - the walk TRAVERSES disallowed vectors — [[frozenWalkCandidates]]
+    *    runs filter-blind, so a disallowed vector still routes the
+    *    descent through its graph neighborhood (dropping it from the
+    *    walk would disconnect the frozen graph exactly when the filter
+    *    is selective, the worst case);
+    *  - the predicate lands on the candidate pool BEFORE the exact
+    *    re-rank (a semi-join against the allowed ids — disallowed
+    *    candidates are never scored), so the answer ranks allowed
+    *    vectors only;
+    *  - the known failure mode — a selective filter starving the
+    *    shortlist because the walk's fan-out is filter-blind — is
+    *    MEASURED, not assumed: AnnRecallSpec pins recall vs the
+    *    post-filter exact gold at two selectivities, with the hops dial
+    *    as the recovery lever (a more selective filter wants more hops,
+    *    same knee as the unfiltered dial).
+    *
+    * Scale posture: identical to [[knnSearch]] (the filter only SHRINKS
+    * the scored candidate set); the allowed-id side of the semi-join is
+    * a projection of the corpus, shuffled once on dst. */
+  def knnSearchFiltered(emb0: DataFrame, isQuery: Column, allowed: Column,
+                        k: Int, cfg: EmbedLshConfig, rounds: Int,
+                        buildK: Int, hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val callerCached =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (callerCached) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gOld = knnGraph(emb.filter(!isQuery), k, cfg, rounds, buildK)
+      knnSearchFilteredInto(emb, isQuery, allowed, gOld, k, cfg, hops)
+    } finally if (!callerCached) emb.unpersist(blocking = false)
+  }
+
+  /** The filtered-search kernel with EXPLICIT state ([[knnSearchFiltered]]
+    * minus the build) — the serving-tier form, symmetric with
+    * [[knnSearchInto]]. `allowed` is evaluated against `embVisible`'s
+    * rows (same contract as `isQuery`); candidates are corpus vectors by
+    * construction, so the predicate never has to exclude queries. */
+  def knnSearchFilteredInto(embVisible: DataFrame, isQuery: Column,
+                            allowed: Column, gOld: DataFrame, k: Int,
+                            cfg: EmbedLshConfig, hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val spark = embVisible.sparkSession
+    val candV = frozenWalkCandidates(embVisible, isQuery, gOld, cfg, hops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candA = candV.join(
+      embVisible.filter(allowed).select(col("vec_id").as("dst")),
+      Seq("dst"), "left_semi")
+    val out = Materialize.cutFinal(
+      knnTopKOf(spark, k, knnScorePairs(withNorm(embVisible), candA))
+        .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
+          col("cos_sim")))
     candV.unpersist(blocking = false)
     out
   }
@@ -1017,7 +1082,7 @@ object Ann {
     val repaired = knnTopKOf(spark, k, knnScorePairs(withNorm(emb), cand))
     val untouched = keep.join(affected, Seq("src"), "left_anti")
       .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
-    val out = untouched.union(repaired).localCheckpoint(true)
+    val out = Materialize.cutFinal(untouched.union(repaired))
     cand.unpersist(blocking = false)
     out
   }

@@ -96,27 +96,12 @@ object Bpe {
         x => x.getField("sym")).as("s"))
   }
 
-  /** Materialize one round's symbol table AND cut both lineage and
-    * STATISTICS: eager localCheckpoint truncates the physical lineage but
-    * PRESERVES the origin plan's size ESTIMATES, and those estimates are
-    * products over the round's joins — carried across rounds they compound
-    * into BigInts whose bare arithmetic froze the 256-merge soak (measured:
-    * driver pinned in SizeInBytesOnlyStatsPlanVisitor →
-    * BigInteger.multiplyToomCook3 after ~15 rounds, digits ~4× per round).
-    * Re-wrapping the checkpointed RDD in a fresh LogicalRDD resets the
-    * estimate to a constant-size leaf every round; execution still reads
-    * the checkpointed blocks. */
-  private def materializeRound(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
-
   /** Train `rounds` merges; returns (round, sym_a, sym_b, cnt) — the merge
     * table, in induction order. Each round's argmax is a ONE-row collect
     * (the O(model) driver state); ties break (cnt DESC, a ASC, b ASC). */
   def merges(docs: DataFrame, rounds: Int): DataFrame = {
-    val (tbl, syms) = mergesWithVocab(docs, rounds)
-    syms.unpersist(blocking = false)
+    val (tbl, _, release) = trainLoop(docs, rounds)
+    release() // merge table is driver-side; the vocab storage goes now
     tbl
   }
 
@@ -126,14 +111,27 @@ object Bpe {
     * Re-segmenting a fresh symbol table with the returned merge list via
     * [[applyMerges]] produces the identical table (BpeSpec pins the
     * equality) — returning the training-side state just avoids paying the
-    * application twice. The symbol table is returned PERSISTED; callers
-    * that only want the merge table use [[merges]], which unpersists it. */
+    * application twice. The returned symbol table is CHECKPOINT-BACKED
+    * ([[Materialize.cut]] — executor blocks in default mode, checkpoint
+    * files in reliable mode); its storage is freed when the ContextCleaner
+    * GCs the frame. Callers that only want the merge table use [[merges]],
+    * which frees it eagerly. */
   def mergesWithVocab(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val (tbl, syms, _) = trainLoop(docs, rounds)
+    (tbl, syms)
+  }
+
+  private def trainLoop(docs: DataFrame,
+                        rounds: Int): (DataFrame, DataFrame, () => Unit) = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var syms = symbolTable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round 0's table is persist-backed; later rounds are checkpoint-backed
+    // and need their Cut.release handle — unpersist() on the re-wrapped
+    // frame is a no-op (r15 advice)
+    var release: () => Unit = () => { syms.unpersist(blocking = false); () }
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to rounds) {
       val best = pairCounts(syms)
@@ -142,19 +140,20 @@ object Bpe {
       val (a0, b0, c0) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((r, a0, b0, c0))
-      // materializeRound, not persist: applyMerge references its input
+      // Materialize.cut, not persist: applyMerge references its input
       // several times, so the LOGICAL plan multiplies ~4x per round and at
       // 8+ rounds the un-truncated lineage OOMs the driver just
       // STRINGIFYING the plan — persistence alone stops recompute, only
-      // checkpointing stops plan growth, and only the stats re-wrap stops
-      // the size-estimate BigInt blow-up (see materializeRound) — the
+      // checkpointing stops plan growth, and only the fresh-leaf re-wrap
+      // stops the size-estimate BigInt blow-up (see [[Materialize]]) — the
       // production-32k-merge regime mergesBatched exists for makes both
       // non-optional
-      val next = materializeRound(applyMerge(syms, a0, b0))
-      syms.unpersist(blocking = false)
-      syms = next
+      val next = Materialize.cut(applyMerge(syms, a0, b0)) // eager
+      release() // previous round's storage, safe now next is materialized
+      syms = next.df
+      release = next.release
     }
-    (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), syms)
+    (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), syms, release)
   }
 
   /** Corpus token totals per training round — the COMPRESSION CURVE each
@@ -290,6 +289,7 @@ object Bpe {
     import spark.implicits._
     var syms = symbolTable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var release: () => Unit = () => { syms.unpersist(blocking = false); () }
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rounds = 0
     while (out.length < totalMerges) {
@@ -314,15 +314,18 @@ object Bpe {
       m = math.min(m, totalMerges - out.length)
       val batch = top.take(m)
       batch.foreach { case (a, b, c) => out += ((out.length + 1, a, b, c)) }
-      // materializeRound per round — truncates the multiplying
+      // Materialize.cut per round — truncates the multiplying
       // applyMergeBatch lineage AND the compounding size estimates (see
-      // the mergesWithVocab comment and the materializeRound scaladoc)
-      val next = materializeRound(
-        applyMergeBatch(syms, batch.map(t => (t._1, t._2)).toSeq))
-      syms.unpersist(blocking = false)
-      syms = next
+      // the trainLoop comment and the Materialize scaladoc), with the
+      // explicit release freeing each round's blocks once the next round
+      // is materialized
+      val next = Materialize.cut(
+        applyMergeBatch(syms, batch.map(t => (t._1, t._2)).toSeq)) // eager
+      release()
+      syms = next.df
+      release = next.release
     }
-    syms.unpersist(blocking = false)
+    release()
     (out.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), rounds)
   }
 }

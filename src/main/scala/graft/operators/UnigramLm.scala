@@ -99,7 +99,7 @@ object UnigramLm {
         w.unpersist(blocking = false)
         w = next
       }
-      val out = w.localCheckpoint(true)
+      val out = Materialize.cutFinal(w)
       w.unpersist(blocking = false)
       out
     } finally occ.unpersist(blocking = false)
@@ -174,13 +174,12 @@ object UnigramLm {
         r.unpersist(blocking = false)
         r = next
       }
-      val out = words
+      val out = Materialize.cutFinal(words
         .join(r.filter(col("p") === 0), Seq("word"))
         .filter(col("q") === length(col("word")))
         .select(col("word"), col("f"),
           (col("c") % 64).cast("long").as("n_tokens"),
-          expr("c DIV 64").as("cost"))
-        .localCheckpoint(true)
+          expr("c DIV 64").as("cost")))
       r.unpersist(blocking = false)
       out
     } finally words.unpersist(blocking = false)

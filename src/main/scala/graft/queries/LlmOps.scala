@@ -226,8 +226,8 @@ object LlmOps {
     * frozen codebook (the Pq.encodeInto split). */
   private[queries] val PqCfg = graft.operators.PqConfig()
   private[queries] def sqlPqTrainEncode(src: String, f: String, seedFrom: Int = 0,
-                                        encSrc: String = null): String = {
-    val enc = Option(encSrc).getOrElse(src)
+                                        encSrc: Option[String] = None): String = {
+    val enc = encSrc.getOrElse(src)
     s"""${f}c0 AS (SELECT m, vec_id - $seedFrom AS cent_id, si, x AS c FROM $src
        |  WHERE vec_id >= $seedFrom AND vec_id < $seedFrom + ${PqCfg.k}),
        |${sqlPqIter(1, src, f)},
@@ -376,6 +376,61 @@ object LlmOps {
 
   /** The builder chain with a WHERE on the source `e` — the incremental
     * insert's oracle replays the FROZEN graph over the old corpus only. */
+
+  /** The query-time WALK replay shared by the search oracles (filtered
+    * and not): combined-corpus blocking (bx with the query flag), LSH
+    * seeds, 2-hop frozen-graph expansion to `candv`, plus the `e2`/
+    * `norms2` re-rank inputs. Expects `gold` (the frozen graph) in
+    * scope; the multiply-referenced CTEs are AS MATERIALIZED (the
+    * q_embed_knn_insert inlining lesson). */
+  private def sqlKnnSearchWalkCtes: String =
+    s"""e2 AS (SELECT vec_id, embedding FROM embeddings),
+       |norms2 AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
+       |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e2) t GROUP BY vec_id),
+       |pdots2 AS (
+       |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
+       |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
+       |  FROM e2 CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
+       |  CROSS JOIN range(64) ri(i)
+       |  GROUP BY vec_id, j),
+       |buckets2 AS (
+       |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
+       |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots2 GROUP BY vec_id, j // ${KnnLshCfg.bits}),
+       |ok2 AS (SELECT band, bucket FROM buckets2
+       |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
+       |bx AS (SELECT b.vec_id, b.band, b.bucket, (b.vec_id < 10) AS isq
+       |  FROM buckets2 b JOIN ok2 z ON z.band = b.band AND z.bucket = b.bucket),
+       |seeds AS (SELECT DISTINCT q.vec_id AS src, o.vec_id AS dst
+       |  FROM bx q JOIN bx o ON o.band = q.band AND o.bucket = q.bucket
+       |  WHERE q.isq AND NOT o.isq),
+       |expand1 AS (SELECT s.src, g.dst FROM seeds s JOIN gold g ON g.src = s.dst
+       |  WHERE g.dst != s.src),
+       |cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM seeds UNION ALL SELECT src, dst FROM expand1) u),
+       |expand2 AS (SELECT c.src, g.dst FROM cand1 c JOIN gold g ON g.src = c.dst
+       |  WHERE g.dst != c.src),
+       |candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM cand1 UNION ALL SELECT src, dst FROM expand2) u)""".stripMargin
+
+  /** The exact-cosine re-rank + final SELECT over a candidate CTE — the
+    * tail both search oracles share ([[sqlKnnSearchWalkCtes]] must be in
+    * scope). */
+  private def sqlKnnSearchRank(candSrc: String): String =
+    s"""vdt AS (SELECT c.src, c.dst,
+       |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
+       |  FROM $candSrc c JOIN e2 a ON a.vec_id = c.src
+       |  JOIN e2 b ON b.vec_id = c.dst
+       |  CROSS JOIN range(64) r(i) GROUP BY 1, 2)
+       |SELECT src AS qid, CAST(rn AS INT) AS rank, dst AS cid, cos AS cos_sim
+       |FROM (SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
+       |    row_number() OVER (PARTITION BY d.src
+       |      ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
+       |  FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
+       |  JOIN norms2 nd ON nd.vec_id = d.dst) t
+       |WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin
+
   private[queries] def sqlKnnGraphCtesWhere(where: String): String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings $where),
        |norms AS (
@@ -1253,6 +1308,26 @@ object LlmOps {
     "q_embed_knn_search" -> { (s, d) =>
       Ann.knnSearch(embedVecs(s, d), col("vec_id") < 10, k = KnnK,
         KnnLshCfg, rounds = 2, buildK = KnnBuildK, hops = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B133 FILTERED graph-ANN search —
+    // [[graft.operators.Ann.knnSearchFiltered]] (post-filtering walk
+    // contract + the starvation caveat on the operator): the B120 search
+    // with a metadata predicate, label % 2 = 0 — "nearest allowed
+    // neighbors", the tenant/category-filter form every production vector
+    // store serves. The walk is filter-blind (disallowed vectors still
+    // route the descent), the predicate semi-joins the candidate pool
+    // before the exact re-rank, and recall vs the post-filter exact gold
+    // is MEASURED at two selectivities in AnnRecallSpec. Oracle = the
+    // B120 replay with the allowed-id filter on the candidate pool.
+    "q_embed_knn_search_filtered" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        col("label"))
+      Ann.knnSearchFiltered(emb, col("vec_id") < 10,
+        col("label") % 2 === 0, k = KnnK, KnnLshCfg, rounds = 2,
+        buildK = KnnBuildK, hops = 2)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2429,7 +2504,7 @@ object LlmOps {
          |  FROM embeddings CROSS JOIN range(${PqCfg.dim}) r(i)),
          |pexold AS (SELECT * FROM pex
          |  WHERE NOT (vec_id % 10 = 7 AND vec_id >= ${IvfCfg.numCentroids})),
-         |${sqlPqTrainEncode("pexold", "p", seedFrom = 0, encSrc = "pex")},
+         |${sqlPqTrainEncode("pexold", "p", seedFrom = 0, encSrc = Some("pex"))},
          |$sqlIvfCtes,
          |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
          |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
@@ -2919,47 +2994,19 @@ object LlmOps {
     "q_embed_knn_search" ->
       s"""WITH ${sqlKnnGraphCtesWhere("WHERE vec_id >= 10")},
          |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= $KnnK),
-         |e2 AS (SELECT vec_id, embedding FROM embeddings),
-         |norms2 AS (
-         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (
-         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e2) t GROUP BY vec_id),
-         |pdots2 AS (
-         |  SELECT vec_id, j, sum(embedding[i+1]::DOUBLE *
-         |    ((i*73856093 + j*19349663 + i*j*83492791) % 149 % 7 - 3)) AS pd
-         |  FROM e2 CROSS JOIN range(${KnnLshCfg.bands * KnnLshCfg.bits}) rj(j)
-         |  CROSS JOIN range(64) ri(i)
-         |  GROUP BY vec_id, j),
-         |buckets2 AS (
-         |  SELECT vec_id, j // ${KnnLshCfg.bits} AS band,
-         |    CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << (j % ${KnnLshCfg.bits})) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots2 GROUP BY vec_id, j // ${KnnLshCfg.bits}),
-         |ok2 AS (SELECT band, bucket FROM buckets2
-         |        GROUP BY 1, 2 HAVING count(*) <= ${MaxBucket}),
-         |bx AS (SELECT b.vec_id, b.band, b.bucket, (b.vec_id < 10) AS isq
-         |  FROM buckets2 b JOIN ok2 z ON z.band = b.band AND z.bucket = b.bucket),
-         |seeds AS (SELECT DISTINCT q.vec_id AS src, o.vec_id AS dst
-         |  FROM bx q JOIN bx o ON o.band = q.band AND o.bucket = q.bucket
-         |  WHERE q.isq AND NOT o.isq),
-         |expand1 AS (SELECT s.src, g.dst FROM seeds s JOIN gold g ON g.src = s.dst
-         |  WHERE g.dst != s.src),
-         |cand1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM seeds UNION ALL SELECT src, dst FROM expand1) u),
-         |expand2 AS (SELECT c.src, g.dst FROM cand1 c JOIN gold g ON g.src = c.dst
-         |  WHERE g.dst != c.src),
-         |candv AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM cand1 UNION ALL SELECT src, dst FROM expand2) u),
-         |vdt AS (SELECT c.src, c.dst,
-         |    sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE) AS dp
-         |  FROM candv c JOIN e2 a ON a.vec_id = c.src
-         |  JOIN e2 b ON b.vec_id = c.dst
-         |  CROSS JOIN range(64) r(i) GROUP BY 1, 2)
-         |SELECT src AS qid, CAST(rn AS INT) AS rank, dst AS cid, cos AS cos_sim
-         |FROM (SELECT d.src, d.dst, round(d.dp / (ns.nrm * nd.nrm), 6) AS cos,
-         |    row_number() OVER (PARTITION BY d.src
-         |      ORDER BY round(d.dp / (ns.nrm * nd.nrm), 6) DESC, d.dst) AS rn
-         |  FROM vdt d JOIN norms2 ns ON ns.vec_id = d.src
-         |  JOIN norms2 nd ON nd.vec_id = d.dst) t
-         |WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
+         |$sqlKnnSearchWalkCtes,
+         |${sqlKnnSearchRank("candv")}""".stripMargin,
+
+    // filtered search: the B120 replay + the allowed-id semi-filter on
+    // the candidate pool before the re-rank (walk stays filter-blind)
+    "q_embed_knn_search_filtered" ->
+      s"""WITH ${sqlKnnGraphCtesWhere("WHERE vec_id >= 10")},
+         |gold AS MATERIALIZED (SELECT src, dst, cos FROM r2g WHERE rn <= $KnnK),
+         |$sqlKnnSearchWalkCtes,
+         |allow AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+         |candf AS (SELECT c.src, c.dst FROM candv c
+         |  JOIN allow a ON a.vec_id = c.dst),
+         |${sqlKnnSearchRank("candf")}""".stripMargin,
 
     // graph deletion: full-corpus builder chain + tombstone purge +
     // donated-adjacency repair re-rank; untouched lists verbatim

@@ -325,6 +325,184 @@ object Sql {
       |GROUP BY right(c_name, 1)
       |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H q21 SHAPE — suppliers who kept orders waiting: the hardest
+    * decorrelation shape in the suite, a correlated EXISTS *and* a
+    * correlated NOT EXISTS against the same fact table, both keyed on the
+    * outer lineitem's orderkey, the NOT EXISTS additionally referencing the
+    * outer query's o_orderdate (the fixture has no commit/receipt dates, so
+    * "late" is the q4 convention l_shipdate > o_orderdate + 60 days — the
+    * lateness of a sibling line item is judged against the SAME order's
+    * date, which is exactly what the extra outer correlation encodes). The
+    * optimizer shape under test: both subqueries must decorrelate into one
+    * semi- and one anti-join on l_orderkey, not per-row rescans. */
+  private val tpch21 =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name = 'NATION_7'
+      |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H q20 SHAPE — potential part promotion: nested correlated IN
+    * (an IN whose subquery itself carries an IN plus a correlated scalar
+    * AVG). ADAPTED: the fixture has no partsupp, so the supplier-part
+    * availability relation is lineitem itself and the spec's
+    * ps_availqty > 0.5·sum(l_quantity) gate becomes
+    * l_quantity > 0.5·avg over the same (part, supplier) pair — the
+    * two-level decorrelation (what the entry exercises) is unchanged.
+    * Non-vacuous at both SFs (3 / 37 suppliers pass at sf0.01 / sf0.1). */
+  private val tpch20 =
+    """SELECT s_name, s_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l1.l_suppkey FROM lineitem l1
+      |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND CAST(l1.l_shipdate AS DATE) >= DATE '1997-01-01'
+      |      AND CAST(l1.l_shipdate AS DATE) < DATE '1998-01-01'
+      |      AND l1.l_quantity > (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |                           WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey))
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H q2 SHAPE — minimum-cost supplier: correlated scalar MIN whose
+    * subquery is itself a 4-way join re-applying the outer region filter.
+    * ADAPTED: no partsupp, so the part-supplier offer relation is lineitem
+    * and "cost" is l_extendedprice (read verbatim from parquet — the MIN
+    * and the equality compare involve no arithmetic, so doubles are exact
+    * in both engines); DISTINCT collapses multiple line items at the same
+    * minimum price to the one (part, supplier) offer row the spec's
+    * partsupp would have had. */
+  private val tpch2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H q11 SHAPE — important stock identification: GROUP BY + HAVING
+    * against an uncorrelated scalar subquery that re-runs the same join.
+    * ADAPTED: no partsupp, so "stock value" is the cent-exact lineitem
+    * revenue per part for one nation's suppliers, and the spec's
+    * SF-dependent fraction becomes a self-normalizing threshold (3× the
+    * average per-part value) so the HAVING stays non-vacuous at every SF
+    * (16 / 173 parts pass at sf0.01 / sf0.1, out of 2000 / 20000). The
+    * per-part sums are integer cents — exact in any aggregation order. */
+  private val tpch11 =
+    """SELECT l_partkey, CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS value_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |GROUP BY l_partkey
+      |HAVING sum(round(l_extendedprice * 100)) > (
+      |  SELECT 3.0 * sum(round(l_extendedprice * 100)) / count(DISTINCT l_partkey)
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7')
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** TPC-H q15 SHAPE — top supplier: a named CTE aggregated once, joined
+    * back, and probed again by an uncorrelated scalar MAX over the same
+    * CTE (the view-reuse shape; Spark must not recompute the CTE with a
+    * different plan or the MAX comparison drifts). Revenue is the exact
+    * scaled-integer convention, so the MAX boundary cannot float and ties
+    * (all suppliers at the max) are returned identically by both engines. */
+  private val tpch15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(round((l_extendedprice * (1 - l_discount)) * 1e4)) AS BIGINT) AS total_rev4
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev4
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev4 = (SELECT max(total_rev4) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H q16 SHAPE — parts/supplier relationship: COUNT(DISTINCT) over
+    * a NOT IN-filtered join with negated dim predicates (<>, NOT-prefix,
+    * IN-list). ADAPTED: the supplier-part relation is lineitem (no
+    * partsupp) and the spec's complaint-comment exclusion is the
+    * s_acctbal < 0 suppliers (6 / 58 excluded at sf0.01 / sf0.1 — the NOT
+    * IN is non-vacuous). The NOT IN subquery is non-nullable by schema,
+    * so both engines agree on the anti-join semantics. */
+  private val tpch16 =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#21'
+      |  AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H q7 SHAPE — volume shipping: the two-nation-pair disjunction
+    * over a 6-way join with the nation dim joined TWICE under different
+    * aliases (supplier's nation vs customer's nation — the classic
+    * self-join-of-a-dim shape), grouped by the pair and ship year.
+    * Revenue in the exact scaled-integer convention. */
+  private val tpch7 =
+    """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol4) AS BIGINT) AS revenue4
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |        year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+      |        round((l_extendedprice * (1 - l_discount)) * 1e4) AS vol4
+      |      FROM supplier
+      |      JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      |          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      |        AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H q8 SHAPE — national market share: the widest join in the suite
+    * (7 relations, nation twice: customer side restricts the market via
+    * region, supplier side names the competitor), with the share ratio
+    * shipped as its two exact scaled-integer components (numerator =
+    * conditional sum, denominator = total — the q14 convention; a
+    * distributed double ratio is the one thing the float discipline
+    * forbids). */
+  private val tpch8 =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol4 ELSE 0 END) AS BIGINT) AS nation_vol4,
+      |  CAST(sum(vol4) AS BIGINT) AS total_vol4
+      |FROM (SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+      |        round((l_extendedprice * (1 - l_discount)) * 1e4) AS vol4,
+      |        n2.n_name AS nation
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |      JOIN region ON n1.n_regionkey = r_regionkey
+      |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') allnations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   /** Ordered string aggregation — the one place the two frontends need
     * different spellings for the same ANSI feature: Spark 4 ships
     * `listagg(x, sep) WITHIN GROUP (ORDER BY ...)`, DuckDB spells it
@@ -364,6 +542,14 @@ object Sql {
     "q_sql_tpch18" -> run(tpch18),
     "q_sql_tpch19" -> run(tpch19),
     "q_sql_tpch22" -> run(tpch22),
+    "q_sql_tpch2" -> run(tpch2),
+    "q_sql_tpch7" -> run(tpch7),
+    "q_sql_tpch8" -> run(tpch8),
+    "q_sql_tpch11" -> run(tpch11),
+    "q_sql_tpch15" -> run(tpch15),
+    "q_sql_tpch16" -> run(tpch16),
+    "q_sql_tpch20" -> run(tpch20),
+    "q_sql_tpch21" -> run(tpch21),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -386,6 +572,14 @@ object Sql {
     "q_sql_tpch18" -> tpch18,
     "q_sql_tpch19" -> tpch19,
     "q_sql_tpch22" -> tpch22,
+    "q_sql_tpch2" -> tpch2,
+    "q_sql_tpch7" -> tpch7,
+    "q_sql_tpch8" -> tpch8,
+    "q_sql_tpch11" -> tpch11,
+    "q_sql_tpch15" -> tpch15,
+    "q_sql_tpch16" -> tpch16,
+    "q_sql_tpch20" -> tpch20,
+    "q_sql_tpch21" -> tpch21,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

@@ -253,6 +253,44 @@ object StreamingQ {
       .option("pathGlobFilter", "batch*.parquet")
       .parquet(embQuerySplitDir(s, d))
 
+  private val cdcSchema = StructType(Seq(
+    StructField("k", LongType), StructField("seq", LongType),
+    StructField("op", StringType), StructField("price_cents", LongType)))
+
+  /** Three-file CDC changelog split — the q_cdc_apply feed as a TIMELINE:
+    * batch 0 = the initial inserts (every order, seq 1), batch 1 = the
+    * updates (%10≡3, seq 2, price ×1.10), batch 2 = the deletes (%7≡0,
+    * seq 3) — so the stream replays exactly the changelog the batch entry
+    * folds in one pass, and the full-feed oracle is shared verbatim. */
+  private def cdcSplitDir(s: SparkSession, d: String): String = {
+    val dir = new File("target/qscratch/stream_cdc3_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    graft.BuildOnce(dir) {
+      val orders = graft.Tables.orders(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      writeSplit(orders.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+        lit("I").as("op"), cents.as("price_cents")),
+        dir, "batch0.parquet", 1000000L)
+      writeSplit(orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+          lit("U").as("op"),
+          round(col("o_totalprice") * 110).cast("long").as("price_cents")),
+        dir, "batch1.parquet", 2000000L)
+      writeSplit(orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+          lit("D").as("op"), lit(null).cast("long").as("price_cents")),
+        dir, "batch2.parquet", 3000000L)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def cdcStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(cdcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(cdcSplitDir(s, d))
+
   /** Child session for the multi-batch stateful queries: stateful streaming
     * partitions = state-store instances per micro-batch, so they are sized
     * to the STATE volume via [[graft.Sessions.statefulShufflePartitions]]
@@ -920,6 +958,41 @@ object StreamingQ {
         .map(_.getName.drop(1).toInt).max
       s.read.parquet(new File(root, s"v$last").getPath)
         .orderBy(col("user_id"))
+    },
+
+    // B134 STREAMING CDC APPLY (r15 verdict #4) —
+    // [[graft.operators.StreamCdc]] (snapshot contract, retry theorem,
+    // and scale posture on the operator): the B55 latest-wins fold run
+    // as a 3-batch changelog stream (inserts, then updates, then
+    // deletes) folding into a VERSIONED snapshot — within-batch max_by,
+    // full-outer seq-merge against the strictly-below predecessor
+    // version, batchId-keyed overwrite commits. Tombstones survive in
+    // the snapshot (a late D beats an early U; a higher-seq U would
+    // resurrect) and drop at read. Oracle = the batch q_cdc_apply
+    // replay over the FULL feed — 3 incremental folds ≡ one global
+    // latest-wins, the exactly-once witness. StreamCdcSpec pins retry
+    // idempotence and the tombstone/resurrect ordering rules.
+    "q_stream_cdc" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_cdc_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val snapRoot = new File(root, "snap").getPath
+      val q = cdcStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCdc.applyBatch(batch, bid, snapRoot)
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_cdc still running after 180 s — refusing to read a partial snapshot")
+      }
+      graft.operators.StreamCdc.readLatest(s, snapRoot).orderBy(col("k"))
     },
 
     // B80 STREAMING CURATION (r10 verdict #4) — the production ingest shape
@@ -1635,6 +1708,23 @@ object StreamingQ {
     // run actually sees; milli-rounded Jaccard confirm; drop the later
     // arrival of each confirmed pair (doc_a < doc_b, so doc_b is later iff
     // its batch is >= doc_a's)
+    // the full-feed latest-wins replay (the q_cdc_apply oracle verbatim):
+    // 3 incremental folds must equal one global fold
+    "q_stream_cdc" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(round(o_totalprice * 110) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+        |r AS (SELECT k, op, price_cents,
+        |        row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+
     "q_stream_curate" ->
       s"""WITH $sqlStreamCurateChain
         |SELECT es.doc_id, es.source, sha256(es.text) AS sha
@@ -1752,7 +1842,7 @@ object StreamingQ {
          |    i % ${LlmOps.PqCfg.subDim} AS si, embedding[i+1]::DOUBLE AS x
          |  FROM embeddings CROSS JOIN range(${LlmOps.PqCfg.dim}) r(i)),
          |pextr AS (SELECT * FROM pex WHERE vec_id < 300),
-         |${LlmOps.sqlPqTrainEncode("pextr", "p", seedFrom = 0, encSrc = "pex")},
+         |${LlmOps.sqlPqTrainEncode("pextr", "p", seedFrom = 0, encSrc = Some("pex"))},
          |e AS (SELECT vec_id, embedding FROM embeddings),
          |norms AS (
          |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM (

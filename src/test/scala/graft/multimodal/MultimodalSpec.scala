@@ -118,6 +118,77 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f == Multimodal.ImageFeatures(7L, w, h, want, want, want))
   }
 
+  /** Encode one block-uniform gray JPEG at quality 1.0 (the exactness
+    * envelope above). */
+  private def grayJpeg(seed: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ((seed * 37 + (x / 8) * 59 + (y / 8) * 83) % 256)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val pr = jw.getDefaultWriteParam
+    pr.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    pr.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      jw.setOutput(ios)
+      jw.write(null, new javax.imageio.IIOImage(img, null, null), pr)
+    } finally { ios.close(); jw.dispose() }
+    bos.toByteArray
+  }
+
+  /** Insert an APPn segment right after a JPEG's SOI whose PAYLOAD
+    * contains an embedded SOI sequence (FF D8 FF) — the EXIF-thumbnail
+    * shape that splits a raw FF D8 FF byte scan mid-frame. */
+  private def withExifLikeApp1(jpeg: Array[Byte]): Array[Byte] = {
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0,
+      0xff.toByte, 0xd8.toByte, 0xff.toByte, // the trap: a thumbnail SOI
+      1, 2, 3, 4)
+    val len = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  test("mjpeg splitter skips an EXIF-like APP1 with an embedded thumbnail SOI (r15 advice)") {
+    // two frames; frame 0 carries an APP1 whose payload contains FF D8 FF.
+    // A raw byte scan splits frame 0 at the thumbnail SOI: the fragment
+    // still DECODES (the real frame body follows), so it silently
+    // mis-features — three frames, wrong sums. The segment walk must
+    // return exactly two frames with the same features as the header-free
+    // stream.
+    val f0 = grayJpeg(3)
+    val f1 = grayJpeg(200) // different content → second frame is a keyframe
+    def run(v: Array[Byte]) =
+      Multimodal.mjpegKeyframes(spark, binDf(Seq((1L, v))), changeDen = 20)
+        .orderBy(col("frame_idx"))
+        .collect().map(r => (r.getInt(1), r.getLong(4))).toSeq
+    val plain = run(f0 ++ f1)
+    val withApp1 = run(withExifLikeApp1(f0) ++ f1)
+    assert(withApp1 === plain,
+      "APP1 thumbnail SOI changed the split — the segment walk regressed " +
+        "to a raw byte scan")
+    assert(plain.map(_._1) === Seq(0, 1), s"expected both frames kept: $plain")
+  }
+
+  test("jpegFrameEnd walks both frames to their own EOI; garbage fails loudly") {
+    val f0 = withExifLikeApp1(grayJpeg(5))
+    val f1 = grayJpeg(9)
+    val v = f0 ++ f1
+    val e0 = Multimodal.jpegFrameEnd(1L, v, 0)
+    assert(e0 === f0.length, s"frame 0 end $e0 != ${f0.length}")
+    assert(Multimodal.jpegFrameEnd(1L, v, e0) === v.length)
+    // trailing garbage after the last EOI must fail loudly, not mis-split
+    intercept[IllegalArgumentException] {
+      val junk = v ++ Array[Byte](1, 2, 3)
+      var off = 0
+      while (off < junk.length) off = Multimodal.jpegFrameEnd(1L, junk, off)
+    }
+  }
+
   test("wav decode rejects a non-RIFF payload instead of misparsing it") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav(1L, Array.fill[Byte](64)(0x41))

@@ -276,6 +276,62 @@ class AnnRecallSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("filtered search: recall vs post-filter exact gold at two selectivities; only allowed ids returned") {
+    // B133: the known failure mode — a selective filter starving the
+    // filter-blind walk's shortlist — MEASURED, not assumed. Gold = exact
+    // top-5 per query among corpus vectors PASSING the filter. Two dials:
+    // label % 2 = 0 (~49% of the corpus) and label % 5 = 0 (~18%). The
+    // floor for the selective filter is set lower: fewer allowed
+    // candidates per bucket/list is the honest price of post-filtering,
+    // and the hops dial is the documented recovery lever.
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        col("label")).cache()
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val queries = all.filter(_._1 < 10)
+    def measure(mod: Int, floor: Double): Double = {
+      val allowed = all.filter(t => t._1 >= 10 && t._3 % mod == 0)
+      val gold = queries.flatMap { case (qid, qe, _) =>
+        allowed.map { case (cid, ce, _) => (cid, cos6(qe, ce)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(LlmOps.KnnK)
+          .map { case (cid, _) => (qid, cid) }
+      }.toSet
+      val gotRows = Ann.knnSearchFiltered(emb, col("vec_id") < 10,
+          col("label") % mod === 0, k = LlmOps.KnnK, LlmOps.KnnLshCfg,
+          rounds = 2, buildK = LlmOps.KnnBuildK, hops = 2)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      val allowedIds = allowed.map(_._1).toSet
+      assert(gotRows.forall(r => allowedIds(r._2)),
+        s"filter leak at mod=$mod: a disallowed id was returned")
+      val got = gotRows.toSet
+      val recall = (gold & got).size.toDouble / gold.size
+      info(f"filtered search (label %% $mod = 0, " +
+        f"${allowed.length * 100 / all.count(_._1 >= 10)}%d%% allowed): " +
+        f"top-5 recall $recall%.2f (${(gold & got).size}/${gold.size})")
+      assert(recall >= floor,
+        f"filtered recall at mod=$mod degraded: $recall%.2f < $floor")
+      recall
+    }
+    measure(2, 0.70)
+    measure(5, 0.50)
+    emb.unpersist()
+  }
+
   test("graph delete: tombstones purged, untouched lists verbatim, repair = driver recompute") {
     // B122: (a) no deleted id survives as src or dst; (b) lists that never
     // referenced a deleted vector pass through VERBATIM (rank and cos);
