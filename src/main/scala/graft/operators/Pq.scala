@@ -498,6 +498,34 @@ object Pq {
     adcRank(cand, k, dt)
   }
 
+  /** FILTERED serve (SURVEY.md §2 B133's PQ half — r15 verdict #3's
+    * "and/or"): [[ivfAdcServeTopK]] with a metadata predicate over the
+    * index — "top-k among vectors IN the allowed set", the
+    * tenant/category-filtered form next to [[Ann.knnSearchFilteredInto]]'s
+    * graph walk. Here the filter is a PRE-filter: the codes index is
+    * semi-joined against the allowed ids BEFORE the probe join, so
+    * disallowed codes are never scanned at all — cheaper than
+    * post-filtering, and exact, because ADC candidates come from cell
+    * blocking (each row qualifies independently), not from graph
+    * adjacency — there is no path-through-disallowed-vectors concern and
+    * hence no post-filtering discipline to keep. The starvation mode is
+    * different from the graph's: a selective filter empties probed
+    * CELLS, and the recovery dial is nprobe — what nprobe provably
+    * grows is candidate-pool COVERAGE (probed cells are supersets);
+    * fixed-k shortlist recall is NOT monotone in it (an ADC-closer
+    * candidate from an extra cell can displace a gold member — measured
+    * 0.70 → 0.63 at 49% selectivity). PqSpec asserts coverage
+    * monotonicity as a theorem and floors the top-10 shortlist recall
+    * vs the exact-L2-among-allowed gold at two selectivities. `allowedIds` is a (vec_id)-keyed frame (the filter
+    * attribute usually lives in a metadata table, not in the index). */
+  def ivfAdcServeFilteredTopK(queries: DataFrame, index: DataFrame,
+                              allowedIds: DataFrame, k: Int, nprobe: Int,
+                              cfg: PqConfig, cents: DataFrame,
+                              coarseCents: DataFrame): DataFrame =
+    ivfAdcServeTopK(queries,
+      index.join(allowedIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      k, nprobe, cfg, cents, coarseCents)
+
   /** One streaming micro-batch of the serve loop (B124/B129 pattern —
     * batchId-keyed overwrite = exactly-once): answer THIS batch's query
     * vectors against the frozen index + models and write to

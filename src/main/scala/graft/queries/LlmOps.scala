@@ -1206,10 +1206,16 @@ object LlmOps {
       val vecs = embedVecs(s, d)
       val isNew = col("vec_id") % 10 === 7 && col("vec_id") >= IvfCfg.numCentroids
       val old = vecs.filter(!isNew)
-      val cb = graft.operators.Pq.train(old, cfg)
+      // frozen-state provenance (r15 verdict #6): the codebook and the
+      // OLD half of the index are the persisted artifacts a maintained
+      // deployment holds — Frozen-built once per sf; measured cost here
+      // = the delta encode + serve only (baseline re-frozen r16)
+      val cb = Frozen.parquet(s, d, "pqcb_old_v1")(
+        graft.operators.Pq.train(old, cfg))
       val coarse = old.filter(col("vec_id") < IvfCfg.numCentroids)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-      val index = graft.operators.Pq.encodeInto(old, cfg, cb, coarse)
+      val index = Frozen.parquet(s, d, "pqcodes_old_v1")(
+          graft.operators.Pq.encodeInto(old, cfg, cb, coarse))
         .unionByName(
           graft.operators.Pq.encodeInto(vecs.filter(isNew), cfg, cb, coarse))
       graft.operators.Pq.ivfAdcServeTopK(vecs.filter(col("vec_id") < 10),
@@ -1229,15 +1235,51 @@ object LlmOps {
     "q_embed_ivfpq_delete" -> { (s, d) =>
       val cfg = graft.operators.PqConfig()
       val vecs = embedVecs(s, d)
-      val cb = graft.operators.Pq.train(vecs, cfg)
+      // frozen-state provenance (r15 verdict #6): codebook + full-corpus
+      // codes are the index being MAINTAINED — measured cost here = the
+      // delete + serve only (baseline re-frozen r16)
+      val cb = Frozen.parquet(s, d, "pqcb_full_v1")(
+        graft.operators.Pq.train(vecs, cfg))
       val coarse = vecs.filter(col("vec_id") < IvfCfg.numCentroids)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
       val index = graft.operators.Pq.deleteFrom(
-        graft.operators.Pq.encodeInto(vecs, cfg, cb, coarse),
+        Frozen.parquet(s, d, "pqcodes_full_v1")(
+          graft.operators.Pq.encodeInto(vecs, cfg, cb, coarse)),
         col("vec_id") % 10 === 3)
       graft.operators.Pq.ivfAdcServeTopK(
         vecs.filter(col("vec_id") < 10 && col("vec_id") % 10 =!= 3),
         index, k = 3, nprobe = IvfCfg.nprobe, cfg, cb, coarse)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // B133 (PQ half) FILTERED IVFADC serving —
+    // [[graft.operators.Pq.ivfAdcServeFilteredTopK]] (pre-filter
+    // contract + the empties-probed-cells starvation mode on the
+    // operator): the ADC scan restricted to the label % 2 = 0 vectors,
+    // the metadata-filtered search every production vector store serves,
+    // on the codes index. The filter semi-joins the index BEFORE the
+    // probe join (disallowed codes never scanned — exact, since ADC
+    // candidates come from cell blocking, not adjacency). Frozen-state
+    // provenance: the SAME deployed codebook + codes as
+    // q_embed_ivfpq_delete (Frozen tags shared) — the filter is a
+    // serving-time dial, never an index rebuild. PqSpec measures recall
+    // vs the exact-L2-among-allowed gold at two selectivities and the
+    // nprobe recovery dial. Oracle = the q_embed_ivfpq replay + the
+    // allowed-id filter on candidates.
+    "q_embed_ivfpq_filtered" -> { (s, d) =>
+      val cfg = graft.operators.PqConfig()
+      val vecs = embedVecs(s, d)
+      val cb = Frozen.parquet(s, d, "pqcb_full_v1")(
+        graft.operators.Pq.train(vecs, cfg))
+      val coarse = vecs.filter(col("vec_id") < IvfCfg.numCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val index = Frozen.parquet(s, d, "pqcodes_full_v1")(
+        graft.operators.Pq.encodeInto(vecs, cfg, cb, coarse))
+      val allowed = Tables.embeddings(s, d)
+        .filter(col("label") % 2 === 0).select(col("vec_id"))
+      graft.operators.Pq.ivfAdcServeFilteredTopK(
+        vecs.filter(col("vec_id") < 10), index, allowed, k = 3,
+        nprobe = IvfCfg.nprobe, cfg, cb, coarse)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1285,8 +1327,15 @@ object LlmOps {
     // sf0.1, the B99 lesson again). Heavy replay next to
     // q_embed_knn_graph itself — noted so nobody hunts a regression.
     "q_embed_knn_insert" -> { (s, d) =>
-      Ann.knnInsert(embedVecs(s, d), col("vec_id") % 10 === 7, k = KnnK,
-        KnnLshCfg, rounds = 2, buildK = KnnBuildK)
+      // frozen-state provenance (r15 verdict #6): the graph over the old
+      // corpus is the PERSISTED index a maintained deployment reads, not
+      // work this entry owns — built once per sf via Frozen, measured
+      // cost here = the insert kernel only (baseline re-frozen r16)
+      val gOld = Frozen.parquet(s, d, "knn_old_mod10ne7_v1")(
+        Ann.knnGraph(embedVecs(s, d).filter(col("vec_id") % 10 =!= 7),
+          k = KnnK, KnnLshCfg, rounds = 2, buildK = KnnBuildK))
+      Ann.knnInsertInto(embedVecs(s, d), col("vec_id") % 10 === 7, gOld,
+        k = KnnK, KnnLshCfg, hops = 2)
         .select(col("src").as("vec_id"), col("rank"),
           col("dst").as("nbr_id"), col("cos_sim"))
         .orderBy(col("vec_id"), col("rank"))
@@ -1306,8 +1355,15 @@ object LlmOps {
     // hops, and the re-rank — with the multiply-referenced CTEs AS
     // MATERIALIZED (the q_embed_knn_insert inlining lesson).
     "q_embed_knn_search" -> { (s, d) =>
-      Ann.knnSearch(embedVecs(s, d), col("vec_id") < 10, k = KnnK,
-        KnnLshCfg, rounds = 2, buildK = KnnBuildK, hops = 2)
+      // frozen-state provenance (r15 verdict #6): the corpus graph is the
+      // deployed serving artifact — Frozen-built once per sf (tag shared
+      // with the filtered entry and the streaming server), measured cost
+      // here = the walk + re-rank only (baseline re-frozen r16)
+      val gOld = Frozen.parquet(s, d, "knn_ge10_v1")(
+        Ann.knnGraph(embedVecs(s, d).filter(col("vec_id") >= 10),
+          k = KnnK, KnnLshCfg, rounds = 2, buildK = KnnBuildK))
+      Ann.knnSearchInto(embedVecs(s, d), col("vec_id") < 10, gOld,
+        k = KnnK, KnnLshCfg, hops = 2)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1325,9 +1381,15 @@ object LlmOps {
       val emb = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"),
         col("label"))
-      Ann.knnSearchFiltered(emb, col("vec_id") < 10,
-        col("label") % 2 === 0, k = KnnK, KnnLshCfg, rounds = 2,
-        buildK = KnnBuildK, hops = 2)
+      // frozen-state provenance: the SAME deployed graph as
+      // q_embed_knn_search (the label column rides along, the builder
+      // ignores it) — the filter is a serving-time dial, never an index
+      // rebuild
+      val gOld = Frozen.parquet(s, d, "knn_ge10_v1")(
+        Ann.knnGraph(emb.filter(col("vec_id") >= 10),
+          k = KnnK, KnnLshCfg, rounds = 2, buildK = KnnBuildK))
+      Ann.knnSearchFilteredInto(emb, col("vec_id") < 10,
+        col("label") % 2 === 0, gOld, k = KnnK, KnnLshCfg, hops = 2)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1341,16 +1403,27 @@ object LlmOps {
     // chain + the same keep/affected/donate/re-rank CTEs (gold AS
     // MATERIALIZED — the insert-oracle inlining lesson).
     "q_embed_knn_delete" -> { (s, d) =>
-      Ann.knnDelete(embedVecs(s, d), col("vec_id") % 10 === 3, k = KnnK,
-        KnnLshCfg, rounds = 2, buildK = KnnBuildK)
+      // frozen-state provenance (r15 verdict #6): the full-corpus graph
+      // is the index being MAINTAINED (tag shared with the clusters
+      // entry) — measured cost here = tombstone + repair only (baseline
+      // re-frozen r16)
+      val g = Frozen.parquet(s, d, "knn_full_v1")(
+        Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
+          buildK = KnnBuildK))
+      Ann.knnDeleteFrom(embedVecs(s, d), col("vec_id") % 10 === 3, g,
+        k = KnnK)
         .select(col("src").as("vec_id"), col("rank"),
           col("dst").as("nbr_id"), col("cos_sim"))
         .orderBy(col("vec_id"), col("rank"))
     },
 
     "q_embed_knn_clusters" -> { (s, d) =>
-      val g = Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
-        buildK = KnnBuildK)
+      // frozen-state provenance: clustering consumes the SAME deployed
+      // full-corpus graph as the delete entry — the subject here is the
+      // mutual-kNN sparsification + components, not the substrate build
+      val g = Frozen.parquet(s, d, "knn_full_v1")(
+        Ann.knnGraph(embedVecs(s, d), k = KnnK, KnnLshCfg, rounds = 2,
+          buildK = KnnBuildK))
       val rev = g.select(col("dst").as("src"), col("src").as("dst"))
       val mutual = g.select(col("src"), col("dst"), col("cos_sim"))
         .join(rev, Seq("src", "dst"), "left_semi")
@@ -2513,6 +2586,31 @@ object LlmOps {
          |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
          |  FROM probes p JOIN assigned a
          |    ON a.cell = p.cell AND a.vec_id != p.vec_id),
+         |adc AS (SELECT c.qid, c.cid,
+         |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM cand c JOIN paF f ON f.vec_id = c.cid
+         |  JOIN qdt dt ON dt.qid = c.qid AND dt.m = f.m AND dt.cent_id = f.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, cid AS vec_id, adc FROM (
+         |  SELECT qid, cid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, cid) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // B133 (PQ half) filtered serving: the q_embed_ivfpq replay with the
+    // candidate set restricted to the allowed (label % 2 = 0) ids —
+    // queries unrestricted, per-query tables unchanged
+    "q_embed_ivfpq_filtered" ->
+      s"""WITH $sqlPqCtes,
+         |$sqlIvfCtes,
+         |allow AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+         |qdt AS (SELECT q.vec_id AS qid, q.m, p.cent_id,
+         |    floor(sum((q.x - p.c)*(q.x - p.c)) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM pex q JOIN pcb p ON p.m = q.m AND p.si = q.si
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.vec_id != p.vec_id
+         |  JOIN allow w ON w.vec_id = a.vec_id),
          |adc AS (SELECT c.qid, c.cid,
          |    floor(sum(dt.d) * 1e6 + 0.5) / 1e6 AS adc
          |  FROM cand c JOIN paF f ON f.vec_id = c.cid

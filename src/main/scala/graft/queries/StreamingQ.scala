@@ -1228,14 +1228,18 @@ object StreamingQ {
       if (root.exists()) graft.Fs.deleteRecursively(root)
       root.mkdirs()
       val aRoot = new File(root, "a").getPath
-      // offline: the frozen index over the corpus, built before the stream
+      // offline: the frozen index over the corpus — the SAME deployed
+      // artifact q_embed_knn_search serves (Frozen tag shared; r15
+      // verdict #6 — the build is the deployment's one-time cost, not
+      // this entry's; baseline re-frozen r16)
       val corpus = graft.Tables.embeddings(s, d)
         .filter(col("vec_id") >= 10)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-      val gFrozen = graft.operators.Ann.knnGraph(corpus,
-        k = graft.queries.LlmOps.KnnK, graft.queries.LlmOps.KnnLshCfg,
-        rounds = 2, buildK = graft.queries.LlmOps.KnnBuildK)
+      val gFrozen = graft.queries.Frozen.parquet(s, d, "knn_ge10_v1")(
+        graft.operators.Ann.knnGraph(corpus,
+          k = graft.queries.LlmOps.KnnK, graft.queries.LlmOps.KnnLshCfg,
+          rounds = 2, buildK = graft.queries.LlmOps.KnnBuildK))
       val q = embQueryStream(s, d).writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", new File(root, "_ckpt").getPath)
@@ -1282,10 +1286,15 @@ object StreamingQ {
         .filter(col("vec_id") >= 10)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-      val cb = graft.operators.Pq.train(corpus, cfg, seedFrom = 10L)
+      // frozen-state provenance (r15 verdict #6): codebook + codes are
+      // the deployed index — Frozen-built once per sf, measured cost
+      // here = the per-batch ADC serving only (baseline re-frozen r16)
+      val cb = graft.queries.Frozen.parquet(s, d, "pqcb_ge10s10_v1")(
+        graft.operators.Pq.train(corpus, cfg, seedFrom = 10L))
       val coarse = corpus.filter(col("vec_id") < 10 + nCoarse)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-      val index = graft.operators.Pq.encodeInto(corpus, cfg, cb, coarse)
+      val index = graft.queries.Frozen.parquet(s, d, "pqcodes_ge10_v1")(
+          graft.operators.Pq.encodeInto(corpus, cfg, cb, coarse))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         index.count()

@@ -423,4 +423,68 @@ class PqSpec extends SparkSpecBase {
         "is vacuous on this corpus; re-pick the delete predicate")
     assert(before !== after, "deletion changed no answer")
   }
+
+  test("filtered serving: recall vs exact-L2-among-allowed at two selectivities; nprobe dial; no leaks") {
+    // B133 (PQ half): the pre-filtered ADC scan must (a) never return a
+    // disallowed id, (b) hold recall vs the exact-L2 top-3 AMONG ALLOWED
+    // vectors, and (c) show nprobe as the starvation-recovery dial — a
+    // selective filter empties probed cells, more probes refill the
+    // candidate pool (the operator scaladoc's contract, measured here).
+    val coarse = vecs.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val index = Pq.encodeInto(vecs, cfg, cb, coarse)
+    val queries = vecs.filter(col("vec_id") < 10)
+    val ex = Pq.exploded(vecs, cfg)
+    val qex = ex.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    def measure(mod: Int, floorAtNprobe2: Double): Unit = {
+      val allowed = vecs.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id"))
+      val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+      // exact L2 top-3 among allowed, self excluded — the post-filter gold
+      val d = qex.join(ex.withColumnRenamed("vec_id", "cand"), Seq("m", "si"))
+        .filter(col("cand").isin(allowedIds.toSeq.map(Long.box): _*) &&
+          col("cand") =!= col("qid"))
+        .groupBy(col("qid"), col("cand"))
+        .agg(sum((col("qx") - col("x")) * (col("qx") - col("x"))).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("cand"))
+      val gold = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"))).toSet
+      // Two measures, two claims (the unfiltered test's convention —
+      // ADC is recall-rich but rank-poor, top-3-in-top-3 ~= 0.3 here):
+      //  - COVERAGE: gold members present in the filtered candidate POOL
+      //    (k unbounded). This is what nprobe provably grows — probed
+      //    cells at nprobe+1 are a superset — so monotone is asserted as
+      //    a theorem. Starvation = coverage loss, and this is its dial.
+      //  - top-10 SHORTLIST recall at the catalog nprobe: the operative
+      //    number the re-rank stage consumes, floor-asserted. NOT
+      //    monotone in nprobe at fixed k (an ADC-closer candidate from
+      //    an extra cell can displace a gold member), measured 0.70 ->
+      //    0.63 at mod=2 — which is exactly why it is not the dial claim.
+      def served(np: Int, k: Int): Set[(Long, Long)] = {
+        val got = Pq.ivfAdcServeFilteredTopK(queries, index, allowed,
+          k, np, cfg, cb, coarse)
+          .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        assert(got.forall(p => allowedIds(p._2)),
+          s"filter leak at mod=$mod nprobe=$np k=$k: a disallowed id was served")
+        got.toSet
+      }
+      def cov(np: Int): Double =
+        (gold & served(np, Int.MaxValue)).size.toDouble / gold.size
+      val c1 = cov(1)
+      val c2 = cov(nProbe)
+      val short10 = (gold & served(nProbe, 10)).size.toDouble / gold.size
+      info(f"filtered ADC (vec_id %% $mod = 0): pool coverage " +
+        f"$c1%.2f at nprobe=1 -> $c2%.2f at nprobe=$nProbe; " +
+        f"top-10 shortlist recall $short10%.2f (gold ${gold.size} pairs)")
+      assert(c2 >= c1 - 1e-9,
+        "pool coverage fell as nprobe grew — supersets cannot lose members")
+      assert(short10 >= floorAtNprobe2,
+        f"filtered shortlist recall at mod=$mod degraded: $short10%.2f < $floorAtNprobe2")
+    }
+    measure(2, 0.55)
+    measure(5, 0.50)
+  }
 }

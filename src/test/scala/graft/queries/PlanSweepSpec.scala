@@ -114,7 +114,13 @@ class PlanSweepSpec extends SparkSpecBase {
     // are every held-out document (the prediction table is corpus-sized,
     // not a dimension), the q_dedup_survivor category; AQE broadcasts at
     // toy SF when it measures small
-    "q_text_langid_model")
+    "q_text_langid_model",
+    // TPC-H q2: the correlated scalar MIN decorrelates into fact ⋈
+    // per-part min-price — the aggregate side has PART cardinality (grows
+    // with the data, not a dimension), so the shuffled join on
+    // (min_price, p_partkey) is the 100 TB plan; AQE broadcasts at toy SF
+    // when it measures small
+    "q_sql_tpch2")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
