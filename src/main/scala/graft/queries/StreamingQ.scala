@@ -995,6 +995,43 @@ object StreamingQ {
       graft.operators.StreamCdc.readLatest(s, snapRoot).orderBy(col("k"))
     },
 
+    // B134 AS-OF read over the CDC snapshot versions (the B132 convention
+    // applied to the changelog sink): run the same 3-batch CDC stream,
+    // then read the LIVE TABLE AS OF every committed version 0..2 under
+    // one hash — version b = the latest-wins fold of batches <= b, which
+    // is exactly what a Delta/Iceberg VERSION AS OF returns for a CDC
+    // sink. Oracle: batch b carries seq = b+1 by construction, so AS OF b
+    // = the one-pass latest-wins replay restricted to seq <= b+1 — three
+    // horizons, one hash. StreamCdcSpec pins readVersion against
+    // hand-built changelogs.
+    "q_stream_cdc_asof" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_cdc_asof_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val snapRoot = new File(root, "snap").getPath
+      val q = cdcStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCdc.applyBatch(batch, bid, snapRoot)
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_cdc_asof still running after 180 s — refusing to read a partial snapshot")
+      }
+      (0L to 2L).map { h =>
+        graft.operators.StreamCdc.readVersion(s, snapRoot, h)
+          .withColumn("as_of", lit(h)) // "asof" is a DuckDB reserved word
+      }.reduce(_.unionByName(_))
+        .select(col("as_of"), col("k"), col("op"), col("price_cents"))
+        .orderBy(col("as_of"), col("k"))
+    },
+
     // B80 STREAMING CURATION (r10 verdict #4) — the production ingest shape
     // the batch dedup pieces prove separately, composed per micro-batch
     // over the 3-batch document feed: (1) within-batch exact dedup (first
@@ -1733,6 +1770,27 @@ object StreamingQ {
         |      FROM log)
         |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY k""".stripMargin,
+
+    // AS-OF horizons: batch b carries seq = b+1, so version b = the
+    // latest-wins fold restricted to seq <= b+1 (tombstones dropped at
+    // read) — three horizons under one hash
+    "q_stream_cdc_asof" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(round(o_totalprice * 110) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+        |h AS (SELECT 0 AS hz UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT h.hz, l.k, l.op, l.price_cents,
+        |        row_number() OVER (PARTITION BY h.hz, l.k
+        |                           ORDER BY l.seq DESC) AS rn
+        |      FROM h JOIN log l ON l.seq <= h.hz + 1)
+        |SELECT CAST(hz AS BIGINT) AS as_of, k, op, price_cents
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY as_of, k""".stripMargin,
 
     "q_stream_curate" ->
       s"""WITH $sqlStreamCurateChain
