@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * scores plus one partial+final aggregate on `dst` — the same dataflow a
   * 100 TB graph pays, with no driver-side state. Dangling-node mass is
   * dropped (not redistributed), matching the oracle's arithmetic. For deep
-  * iteration counts pass `checkpointEvery` to cut lineage the way
-  * [[ConnectedComponents]] does.
+  * iteration counts pass `checkpointEvery` to cut lineage; the cut goes
+  * through [[Materialize]], so `graft.checkpoint.reliable=true` upgrades
+  * it to DFS checkpoints (executor-loss durability on long runs) and each
+  * cut's storage is freed when the next one materializes.
   */
 object PageRank {
   /** @param edges       two columns `src`, `dst` (long); duplicates ignored
@@ -38,6 +40,7 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var score = nodes.withColumn("score", lit(1000000L))
+    var release: () => Unit = () => ()
     for (i <- 1 to iterations) {
       val contrib = e.join(deg, "src")
         .join(score.withColumnRenamed("node", "src"), "src")
@@ -48,8 +51,12 @@ object PageRank {
           (lit(1000000L - dampingPpm) + expr(
             s"($dampingPpm * coalesce(contrib, CAST(0 AS BIGINT))) div 1000000"))
             .as("score"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        score = score.localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        val cut = Materialize.cut(score) // eager
+        release() // previous cut's blocks, safe once this one exists
+        score = cut.df
+        release = cut.release
+      }
     }
     score
   }
@@ -86,6 +93,7 @@ object PageRank {
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
     var score = flagged.withColumn("score",
       when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)))
+    var release: () => Unit = () => ()
     for (i <- 1 to iterations) {
       val contrib = e.join(deg, "src")
         .join(score.select(col("node").as("src"), col("score")), "src")
@@ -96,8 +104,12 @@ object PageRank {
           (when(col("is_seed"), lit(1000000L - dampingPpm)).otherwise(lit(0L)) +
             expr(s"($dampingPpm * coalesce(contrib, CAST(0 AS BIGINT))) div 1000000"))
             .as("score"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        score = score.localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        val cut = Materialize.cut(score) // eager
+        release()
+        score = cut.df
+        release = cut.release
+      }
     }
     score.select(col("node"), col("is_seed"), col("score"))
   }

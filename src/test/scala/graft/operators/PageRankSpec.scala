@@ -14,6 +14,32 @@ class PageRankSpec extends SparkSpecBase {
     PageRank.run(edgeDf(edges), iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("checkpointEvery is a pure materialization knob: scores byte-identical, both durability modes") {
+    // the per-round cut goes through Materialize (r16) — cutting every
+    // iteration, never, and cutting under reliable checkpoints must all
+    // produce the same integer scores; the knob changes WHERE lineage is
+    // truncated, never arithmetic.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+    val plain = PageRank.run(edgeDf(edges), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cut = PageRank.run(edgeDf(edges), 6, checkpointEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cut === plain, "checkpointEvery changed the scores")
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    spark.conf.set(Materialize.ReliableKey, "true")
+    spark.conf.set(Materialize.DirKey, scratch("pagerank_reliable"))
+    try {
+      val rel = PageRank.run(edgeDf(edges), 6, checkpointEvery = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rel === plain, "reliable-mode scores diverged")
+    } finally {
+      spark.conf.unset(Materialize.ReliableKey)
+      spark.conf.unset(Materialize.DirKey)
+      sc.setCheckpointDir(prevDir.orNull)
+    }
+  }
+
   test("2-cycle is a fixed point at full initial mass") {
     // a↔b: each node passes its whole score on; 150000 + 850000·1e6/1e6 = 1e6.
     val s = scores(Seq((1L, 2L), (2L, 1L)), 5)
