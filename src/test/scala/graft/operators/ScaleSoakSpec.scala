@@ -265,4 +265,14 @@ class ScaleSoakSpec extends SparkSpecBase {
     assert(report.stages.forall(_.shuffleWriteMB < 2048),
       "a stage shuffled gigabytes — quadratic blowup or lost partial agg")
   }
+
+  test("CDC fold at soak scale: analytic live count, late-update rejection, O(batch+keys) merge", Slow) {
+    // the requires inside runCdcSoak ARE the invariants (exact analytic
+    // live-table count, zero late seq-0 overwrites); this test runs them
+    // at a reduced key count so the suite stays fast — the committed
+    // SCALE.md section carries the 2M-key measurement.
+    val md = ScaleSoak.runCdcSoak(spark,
+      scratch("cdc_soak_spec"), nKeys = 200000L)
+    assert(md.contains("0 leaks"), "late-update leak count not zero")
+  }
 }
