@@ -348,6 +348,10 @@ object Multimodal {
     import org.apache.spark.sql.functions.{abs, col, lag}
     val frames = bin.selectExpr("doc_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
+        // empty payload would skip the walk entirely and leave a single
+        // undersized sliding group → raw MatchError; fail loudly like
+        // every other non-MJPEG input (jpegFrameEnd covers non-empty)
+        require(bytes.nonEmpty, s"doc $id: empty payload — not MJPEG")
         val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
         var off = 0
         while (off < bytes.length) {

@@ -70,7 +70,12 @@ object Materialize {
   private def checkpointed(df: DataFrame): DataFrame =
     if (reliable(df)) {
       val sc = df.sparkSession.sparkContext
-      df.sparkSession.conf.getOption(DirKey).foreach(sc.setCheckpointDir)
+      // set the dir only when the context has none: setCheckpointDir
+      // mkdirs a fresh random UUID subdir per call, so calling it every
+      // cut scatters a multi-round training across directories and
+      // repeatedly mutates process-global state (r16 advice)
+      if (sc.getCheckpointDir.isEmpty)
+        df.sparkSession.conf.getOption(DirKey).foreach(sc.setCheckpointDir)
       require(sc.getCheckpointDir.isDefined,
         s"$ReliableKey=true needs a checkpoint dir: set $DirKey to a " +
           "distributed-fs path or call sc.setCheckpointDir first")

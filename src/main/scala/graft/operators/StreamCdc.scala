@@ -1,52 +1,97 @@
 package graft.operators
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** STREAMING CDC apply (SURVEY.md §2 B134; r15 verdict #4) — the B55
-  * q_cdc_apply latest-wins fold composed with the exactly-once
-  * foreachBatch state discipline: I/U/D changelog micro-batches fold into
-  * a VERSIONED SNAPSHOT, the MERGE-INTO dataflow a Delta/Iceberg CDC sink
-  * runs, without a table format.
+/** STREAMING CDC apply (SURVEY.md §2 B134; r15 verdict #4, BUCKETED in
+  * r17 per the r16 verdict's scale finding) — the B55 q_cdc_apply
+  * latest-wins fold composed with the exactly-once foreachBatch state
+  * discipline: I/U/D changelog micro-batches fold into a VERSIONED,
+  * HASH-BUCKETED snapshot, the MERGE-INTO dataflow a Delta/Iceberg CDC
+  * sink runs, without a table format.
   *
-  * Snapshot contract (one parquet dir per applied batch, `v<batchId>`):
-  *  - one row per key ever seen: (k, seq, op, price_cents) — the
-  *    LATEST-BY-SEQ change for that key, INCLUDING deletes ('D' rows are
-  *    tombstones, kept in the snapshot so a later higher-seq 'U' can
-  *    resurrect the key and a lower-seq late event can never — the CDC
-  *    ordering rule the batch entry pins);
+  * Snapshot contract (one `v<batchId>` dir per applied batch):
+  *  - the key space is hash-partitioned into `numBuckets` buckets
+  *    (`pmod(xxhash64(k), numBuckets)` — deterministic, recomputable at
+  *    read time); a version dir holds `data/bucket=<b>/` parquet for
+  *    ONLY the buckets its batch touched, plus a `_manifest.json`
+  *    mapping EVERY live bucket to the version dir holding its newest
+  *    rows. The manifest is written LAST and is the commit marker: a
+  *    crash mid-write leaves a manifest-less dir that every reader
+  *    ignores (r16 advice: a partial `v*` dir must never serve as the
+  *    newest version);
+  *  - one row per key ever seen in its bucket's newest dir:
+  *    (k, seq, op, price_cents) — the LATEST-BY-SEQ change for that key,
+  *    INCLUDING deletes ('D' rows are tombstones, kept so a later
+  *    higher-seq 'U' can resurrect the key and a lower-seq late event
+  *    never can — the CDC ordering rule the batch entry pins);
   *  - [[applyBatch]] folds a batch in as: within-batch latest-wins
-  *    (max_by over seq — ONE aggregate, partial+final, the q_cdc_apply
-  *    shape) full-outer-merged against the PREVIOUS version by seq
+  *    (max_by over a FULLY DETERMINISTIC key `struct(seq, op,
+  *    price_cents)` — r16 advice: a bare `seq` key picks an arbitrary
+  *    winner when one batch carries two ops for the same (k, seq),
+  *    silently breaking the retry theorem) full-outer-merged by seq
   *    comparison (delta wins ties: a retry of the same logical change is
-  *    not older than itself);
+  *    not older than itself) against ONLY the touched buckets of the
+  *    predecessor snapshot — compute AND write are O(batch + keys in
+  *    touched buckets), not O(all keys) (the r16 verdict's one
+  *    scale-killer: the unbucketed form rewrote the entire key space
+  *    every micro-batch);
   *  - exactly-once under at-least-once foreachBatch retries, the
   *    [[StreamCurate]] theorem: the merge reads only versions with id
   *    STRICTLY BELOW the current batchId (a retry must not see its own
-  *    failed attempt) and the write is mode-OVERWRITE to `v<batchId>` —
-  *    replaying any (batch, batchId) rewrites byte-identical state.
-  *    StreamCdcSpec pins it.
+  *    failed attempt), the attempt deletes any leftover `v<batchId>`
+  *    dir before writing, and the fold is deterministic — replaying any
+  *    (batch, batchId) rewrites byte-identical state. StreamCdcSpec pins
+  *    it, including bucket-pruned ≡ full-rewrite (numBuckets=1) under a
+  *    mid-stream retry.
   *
-  * Versioned commits give batch-granular time travel for free:
-  * [[readVersion]] is the VERSION-AS-OF read (the B132 convention);
-  * production would age out old versions the way [[StreamCurate.compact]]
-  * folds batch dirs — versions are self-contained snapshots here, so
-  * aging is a plain delete, no fold needed.
+  * Versioned manifests give batch-granular time travel for free:
+  * [[readVersion]] resolves version `b`'s manifest and unions each
+  * bucket's newest dir (the B132 VERSION-AS-OF convention). [[vacuum]]
+  * is the retention half (r16 verdict #2): it drops readability below a
+  * horizon (manifests deleted — an AS-OF read below the horizon fails
+  * loudly, never serves a partially-purged table) and reclaims every
+  * bucket dir no surviving manifest references, emitting a durable purge
+  * manifest; bucket dirs a survivor still points into are kept
+  * byte-identical, so every surviving AS-OF read is unchanged.
   *
   * Scale posture (100 TB): per batch, one key-shuffle aggregate over the
-  * BATCH + one full-outer join against the snapshot — O(batch + keys),
-  * the q_stream_upsert economics; nothing rescans the changelog history.
-  * All listing goes through the Hadoop FileSystem API (works on
-  * HDFS/object stores, not only the local FS — the r12 StreamCurate
-  * lesson). */
+  * BATCH + one join against the touched buckets only; the per-version
+  * WRITE is ∝ touched buckets (the Delta/Iceberg MERGE economics —
+  * O(touched files)), and storage is O(keys + Σ touched), not
+  * O(versions × keys). A uniformly-hashed batch larger than ~numBuckets
+  * keys still touches every bucket — the bound is min(batch spread,
+  * numBuckets)/numBuckets of the key space, which is the same bound a
+  * table format's file-level MERGE gives; size numBuckets so one bucket
+  * ≈ one task's worth of keys. All listing goes through the Hadoop
+  * FileSystem API (works on HDFS/object stores, not only the local FS —
+  * the r12 StreamCurate lesson). */
 object StreamCdc {
+
+  /** Default bucket count — matches the test session's shuffle
+    * parallelism; production sizes this to keys/bucket ≈ one task. */
+  val DefaultBuckets = 32
+
+  private val ManifestFile = "_manifest.json"
+  private val PurgeFile = "_vacuum.json"
+
+  private val snapshotSchema = StructType(Seq(
+    StructField("k", LongType), StructField("seq", LongType),
+    StructField("op", StringType), StructField("price_cents", LongType)))
 
   private def fsOf(ss: SparkSession, p: Path): FileSystem =
     p.getFileSystem(ss.sessionState.newHadoopConf())
 
-  /** Version dirs (id, path) under `root`, ascending. */
-  private def versions(ss: SparkSession, root: Path): Seq[(Long, Path)] = {
+  /** The deterministic key→bucket map (recomputed at write time, never
+    * read back from the layout — dir names are just the materialization). */
+  private def bucketOf(k: Column, numBuckets: Int): Column =
+    pmod(xxhash64(k), lit(numBuckets.toLong)).cast("int")
+
+  /** ALL `v<id>` dirs under `root` (committed or not), ascending. */
+  private def versionDirs(ss: SparkSession, root: Path): Seq[(Long, Path)] = {
     val fs = fsOf(ss, root)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
@@ -55,41 +100,122 @@ object StreamCdc {
       .sortBy(_._1)
   }
 
+  /** COMMITTED version dirs (id, path): a version counts only once its
+    * manifest exists — the commit marker a crashed attempt never writes
+    * (r16 advice: no partial snapshot is ever served). */
+  private def versions(ss: SparkSession, root: Path): Seq[(Long, Path)] = {
+    val fs = fsOf(ss, root)
+    versionDirs(ss, root)
+      .filter { case (_, p) => fs.exists(new Path(p, ManifestFile)) }
+  }
+
+  private def writeManifest(ss: SparkSession, vdir: Path, numBuckets: Int,
+                            buckets: Map[Int, Long]): Unit = {
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("numBuckets", numBuckets)
+    val b = node.putObject("buckets")
+    buckets.toSeq.sortBy(_._1).foreach { case (bk, v) => b.put(bk.toString, v) }
+    val out = fsOf(ss, vdir).create(new Path(vdir, ManifestFile), true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** (numBuckets, bucket → version holding its newest rows). */
+  private def readManifest(ss: SparkSession, vdir: Path): (Int, Map[Int, Long]) = {
+    val fs = fsOf(ss, vdir)
+    val in = fs.open(new Path(vdir, ManifestFile))
+    val node = try new ObjectMapper().readTree(in) finally in.close()
+    val it = node.get("buckets").fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); m += e.getKey.toInt -> e.getValue.asLong() }
+    (node.get("numBuckets").asInt(), m.result())
+  }
+
   /** Fold one changelog micro-batch (k, seq, op, price_cents) into the
-    * snapshot at `root` as version `batchId`. Retry-safe: see object doc. */
-  def applyBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    * snapshot at `root` as version `batchId`, rewriting ONLY the buckets
+    * the batch touches. Retry-safe and deterministic: see object doc. */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+                 numBuckets: Int = DefaultBuckets): Unit = {
+    require(numBuckets >= 1, s"numBuckets ($numBuckets) must be >= 1")
     val ss = batch.sparkSession
+    val rootPath = new Path(root)
+    val fs = fsOf(ss, rootPath)
+    // within-batch latest-wins; the max_by key is the WHOLE candidate row
+    // (seq, op, price_cents) so equal-seq conflicts resolve identically on
+    // every attempt — determinism is what makes the retry theorem true
     val delta = batch.groupBy(col("k"))
       .agg(max(col("seq")).as("seq"),
-        max_by(struct(col("op"), col("price_cents")), col("seq")).as("last"))
+        max_by(struct(col("op"), col("price_cents")),
+          struct(col("seq"), col("op"), col("price_cents"))).as("last"))
       .select(col("k"), col("seq"), col("last.op").as("op"),
         col("last.price_cents").as("price_cents"))
-    // strictly-below read: a retried batch merges against the same
-    // predecessor its first attempt saw, never its own partial output
-    val prev = versions(ss, new Path(root)).filter(_._1 < batchId)
-      .lastOption.map { case (_, p) => ss.read.parquet(p.toString) }
-    val merged = prev match {
-      case None => delta
-      case Some(p0) =>
-        val p = p0.select(col("k"), col("seq").as("pseq"),
-          col("op").as("pop"), col("price_cents").as("ppc"))
-        p.join(delta, Seq("k"), "full_outer")
-          .select(col("k"),
-            when(col("seq").isNotNull &&
-                (col("pseq").isNull || col("seq") >= col("pseq")),
-              struct(col("seq"), col("op"), col("price_cents")))
-              .otherwise(struct(col("pseq").as("seq"), col("pop").as("op"),
-                col("ppc").as("price_cents"))).as("w"))
-          .select(col("k"), col("w.seq").as("seq"), col("w.op").as("op"),
-            col("w.price_cents").as("price_cents"))
-    }
-    merged.write.mode("overwrite").parquet(s"$root/v$batchId")
+      .withColumn("bucket", bucketOf(col("k"), numBuckets))
+      .persist()
+    try {
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded by numBuckets
+      // strictly-below read: a retried batch merges against the same
+      // predecessor its first attempt saw, never its own partial output
+      val prevMan: Map[Int, Long] =
+        versions(ss, rootPath).filter(_._1 < batchId).lastOption match {
+          case None => Map.empty
+          case Some((_, pdir)) =>
+            val (nb, m) = readManifest(ss, pdir)
+            require(nb == numBuckets,
+              s"snapshot at $root is bucketed $nb-way; applyBatch got $numBuckets")
+            m
+        }
+      val vdir = new Path(rootPath, s"v$batchId")
+      if (fs.exists(vdir)) fs.delete(vdir, true) // a failed attempt's leftovers
+      val prevPaths = touched.flatMap(b =>
+        prevMan.get(b).map(v => s"$root/v$v/data/bucket=$b"))
+      val merged =
+        if (prevPaths.isEmpty) delta
+        else {
+          val p = ss.read.parquet(prevPaths: _*)
+            .select(col("k"), col("seq").as("pseq"),
+              col("op").as("pop"), col("price_cents").as("ppc"))
+          p.join(delta.drop("bucket"), Seq("k"), "full_outer")
+            .select(col("k"),
+              when(col("seq").isNotNull &&
+                  (col("pseq").isNull || col("seq") >= col("pseq")),
+                struct(col("seq"), col("op"), col("price_cents")))
+                .otherwise(struct(col("pseq").as("seq"), col("pop").as("op"),
+                  col("ppc").as("price_cents"))).as("w"))
+            .select(col("k"), col("w.seq").as("seq"), col("w.op").as("op"),
+              col("w.price_cents").as("price_cents"))
+            .withColumn("bucket", bucketOf(col("k"), numBuckets))
+        }
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(new Path(vdir, "data").toString)
+      // manifest LAST = the commit: untouched buckets keep pointing at
+      // their previous version's dirs
+      writeManifest(ss, vdir, numBuckets, prevMan ++ touched.map(_ -> batchId))
+    } finally { delta.unpersist(); () }
+  }
+
+  /** Full snapshot state at version `id` INCLUDING tombstones — the
+    * manifest-resolved union of each bucket's newest dir. Fails loudly on
+    * an uncommitted or vacuumed version. */
+  private[graft] def readVersionFull(ss: SparkSession, root: String,
+                                     id: Long): DataFrame = {
+    val vdir = new Path(new Path(root), s"v$id")
+    require(fsOf(ss, vdir).exists(new Path(vdir, ManifestFile)),
+      s"no committed CDC snapshot version v$id under $root " +
+        "(never committed, or vacuumed below the retention horizon)")
+    val (_, man) = readManifest(ss, vdir)
+    val paths = man.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$root/v$v/data/bucket=$b" }
+    if (paths.isEmpty)
+      ss.createDataFrame(ss.sparkContext.emptyRDD[Row], snapshotSchema)
+    else ss.read.parquet(paths: _*)
+      .select(col("k"), col("seq"), col("op"), col("price_cents"))
   }
 
   /** The live table at version `id` — tombstones dropped (the VERSION-AS-OF
     * read). */
   def readVersion(ss: SparkSession, root: String, id: Long): DataFrame =
-    ss.read.parquet(s"$root/v$id")
+    readVersionFull(ss, root, id)
       .filter(col("op") =!= "D")
       .select(col("k"), col("op"), col("price_cents"))
 
@@ -99,5 +225,63 @@ object StreamCdc {
     val vs = versions(ss, new Path(root))
     require(vs.nonEmpty, s"no committed CDC snapshot versions under $root")
     readVersion(ss, root, vs.last._1)
+  }
+
+  /** What [[vacuum]] did: every path it deleted, every below-horizon
+    * bucket dir it had to keep because a surviving manifest still reads
+    * it. Also written durably as `_vacuum.json` under the root. */
+  final case class VacuumReport(horizon: Long, deleted: Seq[String],
+                                keptReferenced: Seq[String])
+
+  /** Retention over the versioned snapshot (r16 verdict #2): make every
+    * version BELOW `horizon` unreadable (their manifests are deleted, so
+    * an AS-OF read there fails loudly — never a partially-purged answer)
+    * and reclaim every bucket dir no surviving manifest references.
+    * Referenced dirs are kept byte-identical — surviving manifests point
+    * into them by path — so every AS-OF read at or above the horizon is
+    * unchanged; StreamCdcSpec pins both halves plus manifest tightness
+    * (horizon−1 fails). Uncommitted `v*` leftovers below the horizon are
+    * swept by the same rule; idempotent (a re-run deletes nothing new).
+    * Emits the purge manifest both as the return value and as a durable
+    * `_vacuum.json`. */
+  def vacuum(ss: SparkSession, root: String, horizon: Long): VacuumReport = {
+    val rootPath = new Path(root)
+    val fs = fsOf(ss, rootPath)
+    val committed = versions(ss, rootPath)
+    require(committed.exists(_._1 >= horizon),
+      s"vacuum($horizon) would leave no committed version under $root")
+    val referenced: Set[(Long, Int)] = committed.filter(_._1 >= horizon)
+      .flatMap { case (_, p) =>
+        // toSeq first: mapping the Map directly would key by version and
+        // collapse same-version buckets to one surviving entry
+        readManifest(ss, p)._2.toSeq.map { case (b, v) => (v, b) }
+      }.toSet
+    val deleted = Seq.newBuilder[String]
+    val kept = Seq.newBuilder[String]
+    versionDirs(ss, rootPath).filter(_._1 < horizon).foreach { case (id, p) =>
+      val refBuckets: Set[Int] = referenced.collect { case (`id`, b) => b }
+      if (refBuckets.isEmpty) {
+        fs.delete(p, true); deleted += p.toString
+      } else {
+        val man = new Path(p, ManifestFile)
+        if (fs.exists(man)) { fs.delete(man, false); deleted += man.toString }
+        val dataDir = new Path(p, "data")
+        if (fs.exists(dataDir))
+          fs.listStatus(dataDir).filter(_.isDirectory).foreach { st =>
+            val b = st.getPath.getName.stripPrefix("bucket=").toIntOption
+            if (b.exists(refBuckets.contains)) kept += st.getPath.toString
+            else { fs.delete(st.getPath, true); deleted += st.getPath.toString }
+          }
+      }
+    }
+    val report = VacuumReport(horizon, deleted.result(), kept.result())
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("horizon", horizon)
+    val d = node.putArray("deleted"); report.deleted.foreach(d.add)
+    val kk = node.putArray("kept_referenced"); report.keptReferenced.foreach(kk.add)
+    val out = fs.create(new Path(rootPath, PurgeFile), true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    report
   }
 }

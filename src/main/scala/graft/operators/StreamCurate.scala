@@ -107,6 +107,10 @@ object StreamCurate {
     * row predicate — the same mechanism the snapshot already uses. */
   def readStateBefore(ss: SparkSession, root: String,
                       batchId: Long): Option[DataFrame] = {
+    val floor = retentionFloor(ss, new Path(root))
+    require(batchId >= floor,
+      s"horizon $batchId is below the retention floor $floor of $root — " +
+        "expired state would make this read partial, failing loudly instead")
     val (snap, bdirs, ddirs) = listState(ss, new Path(root))
     val insParts =
       snap.map { case (_, p) =>
@@ -189,6 +193,61 @@ object StreamCurate {
     fold.foreach { case (_, p) => fs.delete(p, true) }
     dfold.foreach { case (_, p) => fs.delete(p, true) }
     snap.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  private val FloorFile = "_retention_floor"
+  private val PurgeFile = "_vacuum.json"
+
+  /** The retention floor set by [[expireBelow]] (0 when never expired):
+    * horizons below it fail loudly in [[readStateBefore]]. */
+  private def retentionFloor(ss: SparkSession, root: Path): Long = {
+    val fs = fsOf(ss, root)
+    val f = new Path(root, FloorFile)
+    if (!fs.exists(f)) 0L
+    else {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Retention over the batch-dir layout (r16 verdict #2, the
+    * [[StreamCdc.vacuum]] discipline applied to the curation sink): fold
+    * every batch/tombstone dir at or below `horizon - 1` into the
+    * snapshot ([[compact]]'s mechanics — tombstone-shadowed rows
+    * reclaimed, small dirs merged) and raise the retention FLOOR to
+    * `horizon`. Every [[readStateBefore]] at a horizon >= `horizon` is
+    * byte-identical (the snapshot keeps per-row `_batch_id`, so
+    * strictly-below filtering still works); a read BELOW the floor now
+    * fails loudly — post-expiry, horizons under the floor could silently
+    * miss reclaimed shadowed rows, and a loud refusal is the only honest
+    * answer (the ScdExpirySpec manifest-tightness discipline). The floor
+    * only ratchets up; a durable purge manifest (`_vacuum.json`) records
+    * what each run deleted. Idempotent. */
+  def expireBelow(ss: SparkSession, root: String, horizon: Long): Seq[String] = {
+    require(horizon >= 1, s"horizon ($horizon) must be >= 1")
+    val rootPath = new Path(root)
+    val fs = fsOf(ss, rootPath)
+    def dirNames: Set[String] =
+      if (!fs.exists(rootPath)) Set.empty
+      else fs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath.toString).toSet
+    val before = dirNames
+    compact(ss, root, uptoBatch = horizon - 1)
+    val deleted = (before -- dirNames).toSeq.sorted
+    val newFloor = math.max(retentionFloor(ss, rootPath), horizon)
+    val out = fs.create(new Path(rootPath, FloorFile), true)
+    try out.write(newFloor.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("horizon", newFloor)
+    val d = node.putArray("deleted"); deleted.foreach(d.add)
+    val pout = fs.create(new Path(rootPath, PurgeFile), true)
+    try pout.write(om.writeValueAsBytes(node)) finally pout.close()
+    deleted
   }
 
   /** One curation micro-batch: within-batch exact dedup → bloom-gated

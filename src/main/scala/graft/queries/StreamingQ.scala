@@ -1032,6 +1032,40 @@ object StreamingQ {
         .orderBy(col("as_of"), col("k"))
     },
 
+    // B134 retention over the CDC sink (r16 verdict #2 —
+    // [[graft.operators.StreamCdc.vacuum]]): run the same 3-batch CDC
+    // stream, VACUUM versions below the final horizon (manifests below it
+    // deleted, every bucket dir no surviving manifest references
+    // reclaimed, a durable purge manifest written), then read the live
+    // table THROUGH the purged layout — vacuum must be invisible to every
+    // surviving read, so the oracle is q_stream_cdc's full-feed
+    // latest-wins replay verbatim. StreamCdcSpec pins the sharp halves
+    // (AS-OF ≥ horizon byte-identical, horizon−1 fails loudly, referenced
+    // below-horizon bucket dirs kept, purge manifest tight + idempotent).
+    "q_stream_cdc_vacuum" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_cdc_vac_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val snapRoot = new File(root, "snap").getPath
+      val q = cdcStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCdc.applyBatch(batch, bid, snapRoot)
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_cdc_vacuum still running after 180 s — refusing to read a partial snapshot")
+      }
+      graft.operators.StreamCdc.vacuum(s, snapRoot, horizon = 2L)
+      graft.operators.StreamCdc.readLatest(s, snapRoot).orderBy(col("k"))
+    },
+
     // B80 STREAMING CURATION (r10 verdict #4) — the production ingest shape
     // the batch dedup pieces prove separately, composed per micro-batch
     // over the 3-batch document feed: (1) within-batch exact dedup (first
@@ -1791,6 +1825,23 @@ object StreamingQ {
         |SELECT CAST(hz AS BIGINT) AS as_of, k, op, price_cents
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY as_of, k""".stripMargin,
+
+    // vacuum is retention, not semantics: the post-purge live read must
+    // equal q_stream_cdc's full-feed latest-wins replay verbatim
+    "q_stream_cdc_vacuum" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(round(o_totalprice * 110) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+        |r AS (SELECT k, op, price_cents,
+        |        row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     "q_stream_curate" ->
       s"""WITH $sqlStreamCurateChain

@@ -207,6 +207,41 @@ class StreamCurateSpec extends SparkSpecBase {
     assert(rowsOf(curB) === refCur, "idempotent re-compaction changed state")
   }
 
+  test("expireBelow: surviving AS-OF horizons identical, below-floor reads fail loudly, purge manifest durable") {
+    // r16 verdict #2, the curation-sink half: retention folds dirs below
+    // the horizon (compact's mechanics) AND ratchets a floor so a read at
+    // an expired horizon refuses loudly instead of silently missing
+    // reclaimed rows — the ScdExpirySpec tightness discipline.
+    import graft.operators.StreamCurate
+    val docs = graft.Tables.documents(spark, sf)
+    def b(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    val root = new java.io.File(scratch("curate_expire"))
+    val (hist, cur) = (new java.io.File(root, "hist"), new java.io.File(root, "cur"))
+    (0 to 2).foreach(i => StreamCurate.curateBatch(b(i), i, hist, cur, None))
+    def asOf(a: Long): Set[Long] =
+      StreamCurate.readStateBefore(spark, cur.getPath, a)
+        .get.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ref1 = asOf(1L)
+    val (ref2, ref3) = (asOf(2L), asOf(3L))
+    val deleted = StreamCurate.expireBelow(spark, cur.getPath, horizon = 2L)
+    assert(deleted.nonEmpty, "expiry deleted nothing — vacuous")
+    // every surviving horizon reads identically through the expired layout
+    assert(asOf(2L) === ref2, "AS-OF 2 changed under expiry")
+    assert(asOf(3L) === ref3, "AS-OF 3 changed under expiry")
+    // tightness: horizon−1 was readable before (non-vacuously) and now
+    // refuses loudly
+    assert(ref1.nonEmpty, "vacuous: nothing was ever visible at horizon 1")
+    intercept[IllegalArgumentException] {
+      StreamCurate.readStateBefore(spark, cur.getPath, 1L)
+    }
+    assert(new java.io.File(cur, "_vacuum.json").exists(),
+      "durable purge manifest not written")
+    // idempotent: a re-run deletes nothing new and keeps the floor
+    assert(StreamCurate.expireBelow(spark, cur.getPath, 2L).isEmpty,
+      "expiry re-run deleted state")
+    assert(asOf(2L) === ref2, "idempotent re-run changed AS-OF 2")
+  }
+
   test("retraction: a deleted sha stops gating, re-submission re-accepted, tombstones survive compaction") {
     // B122 (streaming half): erasure from the dedup index. A tombstone at
     // batch t shadows inserts strictly below t; a re-submission at >= t
