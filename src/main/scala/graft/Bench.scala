@@ -106,13 +106,22 @@ object Bench {
   private[graft] def driftOf(results: Seq[(String, Double)],
                              baseline: Map[String, Double],
                              joinFloorCur: Double, joinFloorBase: Double,
+                             dataBoundBase: Map[String, Double] = Map.empty,
                              ratio: Double = 1.5,
                              minDeltaS: Double = 0.5): (Seq[(String, Double, Double, Double)], Seq[String]) = {
     val drifted = results.flatMap { case (name, cur) =>
       baseline.get(name).flatMap { base =>
         val isJoin = name.startsWith("q_stream_join")
         val c = if (isJoin) math.max(0.0, cur - joinFloorCur) else cur
-        val b = if (isJoin) math.max(0.0, base - joinFloorBase) else base
+        // r16 verdict #4: the join entries' baseline side is the FROZEN
+        // per-entry data-bound value (baselined directly, so a re-frozen
+        // floor can never silently re-derive a different entry baseline);
+        // the arithmetic fallback covers a baseline file from before the
+        // map existed
+        val b =
+          if (isJoin) dataBoundBase.getOrElse(name,
+            math.max(0.0, base - joinFloorBase))
+          else base
         if (cur > 0.0 && c > ratio * b && c - b > minDeltaS)
           Some((name, b, c, if (b > 0) c / b else Double.PositiveInfinity))
         else None
@@ -120,6 +129,16 @@ object Bench {
     }
     (drifted, results.collect { case (n, _) if !baseline.contains(n) => n })
   }
+
+  /** The join-harness floor's OWN drift gate (r16 verdict #4: in the r16
+    * sweep the floor moved 3.4 → 10.4 s and printed a 9.2× entry drift
+    * that was pure harness movement — the floor is now tracked as its own
+    * baselined row so harness regressions are first-class and never
+    * masquerade as operator drift). Same two-guard rule as the entries. */
+  private[graft] def floorDrifted(cur: Double, base: Double,
+                                  ratio: Double = 1.5,
+                                  minDeltaS: Double = 0.5): Boolean =
+    cur > ratio * base && cur - base > minDeltaS
 
   /** Best-run ratio for a drifted entry: min of its successful raw runs
     * (floor-subtracted for stream-join entries, clamped at 0) over the
@@ -162,10 +181,11 @@ object Bench {
     driftClass(retestOverBase.fold(minOverBase)(math.min(minOverBase, _)),
       ratio)
 
-  /** (per-query baseline medians, baseline stream_join_floor_s) from the
-    * committed JSON; None (with a stderr note) if absent/unreadable — the
-    * bench must keep reporting timings even if the gate file is gone. */
-  private def loadBaseline(path: String): Option[(Map[String, Double], Double)] =
+  /** (per-query baseline medians, baseline stream_join_floor_s, per-entry
+    * frozen data-bound join baselines) from the committed JSON; None (with
+    * a stderr note) if absent/unreadable — the bench must keep reporting
+    * timings even if the gate file is gone. */
+  private def loadBaseline(path: String): Option[(Map[String, Double], Double, Map[String, Double])] =
     try {
       val f = new java.io.File(path)
       if (!f.exists()) { System.err.println(s"[bench] no baseline at $path"); None }
@@ -174,7 +194,13 @@ object Bench {
         val it = root.get("queries").fields()
         val m = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asDouble() }
-        Some((m.result(), root.get("stream_join_floor_s").asDouble()))
+        val db = Map.newBuilder[String, Double]
+        val dbNode = root.get("stream_join_data_bound")
+        if (dbNode != null) {
+          val dit = dbNode.fields()
+          while (dit.hasNext) { val e = dit.next(); db += e.getKey -> e.getValue.asDouble() }
+        }
+        Some((m.result(), root.get("stream_join_floor_s").asDouble(), db.result()))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline unreadable: $e"); None
@@ -237,7 +263,7 @@ object Bench {
     // only — folding a time-to-failure into the median would fabricate a
     // floor (r9 review). All runs failed → floor 0.0 (the all-failed-query
     // convention) + a nonzero *_failed_runs field the driver can see.
-    def floorOf(tag: String)(mk: => org.apache.spark.sql.DataFrame): (Double, Int) = {
+    def floorOf(tag: String)(mk: => org.apache.spark.sql.DataFrame): (Double, Int, Seq[Double]) = {
       val rs = (1 to runsN).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
@@ -249,16 +275,17 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okTimes = rs.collect { case (t, true) => t }
-      (if (okTimes.isEmpty) 0.0 else median(okTimes), runsN - okTimes.size)
+      (if (okTimes.isEmpty) 0.0 else median(okTimes), runsN - okTimes.size,
+        rs.map { case (t, ok) => if (ok) t else -1.0 })
     }
-    val (floorS, floorFailed) = floorOf("stream_harness_floor")(
+    val (floorS, floorFailed, _) = floorOf("stream_harness_floor")(
       graft.queries.StreamingQ.harnessFloor(spark, sfDir))
     // the STATEFUL floor (two zero-row sources through the real
     // stream-stream join machinery): the stream-join entries' fixed cost
     // is mostly state-store instantiation + per-batch commits that the
     // stateless floor doesn't pay — (join entry − join floor) is the
     // data-bound signal
-    val (joinFloorS, joinFloorFailed) = floorOf("stream_join_floor")(
+    val (joinFloorS, joinFloorFailed, joinFloorRuns) = floorOf("stream_join_floor")(
       graft.queries.StreamingQ.harnessJoinFloor(spark, sfDir))
     // (name, median-of-successes, allFailed) in stable catalog order —
     // the -1.0 failure sentinels never enter a median
@@ -309,8 +336,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
     val baselineOpt = loadBaseline(baselinePath)
     val (driftedRows, unbaselined) = baselineOpt match {
-      case Some((bq, bf)) =>
-        driftOf(results.map(t => (t._1, t._2)), bq, joinFloorS, bf)
+      case Some((bq, bf, bdb)) =>
+        driftOf(results.map(t => (t._1, t._2)), bq, joinFloorS, bf, bdb)
       case None => (Nil, Nil)
     }
     // end-of-sweep retest (r12 verdict #1): each drifted entry runs ONCE
@@ -338,7 +365,35 @@ object Bench {
     // -1.0 failure sentinels keep indices aligned with load_avg_per_run).
     // "retest_over_base" is null when the retest failed; "class" is
     // systematic only if every sweep run AND the retest exceed the gate.
-    val driftJson = driftedRows
+    // the join-harness floor is its own baselined drift row (r16 verdict
+    // #4): a floor regression is reported by NAME, never laundered through
+    // the entries' data-bound arithmetic. Same self-adjudication shape —
+    // raw sweep runs, min-over-base, an end-of-sweep retest of the floor
+    // harness itself.
+    val floorDriftRow: Option[String] = baselineOpt.flatMap { case (_, bf, _) =>
+      if (joinFloorS > 0.0 && bf > 0.0 && floorDrifted(joinFloorS, bf)) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val retest =
+          try {
+            graft.queries.StreamingQ.harnessJoinFloor(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] retest stream_join_floor FAILED: $e"); -1.0
+          }
+        val mob = minOverBase(joinFloorRuns, bf, isJoin = false, 0.0)
+        val retestOB = if (retest >= 0.0) Some(retest / bf) else None
+        Some("\"stream_join_floor\":{\"base\":" + sec(bf) +
+          ",\"cur\":" + sec(joinFloorS) + ",\"ratio\":" + sec(joinFloorS / bf) +
+          ",\"runs\":" + joinFloorRuns.map(sec).mkString("[", ",", "]") +
+          ",\"min_over_base\":" + sec(mob) +
+          ",\"retest_s\":" + sec(retest) +
+          ",\"retest_over_base\":" + retestOB.fold("null")(sec) +
+          ",\"class\":\"" + classWithRetest(mob, retestOB) + "\"}")
+      } else None
+    }
+    val driftJson = (driftedRows
       .map { case (k, b, c, r) =>
         val isJoin = k.startsWith("q_stream_join")
         val raw = times(k).reverse
@@ -353,7 +408,7 @@ object Bench {
           ",\"retest_s\":" + sec(retest) +
           ",\"retest_over_base\":" + retestOB.fold("null")(sec) +
           ",\"class\":\"" + classWithRetest(mob, retestOB) + "\"}"
-      }.mkString("{", ",", "}")
+      } ++ floorDriftRow).mkString("{", ",", "}")
     val unbJson = unbaselined.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson = loadPerRun.map(sec).mkString("[", ",", "]")
     val ncpus = Runtime.getRuntime.availableProcessors

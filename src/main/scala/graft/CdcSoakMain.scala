@@ -12,8 +12,8 @@ object CdcSoakMain {
     val spark = Sessions.get()
     val md = graft.operators.ScaleSoak.runCdcSoak(spark, dir)
     ScaleMd.upsert(out,
-      "\n## Streaming-CDC fold at 2M keys (r16)",
-      "\n## Streaming-CDC fold at 2M keys (r16)\n" + md)
+      "\n## Streaming-CDC fold at 2M keys (r16; bucketed r17)",
+      "\n## Streaming-CDC fold at 2M keys (r16; bucketed r17)\n" + md)
     println(s"[cdcsoak] appended section to $out")
     println(md)
     spark.stop()

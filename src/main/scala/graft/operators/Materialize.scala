@@ -92,12 +92,22 @@ object Materialize {
   def cut(df: DataFrame): Cut = {
     val ck = checkpointed(df)
     // the actual persisted RDD[InternalRow] lives in the checkpoint
-    // Dataset's LogicalRDD leaf; ck.rdd below is a DERIVED decode of it,
-    // so unpersisting ck.rdd would free nothing — dig out the real one
+    // Dataset's LogicalRDD leaf (ck.rdd would be a DERIVED decode of it:
+    // unpersisting that frees nothing, and re-wrapping it would pay an
+    // InternalRow→Row→InternalRow round-trip on every downstream read of
+    // every round — the r16 verdict #5 per-round constant). Re-wrap the
+    // internal RDD itself in a fresh LogicalRDD leaf, zero-copy, via the
+    // private[sql] shim.
     val internal = ck.queryExecution.analyzed.collectFirst {
       case l: LogicalRDD => l.rdd
     }
-    val fresh = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val fresh = internal match {
+      case Some(rdd) =>
+        org.apache.spark.sql.GraftInternalRows.wrap(ck.sparkSession, rdd, ck.schema)
+      case None => // checkpoint plans are LogicalRDD leaves; keep a loud trail
+        throw new IllegalStateException(
+          "checkpointed plan has no LogicalRDD leaf: " + ck.queryExecution.analyzed)
+    }
     Cut(fresh, () => internal.foreach(_.unpersist(blocking = false)))
   }
 }

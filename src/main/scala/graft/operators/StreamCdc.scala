@@ -186,7 +186,13 @@ object StreamCdc {
               col("w.price_cents").as("price_cents"))
             .withColumn("bucket", bucketOf(col("k"), numBuckets))
         }
-      merged.write.mode("overwrite").partitionBy("bucket")
+      // cluster rows by bucket before the partitioned write: without it
+      // every task writes a file into every touched bucket dir
+      // (tasks × buckets small files per version — the B114 pathology);
+      // with it one task owns each bucket, so a version is ~one file per
+      // touched bucket
+      merged.repartition(numBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(new Path(vdir, "data").toString)
       // manifest LAST = the commit: untouched buckets keep pointing at
       // their previous version's dirs

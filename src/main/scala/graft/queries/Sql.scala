@@ -521,6 +521,73 @@ object Sql {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** TPC-DS Q36 shape (r16 verdict #7): ROLLUP over a 2-level hierarchy
+    * with a WINDOW over the grouping-sets output — rank-within-parent
+    * partitions by the GROUPING() level and the parent key, the Expand +
+    * Window composition DS queries exercise that plain TPC-H never does.
+    * Revenue is exact-integer cents; every nullable sort key carries an
+    * explicit NULLS FIRST (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    * LAST — unpinned, the two engines order rollup rows differently). */
+  private val ds36 =
+    """SELECT CAST(grouping(p_brand) + grouping(p_type) AS INT) AS lochierarchy,
+      |  p_brand, p_type,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  rank() OVER (
+      |    PARTITION BY grouping(p_brand) + grouping(p_type),
+      |      CASE WHEN grouping(p_type) = 0 THEN p_brand END
+      |    ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC) AS rank_within_parent
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP(p_brand, p_type)
+      |ORDER BY lochierarchy DESC, p_brand ASC NULLS FIRST,
+      |  rank_within_parent, p_type ASC NULLS FIRST""".stripMargin
+
+  /** TPC-DS Q67 shape: ROLLUP over THREE dims with a top-k window filter
+    * over the mixed grouping levels — rank() partitions by the outer dim
+    * only, so subtotal rows at every rollup depth compete in one ranking
+    * (the DS q67 quirk), and the rk <= 3 filter is the window-pushdown
+    * opportunity (Spark's LimitPushDownThroughWindow/rank pruning). Sales
+    * are exact-integer cents. */
+  private val ds67 =
+    """WITH t AS (
+      |  SELECT n_name, o_orderpriority,
+      |    year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (
+      |  SELECT n_name, o_orderpriority, o_year,
+      |    CAST(sum(cents) AS BIGINT) AS sales_cents,
+      |    rank() OVER (PARTITION BY n_name ORDER BY sum(cents) DESC) AS rk
+      |  FROM t GROUP BY ROLLUP(n_name, o_orderpriority, o_year))
+      |SELECT n_name, o_orderpriority, o_year, sales_cents, rk
+      |FROM g WHERE rk <= 3
+      |ORDER BY n_name ASC NULLS FIRST, rk,
+      |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
+
+  /** TPC-DS Q49 shape: a correlated scalar subquery over a UNION ALL of
+    * fact scans — the channelized-union CTE is probed twice by correlated
+    * scalars (per-channel count and per-channel total), the decorrelation
+    * + CTE-reuse composition the TPC-H suite's single-table subqueries
+    * never combine. Threshold is the 1.1× channel mean via exact-integer
+    * cross-multiplication (25 / 337 qualifying rows at sf0.01 / sf0.1,
+    * all 3 channels represented — probed in DuckDB before landing). */
+  private val ds49 =
+    """WITH chan AS (
+      |  SELECT 'returned' AS channel, l_suppkey AS k,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT 'accepted', l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |  FROM lineitem WHERE l_returnflag = 'A'
+      |  UNION ALL
+      |  SELECT 'neutral', l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |  FROM lineitem WHERE l_returnflag = 'N'),
+      |agg AS (SELECT channel, k, CAST(sum(cents) AS BIGINT) AS sum_cents FROM chan GROUP BY channel, k)
+      |SELECT channel, k, sum_cents FROM agg a
+      |WHERE sum_cents * (SELECT count(*) FROM agg b WHERE b.channel = a.channel) * 10
+      |      > 11 * (SELECT sum(sum_cents) FROM agg b WHERE b.channel = a.channel)
+      |ORDER BY channel, k""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -550,6 +617,9 @@ object Sql {
     "q_sql_tpch16" -> run(tpch16),
     "q_sql_tpch20" -> run(tpch20),
     "q_sql_tpch21" -> run(tpch21),
+    "q_sql_ds36" -> run(ds36),
+    "q_sql_ds67" -> run(ds67),
+    "q_sql_ds49" -> run(ds49),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -580,6 +650,9 @@ object Sql {
     "q_sql_tpch16" -> tpch16,
     "q_sql_tpch20" -> tpch20,
     "q_sql_tpch21" -> tpch21,
+    "q_sql_ds36" -> ds36,
+    "q_sql_ds67" -> ds67,
+    "q_sql_ds49" -> ds49,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

@@ -43,6 +43,30 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(d.head._2 === 2.0 && d.head._3 === 5.5)
   }
 
+  test("frozen per-entry data-bound baseline takes precedence over floor arithmetic (r16 verdict #4)") {
+    // cur 7.0 with floor 3.0 → data-bound 4.0. Against the ARITHMETIC
+    // fallback (entry 5.0 − baseline floor 3.0 = 2.0) that is 2.0× and
+    // would drift; the FROZEN map pins 3.0 (the entry was re-frozen in a
+    // sweep whose floor differed) → 1.33×, inside the gate. The map must
+    // decide.
+    val db = Map("q_stream_join_x" -> 3.0)
+    assert(Bench.driftOf(Seq("q_stream_join_x" -> 7.0), baseline,
+      joinFloorCur = 3.0, joinFloorBase = 3.0, dataBoundBase = db)._1.isEmpty)
+    // and with a tighter frozen value the same observation drifts
+    val (d, _) = Bench.driftOf(Seq("q_stream_join_x" -> 7.0), baseline,
+      joinFloorCur = 3.0, joinFloorBase = 3.0,
+      dataBoundBase = Map("q_stream_join_x" -> 2.5))
+    assert(d.map(_._1) === Seq("q_stream_join_x"))
+    assert(math.abs(d.head._2 - 2.5) < 1e-9 && math.abs(d.head._3 - 4.0) < 1e-9)
+  }
+
+  test("the join floor drifts as its own named row by the same two-guard rule") {
+    assert(Bench.floorDrifted(cur = 10.4, base = 3.4),
+      "the r16 floor movement (3.4 → 10.4) must flag")
+    assert(!Bench.floorDrifted(cur = 4.5, base = 3.4), "1.32x: inside ratio")
+    assert(!Bench.floorDrifted(cur = 0.45, base = 0.2), "+0.25 s: inside absolute")
+  }
+
   test("all-failed queries (median 0) and unbaselined entries are not drift") {
     val (d, unb) = Bench.driftOf(
       Seq("q_big" -> 0.0, "q_new_this_round" -> 9.9), baseline, 0.0, 0.0)

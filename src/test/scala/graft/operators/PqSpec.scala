@@ -487,4 +487,61 @@ class PqSpec extends SparkSpecBase {
     measure(2, 0.55)
     measure(5, 0.50)
   }
+
+  test("filtered serving at ~1% selectivity: nprobe coverage knee measured; full probe covers exactly") {
+    // r16 verdict #6, the PQ half: at production tenant selectivity
+    // (~1%) most probed cells hold ZERO allowed codes — the starvation
+    // regime the 20%-selectivity floor never sees. Coverage (gold ∩
+    // unbounded candidate pool) is swept over the WHOLE nprobe dial:
+    // monotone is the superset theorem, the knee (first nprobe with
+    // coverage >= 0.8) is named for SCALE.md, and at nprobe = nCells the
+    // pool holds every allowed code so coverage is EXACTLY 1.0 — the
+    // dial provably recovers any starvation, at full-scan cost. vec_id %
+    // 97 = 0 keeps 6 of 500 ≈ 1.2%.
+    val coarse = vecs.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val index = Pq.encodeInto(vecs, cfg, cb, coarse)
+    val queries = vecs.filter(col("vec_id") < 10)
+    val ex = Pq.exploded(vecs, cfg)
+    val qex = ex.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
+    val allowed = vecs.filter(col("vec_id") % 97 === 0).select(col("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    info(s"selectivity: ${allowedIds.size} of 500 allowed")
+    val d = qex.join(ex.withColumnRenamed("vec_id", "cand"), Seq("m", "si"))
+      .filter(col("cand").isin(allowedIds.toSeq.map(Long.box): _*) &&
+        col("cand") =!= col("qid"))
+      .groupBy(col("qid"), col("cand"))
+      .agg(sum((col("qx") - col("x")) * (col("qx") - col("x"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("cand"))
+    val gold = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"))).toSet
+    def cov(np: Int): Double = {
+      val got = Pq.ivfAdcServeFilteredTopK(queries, index, allowed,
+        Int.MaxValue, np, cfg, cb, coarse)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      assert(got.forall(p => allowedIds(p._2)),
+        s"filter leak at nprobe=$np: a disallowed id was served")
+      (gold & got.toSet).size.toDouble / gold.size
+    }
+    val sweep = Seq(1, 2, 4, 8, nCoarse).map(np => np -> cov(np))
+    info(sweep.map { case (np, c) => f"nprobe=$np: coverage $c%.2f" }
+      .mkString("~1%-filtered ADC: ", ", ", f" (gold ${gold.size} pairs)"))
+    sweep.sliding(2).foreach { case Seq((_, a), (np, b)) =>
+      assert(b >= a - 1e-9,
+        s"coverage fell as nprobe grew to $np — supersets cannot lose members")
+    }
+    assert(sweep.last._2 == 1.0,
+      f"full probe (nprobe=$nCoarse) must cover every allowed candidate: ${sweep.last._2}%.2f")
+    val knee = sweep.find(_._2 >= 0.8).map(_._1)
+    info(s"recovery knee (coverage >= 0.8): nprobe=${knee.get}")
+    // the full-probe shortlist at k >= |allowed| IS the exact answer
+    val full = Pq.ivfAdcServeFilteredTopK(queries, index, allowed,
+      10, nCoarse, cfg, cb, coarse)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert((gold & full).size == gold.size,
+      "k >= |allowed| at full probe must contain the whole gold set")
+  }
 }

@@ -332,6 +332,73 @@ class AnnRecallSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("filtered search at ~1% selectivity: hops dial measured to the recovery knee") {
+    // r16 verdict #6: production tenant filters routinely run <= 1%
+    // allowed — exactly where the filter-blind walk starves (the 18%
+    // floor above says nothing about this regime). Measured on the
+    // sf0.1 corpus (1990 corpus vectors; vec_id % 97 = 7 keeps 20 ≈ 1.0%)
+    // over the hops dial with ONE frozen graph (the dial is a serve-time
+    // knob — rebuilding per hop would conflate build variance into the
+    // curve). Gold = exact top-5 among allowed.
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val sfBig = "/root/testdata/sf0.1"
+    val emb = graft.Tables.embeddings(spark, sfBig)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")).cache()
+    val all = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val allowed = all.filter(t => t._1 >= 10 && t._1 % 97 == 7)
+    val nCorpus = all.count(_._1 >= 10)
+    info(f"selectivity: ${allowed.length} of $nCorpus allowed " +
+      f"(${allowed.length * 100.0 / nCorpus}%.1f%%)")
+    assert(allowed.length >= 15 && allowed.length * 100 / nCorpus <= 1,
+      s"fixture drifted: want ~1% allowed, got ${allowed.length}/$nCorpus")
+    val gold = all.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      allowed.map { case (cid, ce) => (cid, cos6(qe, ce)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(LlmOps.KnnK)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSet
+    val gOld = Ann.knnGraph(emb.filter(col("vec_id") >= 10), LlmOps.KnnK,
+      LlmOps.KnnLshCfg, rounds = 2, buildK = LlmOps.KnnBuildK)
+      .persist()
+    val allowedIds = allowed.map(_._1).toSet
+    val recalls = (2 to 4).map { h =>
+      val got = Ann.knnSearchFilteredInto(emb, col("vec_id") < 10,
+          col("vec_id") % 97 === 7, gOld, k = LlmOps.KnnK,
+          LlmOps.KnnLshCfg, hops = h)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      assert(got.forall(p => allowedIds(p._2)),
+        s"filter leak at hops=$h: a disallowed id was returned")
+      h -> (gold & got.toSet).size.toDouble / gold.size
+    }
+    gOld.unpersist(blocking = false)
+    info(recalls.map { case (h, r) => f"hops=$h: recall $r%.2f" }
+      .mkString("~1%-filtered walk: ", ", ", f" (gold ${gold.size} pairs)"))
+    // the knee: name the first dial setting that recovers >= 0.8, the
+    // verdict's recovery bar — SCALE.md documents the curve
+    val knee = recalls.find(_._2 >= 0.8).map(_._1)
+    info(s"recovery knee (recall >= 0.8): ${knee.fold("NOT REACHED by hops<=4")(h => s"hops=$h")}")
+    assert(knee.exists(_ <= 3),
+      f"starvation not recovered by hops<=3 (measured 0.92 at 2, 1.00 at 3 " +
+        f"when frozen): best ${recalls.map(_._2).max}%.2f — re-measure " +
+        "before lowering the bar")
+    // the curve must not collapse at the default dial either
+    // (deterministic build: measured 0.92 at hops=2)
+    assert(recalls.head._2 >= 0.75,
+      f"hops=2 recall collapsed: ${recalls.head._2}%.2f")
+  }
+
   test("graph delete: tombstones purged, untouched lists verbatim, repair = driver recompute") {
     // B122: (a) no deleted id survives as src or dst; (b) lists that never
     // referenced a deleted vector pass through VERBATIM (rank and cos);
