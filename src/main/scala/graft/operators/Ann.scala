@@ -843,8 +843,12 @@ object Ann {
     * 1.7× the candidates — the dial pinned at 2). Cost is
     * |new|-proportional throughout; the old corpus is touched only
     * through the candidate joins. */
-  private def frozenWalkCandidates(emb: DataFrame, isNew: Column,
-      gOld: DataFrame, cfg: EmbedLshConfig, hops: Int): DataFrame = {
+  /** LSH bucket-mate seed pairs (src = `isNew` rows, dst = old rows)
+    * under the COMBINED corpus's bucket caps — the shared seed stage of
+    * the frozen-graph walks ([[frozenWalkCandidates]] and the r17
+    * beam-limited variant). */
+  private def lshSeedPairs(emb: DataFrame, isNew: Column,
+                           cfg: EmbedLshConfig): DataFrame = {
     val bands = lshBands(emb, cfg)
     val ok = bands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
@@ -852,13 +856,17 @@ object Ann {
     val flags = emb.select(col("vec_id"), isNew.as("is_new"))
     val bx = bands.join(ok, Seq("band", "bucket"))
       .join(flags, Seq("vec_id"))
-    val seeds = bx.filter(col("is_new"))
+    bx.filter(col("is_new"))
       .select(col("vec_id").as("src"), col("band"), col("bucket"))
       .join(bx.filter(!col("is_new"))
         .select(col("vec_id").as("dst"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("src"), col("dst")).distinct()
-    var candV = seeds
+  }
+
+  private def frozenWalkCandidates(emb: DataFrame, isNew: Column,
+      gOld: DataFrame, cfg: EmbedLshConfig, hops: Int): DataFrame = {
+    var candV = lshSeedPairs(emb, isNew, cfg)
     for (_ <- 1 to hops) {
       val expand = candV.select(col("src"), col("dst").as("mid"))
         .join(gOld.select(col("src").as("mid"), col("dst")), Seq("mid"))
@@ -867,6 +875,73 @@ object Ann {
       candV = candV.union(expand).distinct()
     }
     candV
+  }
+
+  /** BEAM-LIMITED frozen-graph search (r16 verdict #8 stretch) — the
+    * serving economics at high degree. [[knnSearchInto]]'s walk expands
+    * the FULL neighborhood of every candidate each hop (pool grows ~
+    * fanout^hops per query); a serving tier bounds per-query work by
+    * scoring each hop's NEWLY REACHED candidates exactly once and
+    * expanding only the best `beam` per query (greedy best-first — the
+    * HNSW efSearch discipline, frontier picked by the same round-6
+    * (cos DESC, id ASC) order as every rank in this family). Every
+    * scored candidate stays in the answer pool: the beam bounds
+    * EXPANSION, not the final re-rank, so recall degrades gracefully as
+    * beam shrinks instead of cliffing. Frontier choice is per-hop (best
+    * of the hop's new candidates), not global-unexpanded-best — one
+    * bounded join per hop, no driver-side priority queue, and at
+    * beam = ∞ the reached set provably equals the unlimited walk's
+    * (frontier-only expansion has the same ≤hops reachability closure).
+    * AnnRecallSpec measures the recall-vs-scored-pairs curve at two beam
+    * widths against that unlimited pool; SCALE.md records the dial. */
+  def knnSearchBeamInto(embVisible: DataFrame, isQuery: Column,
+                        gOld: DataFrame, k: Int, cfg: EmbedLshConfig,
+                        hops: Int, beam: Int): DataFrame =
+    knnSearchBeamCounted(embVisible, isQuery, gOld, k, cfg, hops, beam)._1
+
+  /** [[knnSearchBeamInto]] plus the exact distance evaluations it paid
+    * (scored (qid, cand) pairs across all hops) — the cost axis of the
+    * recall-vs-cost curve. */
+  private[graft] def knnSearchBeamCounted(embVisible: DataFrame,
+      isQuery: Column, gOld: DataFrame, k: Int, cfg: EmbedLshConfig,
+      hops: Int, beam: Int): (DataFrame, Long) = {
+    require(hops >= 1 && beam >= k,
+      s"bad beam geometry k=$k beam=$beam hops=$hops")
+    val spark = embVisible.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = withNorm(embVisible).persist(lvl)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var scored = knnScorePairs(n, lshSeedPairs(embVisible, isQuery, cfg))
+        .persist(lvl)
+      persisted += scored
+      var total = scored.count()
+      var frontier = knnTopKOf(spark, beam, scored)
+        .select(col("src"), col("dst"))
+      for (_ <- 1 to hops) {
+        val raw = frontier.select(col("src"), col("dst").as("mid"))
+          .join(gOld.select(col("src").as("mid"), col("dst")), Seq("mid"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          // each candidate is scored exactly once — the cost number is
+          // distance evaluations, not join rows
+          .join(scored.select(col("src"), col("dst")),
+            Seq("src", "dst"), "left_anti")
+        val ns = knnScorePairs(n, raw).persist(lvl)
+        persisted += ns
+        total += ns.count()
+        scored = scored.unionByName(ns)
+        frontier = knnTopKOf(spark, beam, ns).select(col("src"), col("dst"))
+      }
+      val out = Materialize.cutFinal(
+        knnTopKOf(spark, k, scored)
+          .select(col("src").as("qid"), col("rank"), col("dst").as("cid"),
+            col("cos_sim")))
+      (out, total)
+    } finally {
+      persisted.foreach(_.unpersist(blocking = false))
+      n.unpersist(blocking = false)
+    }
   }
 
   /** Query-time graph-ANN SEARCH (SURVEY.md §2 B120) — the serving half

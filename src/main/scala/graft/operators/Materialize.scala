@@ -67,15 +67,27 @@ object Materialize {
   private def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
 
+  /** Per-context memo of the last [[DirKey]] value this helper applied —
+    * setCheckpointDir mkdirs a fresh random UUID subdir per call, so
+    * calling it every cut would scatter a multi-round training across
+    * directories and repeatedly mutate process-global state (r16
+    * advice). One job = one setCheckpointDir per configured root; a
+    * CHANGED conf value still takes effect (a plain has-a-dir guard
+    * would silently ignore the session's configured dir whenever some
+    * earlier code had set any checkpoint dir on the shared context). */
+  private val appliedDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def checkpointed(df: DataFrame): DataFrame =
     if (reliable(df)) {
       val sc = df.sparkSession.sparkContext
-      // set the dir only when the context has none: setCheckpointDir
-      // mkdirs a fresh random UUID subdir per call, so calling it every
-      // cut scatters a multi-round training across directories and
-      // repeatedly mutates process-global state (r16 advice)
-      if (sc.getCheckpointDir.isEmpty)
-        df.sparkSession.conf.getOption(DirKey).foreach(sc.setCheckpointDir)
+      df.sparkSession.conf.getOption(DirKey).foreach { d =>
+        if (sc.getCheckpointDir.isEmpty ||
+            appliedDir.get(sc.applicationId) != d) {
+          sc.setCheckpointDir(d)
+          appliedDir.put(sc.applicationId, d)
+        }
+      }
       require(sc.getCheckpointDir.isDefined,
         s"$ReliableKey=true needs a checkpoint dir: set $DirKey to a " +
           "distributed-fs path or call sc.setCheckpointDir first")
