@@ -156,9 +156,20 @@ object StreamCdc {
         .collect().map(_.getInt(0)).toSeq.sorted // bounded by numBuckets
       // strictly-below read: a retried batch merges against the same
       // predecessor its first attempt saw, never its own partial output
+      val committed = versions(ss, rootPath)
       val prevMan: Map[Int, Long] =
-        versions(ss, rootPath).filter(_._1 < batchId).lastOption match {
-          case None => Map.empty
+        committed.filter(_._1 < batchId).lastOption match {
+          case None =>
+            // an empty predecessor is only legal when this really is the
+            // initial fold: if NEWER committed versions exist, the ids
+            // below batchId were vacuumed/rebased away and folding against
+            // empty state would silently resurrect-as-initial (data loss)
+            require(!committed.exists(_._1 > batchId),
+              s"applyBatch($batchId) at $root: committed versions newer " +
+                s"than $batchId exist but none below it — the batch replays " +
+                "below a vacuum/rebase horizon and must not fold against " +
+                "empty state")
+            Map.empty
           case Some((_, pdir)) =>
             val (nb, m) = readManifest(ss, pdir)
             require(nb == numBuckets,
@@ -231,6 +242,54 @@ object StreamCdc {
     val vs = versions(ss, new Path(root))
     require(vs.nonEmpty, s"no committed CDC snapshot versions under $root")
     readVersion(ss, root, vs.last._1)
+  }
+
+  /** REBASE — fold the whole live snapshot into ONE self-contained version
+    * (the Delta checkpoint / Iceberg rewrite-manifests move). Bucket
+    * pruning keeps per-batch cost ∝ touched buckets, but it also keeps
+    * OLD versions alive: a bucket untouched since v0 pins v0's dir
+    * forever, so [[vacuum]] can never reclaim a long history below the
+    * newest version. `rebase` writes version `newId` holding EVERY live
+    * bucket (tombstones included — rebase must not change CDC ordering
+    * semantics) with a manifest that references only itself; a subsequent
+    * `vacuum(newId)` then reclaims the entire older chain.
+    *
+    * Commit protocol is [[applyBatch]]'s: leftover `v<newId>` deleted
+    * first, data written bucket-clustered, manifest LAST — a crash
+    * mid-rebase leaves the old chain fully intact and readable.
+    * Deterministic (a re-run rewrites byte-identical state) and loud:
+    * `newId` must exceed every committed version (CDC batch ids are
+    * monotone; rebasing BELOW the head would shadow newer changes), and
+    * run it out-of-band — while the stream is down, like any table
+    * maintenance — with the stream's next batchId above `newId` (the
+    * applyBatch horizon guard turns a violation into an error, never
+    * silent data loss).
+    *
+    * Scale: ONE full-state read + write — the same O(keys) a table
+    * format's checkpoint pays, amortized over the many O(touched)
+    * incremental versions between rebases. */
+  def rebase(ss: SparkSession, root: String, newId: Long): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsOf(ss, rootPath)
+    val committed = versions(ss, rootPath)
+    require(committed.nonEmpty, s"no committed CDC snapshot versions under $root")
+    require(committed.last._1 < newId,
+      s"rebase id $newId must exceed the newest committed version " +
+        s"${committed.last._1} under $root")
+    val (numBuckets, _) = readManifest(ss, committed.last._2)
+    val full = readVersionFull(ss, root, committed.last._1)
+      .withColumn("bucket", bucketOf(col("k"), numBuckets))
+    val vdir = new Path(rootPath, s"v$newId")
+    if (fs.exists(vdir)) fs.delete(vdir, true)
+    full.repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new Path(vdir, "data").toString)
+    // every live bucket now lives here; buckets with no rows ever written
+    // simply have no dir and no manifest entry, same as the initial fold
+    val liveBuckets = fs.listStatus(new Path(vdir, "data"))
+      .filter(_.isDirectory).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("bucket=").toIntOption)
+    writeManifest(ss, vdir, numBuckets, liveBuckets.map(_ -> newId).toMap)
   }
 
   /** What [[vacuum]] did: every path it deleted, every below-horizon

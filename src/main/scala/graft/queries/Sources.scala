@@ -472,6 +472,81 @@ object Sources {
         .orderBy(col("doc_id"))
     },
 
+    // B136 FILE-LEVEL zone-map skipping — [[graft.operators.ZoneMap]]
+    // (O(files) stats table, loud staleness, residual filter; full posture
+    // on the operator): lineitem is written range-clustered on l_orderkey
+    // (16 repartitionByRange files — the layout a maintenance pass
+    // produces), a zone map is built in one pass, and a narrow range scan
+    // is answered through it. The entry returns the scan's AGGREGATED
+    // CONTENT — the oracle is the plain filtered table, so pruning that
+    // drops or double-counts one file breaks the hash; the
+    // files-opened < files-total claim is ZoneMapSpec's (layout is
+    // invisible to SQL by design, the Compact convention).
+    "q_maint_zonemap" -> { (s, d) =>
+      val dir = scratch(d, "zonemap")
+      Tables.lineitem(s, d)
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.ZoneMap.build(s, dir, "l_orderkey")
+      val (df, _) = graft.operators.ZoneMap.read(s, dir, "l_orderkey",
+        lo = 1000L, hi = 2999L)
+      df.groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("flag"))
+    },
+
+    // B136 × B58 — zone map over a Z-ORDERED layout: multi-key stats prune
+    // on the CONJUNCTION of two ranges, which is the reason Z-order exists
+    // (a single sort key clusters one dimension; the z-interleave keeps
+    // every file tight in both, so the two-range predicate skips at file
+    // level from the O(files) stats table alone — the metadata layer above
+    // q_zorder_prune's parquet row-group pruning). Same transparency
+    // contract: the oracle is the plain two-predicate table; pruning
+    // sharpness is ZoneMapSpec's measured claim.
+    "q_maint_zonemap_zorder" -> { (s, d) =>
+      val dir = scratch(d, "zonemapz")
+      ZOrder.cluster(Tables.lineitem(s, d),
+          col("l_partkey"), col("l_suppkey"), numFiles = 16)
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.ZoneMap.build(s, dir, Seq("l_partkey", "l_suppkey"))
+      val (df, _) = graft.operators.ZoneMap.read(s, dir,
+        Seq(("l_partkey", 100L, 299L), ("l_suppkey", 10L, 29L)))
+      df.groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("flag"))
+    },
+
+    // B137 DELETION VECTORS — [[graft.operators.DeleteVectors]]
+    // (merge-on-read row deletes + deferred materialize; full posture on
+    // the operator): documents fragmented to 16 files, doc_id % 7 = 3
+    // marked deleted (data files untouched — a metadata-only write), then
+    // BOTH read paths are returned under one hash: stage 1 = the
+    // merge-on-read scan through the DV, stage 2 = the same table after
+    // materialize (touched files rewritten, rest byte-copied, DV gone).
+    // The oracle states the semantics both stages must share — the plain
+    // anti-filtered table, twice. File-level claims (byte-identical data
+    // files after mark, rewrite ∝ touched files) are DeleteVectorsSpec's.
+    "q_maint_delete_vectors" -> { (s, d) =>
+      val dir = scratch(d, "dvsrc")
+      val mat = scratch(d, "dvmat")
+      Tables.documents(s, d).repartition(16)
+        .write.mode("overwrite").parquet(dir)
+      val keys = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+      graft.operators.DeleteVectors.mark(s, dir, keys, "doc_id")
+      val onRead = graft.operators.DeleteVectors.read(s, dir, "doc_id")
+        .select(lit(1).as("stage"), col("doc_id"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      graft.operators.DeleteVectors.materialize(s, dir, mat, "doc_id")
+      val matRead = s.read.parquet(mat)
+        .select(lit(2).as("stage"), col("doc_id"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+      onRead.unionByName(matRead).orderBy(col("stage"), col("doc_id"))
+    },
+
     // B38 xxhash64 + monotonically_increasing_id + input_file_name, shaped
     // so the OUTPUT is deterministic: hashes/ids are compared by cardinality
     // (injective on this data), the file name by its table token.
@@ -505,6 +580,34 @@ object Sources {
     "q_maint_compact_part" ->
       """SELECT doc_id, source, n_chars, md5(text) AS text_md5
         |FROM documents WHERE source > 'src1' ORDER BY doc_id""".stripMargin,
+
+    // zone-map pruning is an optimization, never semantics: the pruned
+    // range scan must equal the plain filtered table
+    "q_maint_zonemap" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+    // two-dimensional zone-map pruning is still never semantics: the
+    // conjunctive range scan must equal the plain two-predicate table
+    "q_maint_zonemap_zorder" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 29
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+    // both delete paths — merge-on-read through the DV and the
+    // materialized rewrite — must read as the same anti-filtered table
+    "q_maint_delete_vectors" ->
+      """SELECT CAST(1 AS INT) AS stage, doc_id, source, n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT CAST(2 AS INT), doc_id, source, n_chars, md5(text)
+        |FROM documents WHERE doc_id % 7 <> 3
+        |ORDER BY stage, doc_id""".stripMargin,
 
     "q_schema_merge" ->
       s"""SELECT CAST(1 AS INT) AS b, 'pre_schema' AS status, count(*) AS n,

@@ -588,6 +588,50 @@ object Sql {
       |      > 11 * (SELECT sum(sum_cents) FROM agg b WHERE b.channel = a.channel)
       |ORDER BY channel, k""".stripMargin
 
+  /** TPC-DS Q51 shape (the 4th DS-composition entry): two independently
+    * windowed cumulative series FULL OUTER JOINed on (key, month), then a
+    * SECOND window layer (max-so-far) over the join's nullable columns —
+    * the window-over-outer-join composition none of the other DS shapes
+    * reach. Per-month pre-aggregation makes the running sum's frame
+    * deterministic (no within-month tie order); window sums are CAST
+    * (DuckDB HUGEINT rule); the NULL-comparison filter (`ret_best >
+    * acc_best` drops rows where either series hasn't started) is identical
+    * three-valued logic in both engines, and surviving per-month gaps are
+    * coalesced to -1 so every output column is non-null BIGINT
+    * (4169 / 39543 rows at sf0.01 / sf0.1, probed in DuckDB first). */
+  private val ds51 =
+    """WITH acc AS (
+      |  SELECT l_suppkey AS k,
+      |    year(CAST(l_shipdate AS TIMESTAMP))*100 + month(CAST(l_shipdate AS TIMESTAMP)) AS ym,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY k, ym),
+      |ret AS (
+      |  SELECT l_suppkey AS k,
+      |    year(CAST(l_shipdate AS TIMESTAMP))*100 + month(CAST(l_shipdate AS TIMESTAMP)) AS ym,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY k, ym),
+      |acc_c AS (
+      |  SELECT k, ym, CAST(sum(cents) OVER (PARTITION BY k ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM acc),
+      |ret_c AS (
+      |  SELECT k, ym, CAST(sum(cents) OVER (PARTITION BY k ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM ret),
+      |j AS (
+      |  SELECT coalesce(a.k, r.k) AS k, coalesce(a.ym, r.ym) AS ym,
+      |    a.cum AS acc_cum, r.cum AS ret_cum
+      |  FROM acc_c a FULL OUTER JOIN ret_c r ON a.k = r.k AND a.ym = r.ym),
+      |x AS (
+      |  SELECT k, ym, acc_cum, ret_cum,
+      |    max(acc_cum) OVER (PARTITION BY k ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc_best,
+      |    max(ret_cum) OVER (PARTITION BY k ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ret_best
+      |  FROM j)
+      |SELECT k, ym,
+      |  coalesce(acc_cum, CAST(-1 AS BIGINT)) AS acc_cents,
+      |  coalesce(ret_cum, CAST(-1 AS BIGINT)) AS ret_cents,
+      |  acc_best, ret_best
+      |FROM x WHERE ret_best > acc_best
+      |ORDER BY k, ym""".stripMargin
+
   private def run(sql: String): Q = { (s, d) =>
     Tables.registerAll(s, d)
     graft.functions.udfs.registerAll(s)
@@ -620,6 +664,7 @@ object Sql {
     "q_sql_ds36" -> run(ds36),
     "q_sql_ds67" -> run(ds67),
     "q_sql_ds49" -> run(ds49),
+    "q_sql_ds51" -> run(ds51),
     "q_sql_subquery" -> run(subq),
     "q_grouping_sets" -> run(groupingSets),
     "q_sql_recursive" -> run(recursive),
@@ -653,6 +698,7 @@ object Sql {
     "q_sql_ds36" -> ds36,
     "q_sql_ds67" -> ds67,
     "q_sql_ds49" -> ds49,
+    "q_sql_ds51" -> ds51,
     "q_sql_subquery" -> subq,
     "q_grouping_sets" -> groupingSets,
     "q_sql_recursive" -> recursive,

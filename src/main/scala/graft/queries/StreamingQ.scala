@@ -1066,6 +1066,42 @@ object StreamingQ {
       graft.operators.StreamCdc.readLatest(s, snapRoot).orderBy(col("k"))
     },
 
+    // B134 REBASE over the CDC sink ([[graft.operators.StreamCdc.rebase]]
+    // — the Delta-checkpoint move; full posture on the operator): run the
+    // same 3-batch CDC stream, fold the whole live snapshot into one
+    // self-contained version v10, then vacuum AT v10 — which can now
+    // reclaim the ENTIRE older chain (incremental manifests pin every
+    // bucket's oldest dir forever; the rebase is what makes a deep vacuum
+    // possible). The live read through the rebased, fully-vacuumed layout
+    // must still equal the full-feed latest-wins replay verbatim — rebase
+    // + vacuum are storage moves, never semantics. StreamCdcSpec pins the
+    // sharp halves (old chain FULLY deleted, byte-identical reads,
+    // determinism, the below-horizon applyBatch guard).
+    "q_stream_cdc_rebase" -> { (s0, d) =>
+      val s = mbSession(s0)
+      val root = new File("target/qscratch/stream_cdc_reb_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+      if (root.exists()) graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val snapRoot = new File(root, "snap").getPath
+      val q = cdcStream(s, d).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", new File(root, "_ckpt").getPath)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.StreamCdc.applyBatch(batch, bid, snapRoot)
+        }
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_cdc_rebase still running after 180 s — refusing to read a partial snapshot")
+      }
+      graft.operators.StreamCdc.rebase(s, snapRoot, newId = 10L)
+      graft.operators.StreamCdc.vacuum(s, snapRoot, horizon = 10L)
+      graft.operators.StreamCdc.readLatest(s, snapRoot).orderBy(col("k"))
+    },
+
     // B80 STREAMING CURATION (r10 verdict #4) — the production ingest shape
     // the batch dedup pieces prove separately, composed per micro-batch
     // over the 3-batch document feed: (1) within-batch exact dedup (first
@@ -1829,6 +1865,23 @@ object StreamingQ {
     // vacuum is retention, not semantics: the post-purge live read must
     // equal q_stream_cdc's full-feed latest-wins replay verbatim
     "q_stream_cdc_vacuum" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(round(o_totalprice * 110) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+        |r AS (SELECT k, op, price_cents,
+        |        row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT k, op, price_cents FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+
+    // rebase + deep vacuum are storage moves, not semantics: the live read
+    // through the one-version layout must equal the full-feed replay
+    "q_stream_cdc_rebase" ->
       """WITH log AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders

@@ -176,6 +176,63 @@ class StreamCdcSpec extends SparkSpecBase {
     assert(again.deleted.isEmpty, s"vacuum re-run deleted: ${again.deleted}")
   }
 
+  test("rebase: one self-contained version, deep vacuum reclaims the whole chain, reads byte-identical") {
+    val nb = 4
+    val root = scratch("stream_cdc_rebase")
+    StreamCdc.applyBatch(
+      log((0L until 64L).map(k => (k, 1L, "I", Some(k * 10)))), 0L, root, nb)
+    StreamCdc.applyBatch(
+      log(Seq((1L, 2L, "D", None), (2L, 2L, "U", Some(42L)))), 1L, root, nb)
+    StreamCdc.applyBatch(
+      log(Seq((5L, 3L, "U", Some(55L)))), 2L, root, nb)
+    val beforeFull = snap(root, 2L)
+    val beforeLive = liveRows(root)
+    // rebasing below the committed head is refused — it would shadow newer state
+    intercept[IllegalArgumentException] { StreamCdc.rebase(spark, root, 2L) }
+    StreamCdc.rebase(spark, root, 10L)
+    // the rebased version holds every live bucket locally, state unchanged
+    assert(snap(root, 10L) === beforeFull, "rebase changed full state")
+    assert(liveRows(root) === beforeLive, "rebase changed the live read")
+    assert(bucketDirs(root, 10L).nonEmpty)
+    // deep vacuum: with a self-contained head, the ENTIRE old chain goes —
+    // nothing below the horizon is referenced anymore
+    val report = StreamCdc.vacuum(spark, root, horizon = 10L)
+    assert(report.keptReferenced.isEmpty,
+      s"rebase should unpin every old dir, kept: ${report.keptReferenced}")
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(!new java.io.File(s"$root/v$v").exists(),
+        s"v$v survived a post-rebase deep vacuum")
+      intercept[IllegalArgumentException] { StreamCdc.readVersion(spark, root, v) }
+    }
+    assert(snap(root, 10L) === beforeFull, "deep vacuum changed the rebased state")
+    assert(liveRows(root) === beforeLive)
+    // a later rebase on top is deterministic: same state again
+    StreamCdc.rebase(spark, root, 20L)
+    assert(snap(root, 20L) === beforeFull)
+  }
+
+  test("applyBatch below a rebase/vacuum horizon fails loudly instead of folding against empty state") {
+    val nb = 4
+    val root = scratch("stream_cdc_rebase_guard")
+    StreamCdc.applyBatch(
+      log((0L until 32L).map(k => (k, 1L, "I", Some(k * 10)))), 0L, root, nb)
+    StreamCdc.applyBatch(
+      log(Seq((3L, 2L, "U", Some(33L)))), 1L, root, nb)
+    StreamCdc.rebase(spark, root, 10L)
+    StreamCdc.vacuum(spark, root, horizon = 10L)
+    // a replay of batch 3 would find no version below it — the guard turns
+    // silent fold-against-empty (data loss) into an error
+    intercept[IllegalArgumentException] {
+      StreamCdc.applyBatch(log(Seq((4L, 3L, "U", Some(44L)))), 3L, root, nb)
+    }
+    // the stream continuing ABOVE the rebase id folds correctly
+    StreamCdc.applyBatch(log(Seq((4L, 3L, "U", Some(44L)))), 11L, root, nb)
+    val live = liveRows(root)
+    assert(live.collectFirst { case (4L, _, p) => p }.flatten === Some(44L))
+    assert(live.collectFirst { case (3L, _, p) => p }.flatten === Some(33L))
+    assert(live.size === 32)
+  }
+
   test("real stream entry equals the manual staged replay and the one-pass batch fold") {
     val got = graft.SparkEntry.queries("q_stream_cdc")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1),
