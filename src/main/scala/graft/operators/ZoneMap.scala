@@ -79,6 +79,65 @@ object ZoneMap {
   def build(spark: SparkSession, dir: String, keyCol: String): Unit =
     build(spark, dir, Seq(keyCol))
 
+  /** What [[update]] did: files newly scanned, stats rows dropped for
+    * vanished files, rows carried over verbatim. */
+  final case class UpdateStats(filesScanned: Int, filesDropped: Int,
+                               filesKept: Int)
+
+  /** INCREMENTAL stats maintenance — the append-heavy production path: a
+    * daily-ingest table gains a handful of files per commit, and
+    * rebuilding the index with a full table rescan per commit is O(table)
+    * work for O(delta) change. `update` scans ONLY files absent from the
+    * stats table, drops rows for files that vanished (compaction,
+    * vacuum), and carries every other row over verbatim — O(changed
+    * files) I/O, and the result is exactly what [[build]] would produce
+    * on the current layout (ZoneMapSpec pins the equivalence). This is
+    * the discipline a table format gets transactionally (per-commit stats
+    * in the manifest); here the single-writer maintenance placement rule
+    * applies, like [[DeleteVectors.mark]]. */
+  def update(spark: SparkSession, dir: String,
+             keyCols: Seq[String]): UpdateStats = {
+    val sp = statsPath(dir)
+    val fs = new Path(sp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(sp)),
+      s"no zone map under $dir — run ZoneMap.build first")
+    val old = spark.read.parquet(sp)
+    val expectCols = keyCols.flatMap(k => Seq(s"min_$k", s"max_$k"))
+    require(expectCols.forall(old.columns.contains),
+      s"existing zone map covers ${old.columns.mkString(",")} — " +
+        s"update asked for keys $keyCols; rebuild to change the key set")
+    val live = dataFiles(spark, dir)
+    val oldPaths = old.select(col("file_path")).collect()
+      .map(_.getString(0)).toSet
+    val newPaths = (live -- oldPaths).toSeq.sorted
+    // semi-join, not a giant isin literal list — the live set is O(files)
+    // rows and at production file counts an expression with 400k string
+    // literals is itself the bottleneck
+    import spark.implicits._
+    val liveDf = live.toSeq.toDF("file_path")
+    val kept = old.join(broadcast(liveDf), Seq("file_path"), "left_semi")
+    val aggs = keyCols.flatMap(k => Seq(
+      min(col(k)).cast("long").as(s"min_$k"),
+      max(col(k)).cast("long").as(s"max_$k"))) :+
+      count(lit(1)).as("n_rows")
+    val merged =
+      if (newPaths.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(newPaths: _*)
+          .groupBy(col("_metadata.file_path").as("file_path"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(old.columns.map(col).toSeq: _*))
+    // stage-then-swap: the old stats stay readable until the new set is
+    // fully written (the DeleteVectors.mark commit shape)
+    val tmp = sp + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(sp), true)
+    require(fs.rename(new Path(tmp), new Path(sp)),
+      s"could not commit updated zone map under $dir")
+    UpdateStats(newPaths.size, (oldPaths -- live).size,
+      (oldPaths intersect live).size)
+  }
+
   /** The current data files of `dir` (recursive, hidden pruned) as the
     * same fully-qualified URIs `_metadata.file_path` reports. */
   private def dataFiles(spark: SparkSession, dir: String): Set[String] = {

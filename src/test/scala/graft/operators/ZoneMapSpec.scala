@@ -123,6 +123,47 @@ class ZoneMapSpec extends SparkSpecBase {
       s"b-only range: z-order ${zbSt.filesRead}/16, a-sorted ${sbSt.filesRead}/16")
   }
 
+  test("incremental update ≡ full rebuild: new files scanned, vanished rows dropped, rest verbatim") {
+    val dir = scratch("zonemap_update")
+    clustered(dir, 4000L, files = 4)
+    ZoneMap.build(spark, dir, "k")
+    def statsSet() = spark.read.parquet(s"$dir/${ZoneMap.StatsDir}").collect()
+      .map(r => (r.getAs[String]("file_path"), r.getAs[Long]("min_k"),
+        r.getAs[Long]("max_k"), r.getAs[Long]("n_rows"))).toSet
+    val before = statsSet()
+    // append two new files (the daily-ingest commit)
+    spark.range(4000L, 6000L)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("append").parquet(dir)
+    // the stale guard fires until maintenance runs
+    intercept[IllegalArgumentException] {
+      ZoneMap.read(spark, dir, "k", 0L, 10L)
+    }
+    val st = ZoneMap.update(spark, dir, Seq("k"))
+    assert(st.filesScanned === 2 && st.filesDropped === 0 && st.filesKept === 4)
+    val incremental = statsSet()
+    assert(before.subsetOf(incremental), "update rewrote a carried-over row")
+    // equivalence: exactly what a full rebuild would produce
+    ZoneMap.build(spark, dir, "k")
+    assert(incremental === statsSet(), "incremental stats diverge from a rebuild")
+    // reads heal and cover the appended range
+    val (df, pr) = ZoneMap.read(spark, dir, "k", 4500L, 4599L)
+    assert(df.count() === 100L && pr.filesTotal === 6 && pr.filesRead <= 2)
+    // a vanished file (compaction/vacuum) is dropped by the next update
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val st2 = ZoneMap.update(spark, dir, Seq("k"))
+    assert(st2.filesDropped === 1 && st2.filesScanned === 0 && st2.filesKept === 5)
+    assert(statsSet().size === 5)
+    // key-set mismatch is refused, never silently narrowed
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.update(spark, dir, Seq("k", "s"))
+    }
+    assert(e.getMessage.contains("rebuild to change the key set"), e.getMessage)
+  }
+
   test("non-integral keys are refused") {
     val dir = scratch("zonemap_badkey")
     spark.range(10L).select(col("id").cast("double").as("k"))
