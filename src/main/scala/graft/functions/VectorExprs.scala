@@ -65,6 +65,169 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Native exact squared-L2 distance Σ(a_i − b_i)² (SURVEY.md B79's re-rank
+  * stage): the kernel form of the explode + join + `sum((a−b)*(a−b))`
+  * re-aggregation [[graft.operators.Pq]] used relationally — identical
+  * left-to-right summation order over ascending coordinates (the exploded
+  * rows of one vector arrive gi-ascending inside a partition, so the hash
+  * aggregate accumulated in exactly this order), hence bit-identical
+  * doubles, with the whole corpus-side explode ⋈ shortlist ⋈ query-coord
+  * join pipeline collapsed to one projection. Same min-length convention as
+  * [[VecDot]]. */
+case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("vecL2N")
+    val s = ctx.freshName("vecL2S")
+    val d = ctx.freshName("vecL2D")
+    val i = ctx.freshName("vecL2I")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization code assignment in ONE codegen'd pass (SURVEY.md
+  * B79): against a FOLDABLE `[m][cent][si]` codebook matrix, returns an
+  * `array<long>` of length `m` where `codes[s] = argmin_c round6(Σ_si
+  * (x[s·subDim+si] − cb[s][c][si])²)`, smallest centroid id winning ties
+  * (strict `<` scanning c ascending).
+  *
+  * This is the kernel form of [[graft.operators.Pq.assign]]'s
+  * explode ⋈ broadcast-codebook → two shuffled aggregations pipeline: the
+  * relational form shuffles n·m rows per pass (and at local scale pays ~6
+  * sequential stages per encode); this expression is a zero-shuffle
+  * projection. Bit-compatibility with the relational form, term by term:
+  * the per-(vec, m, cent) distance partial sums arrived si-ascending in the
+  * hash aggregate (exploded rows of one vector are partition-adjacent and
+  * gi-ascending), which is exactly this kernel's inner loop order; the
+  * rounding is Pq.round6's `floor(d·1e6 + 0.5)/1e6` verbatim; and
+  * `min(struct(d, cent_id))` = smallest d then smallest id = first-wins
+  * strict `<` ascending. PqSpec pins kernel codes ≡ the relational
+  * [[graft.operators.Pq.assign]] on the fixture corpus.
+  *
+  * Coordinates past the vector's length contribute no term (the relational
+  * inner join simply had no row there); element type is nullable to match
+  * the old `transform(array_sort(collect_list(...)))` pivot's schema. */
+case class VecPqCodes(vec: Expression, codebook: Expression)
+    extends BinaryExpression {
+  require(codebook.foldable, "vec_pq_codes: codebook matrix must be foldable")
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "vec_pq_codes"
+
+  /** [m][cent][si], extracted once at plan time from the foldable child. */
+  @transient lazy val cb: Array[Array[Array[Double]]] = {
+    val arr = codebook.eval(null).asInstanceOf[ArrayData]
+    require(arr != null && arr.numElements() > 0,
+      "vec_pq_codes: codebook matrix must be non-empty")
+    Array.tabulate(arr.numElements()) { m =>
+      val sub = arr.getArray(m)
+      Array.tabulate(sub.numElements())(c => sub.getArray(c).toDoubleArray())
+    }
+  }
+
+  override protected def nullSafeEval(v: Any, unused: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val len = e.numElements()
+    val out = new Array[Long](cb.length)
+    var m = 0
+    while (m < cb.length) {
+      val subDim = if (cb(m).length > 0) cb(m)(0).length else 0
+      val base = m * subDim
+      var best = Double.PositiveInfinity
+      var bestC = 0L
+      var c = 0
+      while (c < cb(m).length) {
+        val p = cb(m)(c)
+        var s = 0.0
+        var si = 0
+        while (si < p.length && base + si < len) {
+          val d = e.getDouble(base + si) - p(si); s += d * d; si += 1
+        }
+        val dr = math.floor(s * 1e6 + 0.5) / 1e6
+        if (dr < best) { best = dr; bestC = c.toLong }
+        c += 1
+      }
+      out(m) = bestC
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("pqCodebook", cb, "double[][][]")
+    val out = ctx.freshName("pqOut")
+    val len = ctx.freshName("pqLen")
+    val m = ctx.freshName("pqM")
+    val subDim = ctx.freshName("pqSubDim")
+    val base = ctx.freshName("pqBase")
+    val best = ctx.freshName("pqBest")
+    val bestC = ctx.freshName("pqBestC")
+    val c = ctx.freshName("pqC")
+    val p = ctx.freshName("pqP")
+    val s = ctx.freshName("pqS")
+    val si = ctx.freshName("pqSi")
+    val d = ctx.freshName("pqD")
+    val dr = ctx.freshName("pqDr")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"""
+         |int $len = $v.numElements();
+         |long[] $out = new long[$mat.length];
+         |for (int $m = 0; $m < $mat.length; $m++) {
+         |  int $subDim = $mat[$m].length > 0 ? $mat[$m][0].length : 0;
+         |  int $base = $m * $subDim;
+         |  double $best = java.lang.Double.POSITIVE_INFINITY;
+         |  long $bestC = 0L;
+         |  for (int $c = 0; $c < $mat[$m].length; $c++) {
+         |    double[] $p = $mat[$m][$c];
+         |    double $s = 0.0;
+         |    for (int $si = 0; $si < $p.length && $base + $si < $len; $si++) {
+         |      double $d = $v.getDouble($base + $si) - $p[$si];
+         |      $s += $d * $d;
+         |    }
+         |    double $dr = java.lang.Math.floor($s * 1e6 + 0.5) / 1e6;
+         |    if ($dr < $best) { $best = $dr; $bestC = (long) $c; }
+         |  }
+         |  $out[$m] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecPqCodes =
+    copy(vec = newLeft, codebook = newRight)
+}
+
 /** All-bands hyperplane-LSH bucket computation in ONE codegen'd pass
   * (SURVEY.md B50/B51): for a `bands × bits` family of deterministic integer
   * hyperplanes, returns an `array<long>` of length `bands` where
@@ -188,9 +351,10 @@ object VecLshBuckets {
   * Rounding uses BigDecimal HALF_UP — bit-compatible with Spark's
   * `round(col, 6)` (RoundBase) and therefore with the DuckDB oracle that
   * already hash-matches it. */
-case class VecBestCell(vec: Expression, cents: Expression)
+case class VecBestCell(vec: Expression, cents: Expression, scale: Int = 6)
     extends BinaryExpression {
   require(cents.foldable, "vec_best_cell: centroid matrix must be foldable")
+  require(scale >= 0, s"vec_best_cell: bad rounding scale $scale")
 
   override def left: Expression = vec
   override def right: Expression = cents
@@ -207,14 +371,16 @@ case class VecBestCell(vec: Expression, cents: Expression)
     (m, m.map(p => math.sqrt(p.map(x => x * x).sum)))
   }
 
-  /** Spark `round(x, 6)` semantics (RoundBase: BigDecimal HALF_UP, with
+  /** Spark `round(x, scale)` semantics (RoundBase: BigDecimal HALF_UP, with
     * the same NaN/Infinity passthrough — BigDecimal.valueOf would THROW on
     * a zero-norm vector's NaN cosine; a NaN compares false against `best`,
-    * so such rows keep cell 0, exactly like the pre-kernel round() path). */
+    * so such rows keep cell 0, exactly like the pre-kernel round() path).
+    * `scale` defaults to 6 (the kmeans/IVF convention); the IVFADC coarse
+    * assignment passes 9 (the q_embed_ann_ivf_trained round-9 contract). */
   private def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   override protected def nullSafeEval(v: Any, unused: Any): Any = {
     val e = v.asInstanceOf[ArrayData]
@@ -274,7 +440,7 @@ case class VecBestCell(vec: Expression, cents: Expression)
          |  double $cos = $s / ($nrm * $nms[$c]);
          |  if (!java.lang.Double.isNaN($cos) && !java.lang.Double.isInfinite($cos)) {
          |    $cos = java.math.BigDecimal.valueOf($cos)
-         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      .setScale($scale, java.math.RoundingMode.HALF_UP).doubleValue();
          |  }
          |  if ($cos > $best) { $best = $cos; $bestIdx = (long) $c; }
          |}
@@ -370,7 +536,14 @@ object VectorExprs {
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
-      s"vec_lsh_buckets: $name must be an integer literal, got $other")
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** Coerce a 3-D codebook operand to array<array<array<double>>>. */
+  private val toMat3: Expression => Expression = {
+    case e if e.dataType ==
+      ArrayType(ArrayType(ArrayType(DoubleType, false), false), false) => e
+    case e => Cast(e, ArrayType(ArrayType(ArrayType(DoubleType))))
   }
 
   /** Inject the vector functions into a session being built. */
@@ -389,7 +562,18 @@ object VectorExprs {
       new FunctionIdentifier("vec_best_cell"),
       new ExpressionInfo(classOf[VecBestCell].getName, "vec_best_cell"),
       (children: Seq[Expression]) => VecBestCell(toVec(children.head),
-        toMat(children(1)))))
+        toMat(children(1)),
+        if (children.length > 2) intLit(children(2), "vec_best_cell: scale")
+        else 6)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2"),
+      new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
+      (children: Seq[Expression]) => VecL2(toVec(children.head), toVec(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_pq_codes"),
+      new ExpressionInfo(classOf[VecPqCodes].getName, "vec_pq_codes"),
+      (children: Seq[Expression]) => VecPqCodes(toVec(children.head),
+        toMat3(children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),

@@ -26,31 +26,59 @@ final case class PqConfig(m: Int = 16, k: Int = 16, dim: Int = 64, iters: Int = 
   * a query scans codes with per-subspace lookup tables instead of touching
   * any raw vector.
   *
-  * Engine shape (all relational, no driver loops over data):
-  *  - training = `iters` Lloyd rounds per subspace, ALL subspaces in one
-  *    DataFrame keyed by (m, cent_id); seeds = the first k vectors'
-  *    subvectors (deterministic, same rule as [[Ann.kmeansFit]]); the
-  *    trained codebook (m·k·subDim rows ≈ 1024 doubles) is collected to
-  *    the driver — the Ann-centroid O(model) collect — so downstream reuse
-  *    never re-runs training through Spark's lazy DAG;
-  *  - assignment = exploded coords ⋈ BROADCAST codebook → per-(vec, m,
-  *    cent) L2 partial+final aggregate → argmin via lexicographic
-  *    `min(struct(d, cent_id))` — a second partial+final aggregate, NO
-  *    window and NO sort anywhere in the hot path;
+  * Engine shape (r17 optimization — the relational explode ⋈ codebook
+  * pipelines were collapsed into codegen kernels; the pre-r17 forms are kept
+  * as [[exploded]]/[[assign]] for PqSpec's independent cross-check):
+  *  - training = `iters` Lloyd rounds, all subspaces at once: per round ONE
+  *    corpus projection through [[graft.functions.VecPqCodes]] (the codebook
+  *    rides along as a primitive `double[][][]` codegen reference object —
+  *    the [[graft.functions.VecBestCell]] mechanism) + one O(m·k·subDim)-
+  *    group aggregate; only the O(model) codebook is collected to the
+  *    driver between rounds (how every distributed k-means works). The
+  *    pre-r17 form paid two corpus-wide shuffles per assignment pass AND
+  *    re-executed round r's whole chain once per round-(r+1) reference
+  *    (lazy-DAG recompute) — measured 4 full assign passes per trained
+  *    query at sf0.1 where one suffices per round;
+  *  - assignment/encoding = the same kernel as a zero-shuffle projection —
+  *    codes come out pivoted (the 8-byte index row) with no groupBy;
   *  - ADC = the query's exact per-(subspace, centroid) distance table
-  *    (n_q·m·k rows, broadcast) joined onto the corpus CODES — the scan
-  *    touches 2-byte codes, never vectors, which is the whole point.
+  *    (n_q·m·k entries, computed on the DRIVER from the collected queries +
+  *    codebook — both O(model) by contract) joined onto the corpus CODES —
+  *    the scan touches 8-byte codes, never vectors, which is the whole
+  *    point.
   *
   * Cross-engine float discipline (the q_embed_kmeans contract): distances
   * are rounded to 6 dp with the tie-safe floor(x·1e6+0.5)/1e6 before every
   * argmin (cent_id ascending breaks ties), and the trained codebook is
   * rounded to 6 dp before encoding/ADC, so the DuckDB oracle replays
-  * training + encoding + search bit-for-bit.
+  * training + encoding + search bit-for-bit. The kernels preserve the
+  * relational forms' summation ORDER term-for-term (si-ascending partial
+  * sums — see the VecPqCodes scaladoc), so the restructure is
+  * hash-invariant; the oracle re-verified every PQ entry at both SFs.
   */
 object Pq {
   private def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
-  /** (vec_id, e: array<double>) → exploded (vec_id, m, si, x). */
+  /** Driver mirror of [[round6]] — same floor form, bit for bit. */
+  private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Driver mirror of Spark `round(x, scale)` (RoundBase: BigDecimal
+    * HALF_UP, NaN/Infinity passthrough). */
+  private def roundNd(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (vec_id, e: array<double>) → exploded (vec_id, m, si, x). Kept as the
+    * relational reference form PqSpec cross-checks the kernels against. */
   private[operators] def exploded(vecs: DataFrame, cfg: PqConfig): DataFrame =
     vecs.select(col("vec_id"), posexplode(col("e")).as(Seq("gi", "x")))
       .select(col("vec_id"),
@@ -59,7 +87,9 @@ object Pq {
 
   /** argmin-L2 codes per (vector, subspace) against `cents(m, cent_id, si,
     * c)`. Deterministic: d is round-6 and the struct-min tie-breaks on
-    * cent_id ascending. */
+    * cent_id ascending. The RELATIONAL reference implementation — the
+    * production paths run [[graft.functions.VecPqCodes]], and PqSpec pins
+    * kernel ≡ this on the fixture corpus. */
   private[operators] def assign(ex: DataFrame, cents: DataFrame): DataFrame =
     ex.join(broadcast(cents), Seq("m", "si"))
       .groupBy(col("vec_id"), col("m"), col("cent_id"))
@@ -70,8 +100,39 @@ object Pq {
       .agg(min(col("dc")).as("best"))
       .select(col("vec_id"), col("m"), col("best.cid").as("code"))
 
+  /** Collect a codebook frame (m, cent_id, si, c) into the `[m][cent][si]`
+    * driver matrix the kernels bake in. Fail-loud on gaps: every
+    * production codebook is complete by construction (train/Frozen round
+    * trips), so a hole is a wiring bug, not data. */
+  private[operators] def cbMat(cents: DataFrame, cfg: PqConfig): Array[Array[Array[Double]]] = {
+    val t = Array.fill(cfg.m, cfg.k, cfg.subDim)(Double.NaN)
+    val rows = cents.select(col("m"), col("cent_id"), col("si"), col("c")).collect()
+    require(rows.length == cfg.m * cfg.k * cfg.subDim,
+      s"Pq codebook has ${rows.length} entries, want ${cfg.m * cfg.k * cfg.subDim}" +
+        s" (m=${cfg.m} k=${cfg.k} subDim=${cfg.subDim})")
+    rows.foreach { r =>
+      t(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt) = r.getDouble(3)
+    }
+    t
+  }
+
+  /** The code-assignment kernel as a column: array<long> of per-subspace
+    * argmin-L2 codes against the driver codebook matrix. */
+  private def pqCodesCol(e: Column, mat: Array[Array[Array[Double]]]): Column =
+    call_function("vec_pq_codes", e,
+      typedLit(mat.map(_.map(_.toSeq).toSeq).toSeq))
+
   /** Train the per-subspace codebooks; returns (m, cent_id, si, c) with c
     * rounded to 6 dp, materialized as driver model state.
+    *
+    * r17 shape: seeds are collected once (O(k·dim)), then each Lloyd round
+    * is ONE job — corpus projection through the codes kernel + posexplode +
+    * an O(m·k·subDim)-group avg — whose result merges into the driver-held
+    * codebook (empty cells keep their previous centroid, exactly the old
+    * coalesce-left-join). The pre-r17 relational loop built each round's
+    * codebook as a lazy plan over the previous round's, so round r's two
+    * downstream references re-executed its whole chain; the driver-held
+    * matrix makes every round execute exactly once.
     *
     * @param seedFrom seed the k codebook entries from vec_ids
     *   [seedFrom, seedFrom+k) instead of [0, k). The residual form NEEDS a
@@ -90,41 +151,59 @@ object Pq {
     val v = if (callerCached) vecs
       else vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val ex = exploded(v, cfg)
-      var cents: DataFrame = ex
-        .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + cfg.k)
-        .select(col("m"), (col("vec_id") - seedFrom).as("cent_id"), col("si"),
-          col("x").as("c"))
       // seed-contract check (r10 ADVICE): the deterministic seed rule takes
       // the k vectors with vec_id seedFrom..seedFrom+k−1 — on a corpus whose
       // ids are sparse or offset it would otherwise SILENTLY train fewer
       // than k centroids per subspace and codes would stop spanning [0, k).
-      // One cheap count on the cached input turns that into a loud error.
-      val seedRows = cents.count()
+      // One cheap collect of the O(k·dim) seed vectors turns that into a
+      // loud error (the pre-r17 form counted the same coords exploded).
+      val seeds = v
+        .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + cfg.k)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val seedRows = seeds.map(_._2.length.toLong).sum
       val wantRows = cfg.m.toLong * cfg.k * cfg.subDim
       require(seedRows == wantRows,
         s"Pq.train seeds codebooks from vec_id $seedFrom..${seedFrom + cfg.k - 1}: " +
           s"found $seedRows seed coord rows, need $wantRows — re-key the corpus " +
           "to dense 0-based vec_ids (or densify ids upstream) before training")
-      for (_ <- 1 to cfg.iters) {
-        val upd = assign(ex, cents)
-          .join(ex, Seq("vec_id", "m"))
-          .groupBy(col("m"), col("code").as("cent_id"), col("si"))
-          .agg(avg(col("x")).as("cnew"))
-        cents = cents.join(upd, Seq("m", "cent_id", "si"), "left")
-          .select(col("m"), col("cent_id"), col("si"),
-            coalesce(col("cnew"), col("c")).as("c"))
+      val byId = seeds.toMap
+      var mat = Array.tabulate(cfg.m, cfg.k, cfg.subDim) { (m, c, si) =>
+        byId(seedFrom + c)(m * cfg.subDim + si)
       }
-      cents.select(col("m"), col("cent_id"), col("si"), round6(col("c")).as("c"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-        .toSeq.toDF("m", "cent_id", "si", "c")
+      for (_ <- 1 to cfg.iters) {
+        val mCol = expr(s"gi div ${cfg.subDim}")
+        val upd = v
+          .select(pqCodesCol(col("e"), mat).as("codes"),
+            posexplode(col("e")).as(Seq("gi", "x")))
+          // guard vectors longer than dim: the old exploded ⋈ codebook form
+          // dropped their m ≥ cfg.m rows in the inner join
+          .filter(col("gi") < cfg.m * cfg.subDim)
+          .select(mCol.cast("int").as("m"),
+            expr(s"gi % ${cfg.subDim}").cast("int").as("si"),
+            element_at(col("codes"), (mCol + 1).cast("int")).cast("int").as("code"),
+            col("x"))
+          .groupBy(col("m"), col("code"), col("si"))
+          .agg(avg(col("x")).as("cnew"))
+          .collect()
+        val next = Array.tabulate(cfg.m, cfg.k, cfg.subDim)((m, c, si) => mat(m)(c)(si))
+        upd.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        mat = next
+      }
+      (for (m <- 0 until cfg.m; c <- 0 until cfg.k; si <- 0 until cfg.subDim)
+        yield (m.toLong, c.toLong, si.toLong, round6d(mat(m)(c)(si))))
+        .toDF("m", "cent_id", "si", "c")
     } finally if (!callerCached) v.unpersist(blocking = false)
   }
 
-  /** Encode the corpus: (vec_id, m, code). */
+  /** Encode the corpus: (vec_id, m, code) — a zero-shuffle projection
+    * through the codes kernel. */
   def encode(vecs: DataFrame, cfg: PqConfig, cents: DataFrame): DataFrame =
-    assign(exploded(vecs, cfg), cents)
+    codesWide(vecs, cfg, cents)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
 
   /** IVF-PQ top-k (the FAISS IVFADC composition): coarse IVF cells bound
     * WHICH codes a query scans (nprobe cells ≈ nprobe/numCentroids of the
@@ -132,14 +211,24 @@ object Pq {
     * no raw vector) — together the two independent levers that make
     * billion-vector search tractable. Cell assignment is the
     * q_embed_ann_ivf baseline (deterministic first-`numCentroids` init,
-    * cosine argmax via a map-side-combined max_by — ~n rows shuffled);
-    * candidates = codes in probed cells joined to the broadcast query
-    * distance tables. Returns (qid, rank, vec_id, adc). */
+    * round-9 cosine argmax — since r17 a zero-shuffle VecBestCell
+    * projection); candidates = codes in probed cells joined to the
+    * broadcast query distance tables. Returns (qid, rank, vec_id, adc). */
   def ivfAdcTopK(vecs: DataFrame, isQuery: Column, k: Int, nprobe: Int,
                  numCentroids: Int, cfg: PqConfig,
                  cents: DataFrame): DataFrame = {
-    val (_, assigned, probes) = ivfParts(vecs, isQuery, nprobe, numCentroids)
-    val codes = codesWide(vecs, cfg, cents).join(assigned, "vec_id")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cs = collectCents(vecs.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce")))
+    val mat = cbMat(cents, cfg)
+    // ONE corpus projection carries both the coarse cell and the PQ codes —
+    // the pre-r17 form reached the cell through a crossJoin + max_by
+    // shuffle and then JOINED it back onto the codes pivot
+    val codes = vecs.select(col("vec_id"), cellColOf(cs).as("cell"),
+      pqCodesCol(col("e"), mat).as("codes"))
+    val probes = probesOf(collectQueries(vecs, isQuery), cs, nprobe)
+      .toDF("qid", "qcell")
     val dt = dtState(vecs, isQuery, cfg, cents)
     val cand = codes
       .join(broadcast(probes),
@@ -150,8 +239,8 @@ object Pq {
 
   /** The shared IVF coarse-quantizer stage: deterministic first-
     * `numCentroids` centroids, cosine cell assignment for the whole corpus
-    * (map-side-combined max_by — ~n rows shuffled), and the per-query
-    * top-`nprobe` probe list (a window over ≤ numCentroids rows per query).
+    * (zero-shuffle kernel projection), and the per-query top-`nprobe` probe
+    * list (computed on the driver from the O(n_q·dim) collected queries).
     * Returns (ivfCents(cent_id, ce), assigned(vec_id, cell),
     * probes(qid, qcell)). */
   private[operators] def ivfParts(vecs: DataFrame, isQuery: Column, nprobe: Int,
@@ -162,31 +251,69 @@ object Pq {
     (ivfCents, assigned, probes)
   }
 
+  /** Collected (cent_id, ce) centroids, sorted by cent_id — the O(model)
+    * driver form [[assignProbes]] bakes into the assignment kernel. */
+  private def collectCents(cents: DataFrame): Array[(Long, Array[Double])] =
+    cents.select(col("cent_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Round-9 argmax-cosine cell assignment as a zero-shuffle column over
+    * collected centroids (the VecBestCell kernel at scale 9; index mapped
+    * back to cent_id when ids aren't dense 0-based). */
+  private def cellColOf(cs: Array[(Long, Array[Double])]): Column = {
+    require(cs.nonEmpty, "cell assignment: empty centroid set")
+    val ids = cs.map(_._1)
+    val idx = call_function("vec_best_cell", col("e"),
+      typedLit(cs.map(_._2.toSeq).toSeq), lit(9))
+    if (ids.zipWithIndex.forall { case (id, i) => id == i.toLong }) idx
+    else element_at(typedLit(ids.toSeq), (idx + 1).cast("int"))
+  }
+
+  /** Per-query top-`nprobe` probe list on the driver: round-9 HALF_UP
+    * cosine (ascending-order dot products — vdot's fold), (cos DESC,
+    * cent_id ASC) with NaN ranking first exactly like Spark's descending
+    * double order. */
+  private def probesOf(qs: Array[(Long, Array[Double])],
+                       cs: Array[(Long, Array[Double])],
+                       nprobe: Int): Seq[(Long, Long)] = {
+    val ids = cs.map(_._1)
+    val mat = cs.map(_._2)
+    val cnorms = mat.map(p => math.sqrt(p.map(x => x * x).sum))
+    qs.toSeq.flatMap { case (qid, e) =>
+      val nrm = math.sqrt(dotd(e, e))
+      val scored = ids.indices.map { c =>
+        (roundNd(dotd(e, mat(c)) / (nrm * cnorms(c)), 9), ids(c))
+      }
+      scored.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._1, a._1) // desc, NaN greatest
+        if (c != 0) c < 0 else a._2 < b._2
+      }.take(nprobe).map { case (_, cid) => (qid, cid) }
+    }
+  }
+
   /** Cosine cell assignment + per-query probe list against GIVEN coarse
     * centroids `cents(cent_id, ce)` — the piece [[ivfParts]] (deterministic
     * first-N centroids) and the trained-quantizer residual form share.
     * Round-9 cosine with cent_id-ascending tie-break, the
-    * q_embed_ann_ivf_trained assignment contract. */
+    * q_embed_ann_ivf_trained assignment contract.
+    *
+    * r17 shape: the corpus-side assignment is ONE projection through
+    * [[graft.functions.VecBestCell]] at scale 9 (the centroid matrix is
+    * O(model) driver state — it always was, the pre-r17 form just reached
+    * it through a crossJoin + max_by shuffle of the whole corpus); the
+    * probe list is computed on the driver from the collected query vectors
+    * (O(n_q·dim) — the dtState collect contract) with the same round-9
+    * HALF_UP cosine and (cos DESC, cent_id ASC) order, NaN ranking first
+    * exactly like Spark's descending double order. */
   private[operators] def assignProbes(vecs: DataFrame, isQuery: Column,
                                       nprobe: Int,
                                       cents: DataFrame): (DataFrame, DataFrame) = {
-    val n = vecs.select(col("vec_id"), col("e"),
-      sqrt(Ann.vdot(col("e"), col("e"))).as("nrm"))
-    val cn = cents.select(col("cent_id"), col("ce"),
-      sqrt(Ann.vdot(col("ce"), col("ce"))).as("cnrm"))
-    val scored = n.crossJoin(broadcast(cn))
-      .withColumn("cent_cos",
-        round(Ann.vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"),
-        struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("cell"))
-    val probeW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val probes = scored.filter(isQuery)
-      .withColumn("arn", row_number().over(probeW))
-      .filter(col("arn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("cent_id").as("qcell"))
-    (assigned, probes)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cs = collectCents(cents)
+    val assigned = vecs.select(col("vec_id"), cellColOf(cs).as("cell"))
+    val probeRows = probesOf(collectQueries(vecs, isQuery), cs, nprobe)
+    (assigned, probeRows.toDF("qid", "qcell"))
   }
 
   /** CANONICAL IVFADC — residual encoding over a TRAINED coarse quantizer
@@ -209,18 +336,21 @@ object Pq {
     *
     * The query side is where the cost moves: a query's distance table now
     * depends on the PROBED CELL (the query residual q − centroid(c) differs
-    * per cell), so the broadcast state is n_q·nprobe·m·k entries instead of
-    * n_q·m·k — still O(model), still collected once, and the corpus-side
-    * scan is unchanged: codes in probed cells, map-side table lookups,
-    * TopKAgg bounding the only shuffle to n_q·k rows. Training gains one
-    * broadcast join (residual = zip_with(e, ce)) over the cell assignment —
-    * everything downstream is the shared Lloyd/encode machinery on the
-    * residual vectors. Returns (qid, rank, vec_id, adc). */
+    * per cell), so the driver table state is n_q·nprobe·m·k entries instead
+    * of n_q·m·k — still O(model). Training gains one broadcast join
+    * (residual = zip_with(e, ce)) over the cell assignment — everything
+    * downstream is the shared Lloyd/encode machinery on the residual
+    * vectors. Returns (qid, rank, vec_id, adc). */
   def ivfAdcResidualTopK(vecs: DataFrame, isQuery: Column, k: Int,
                          nprobe: Int, coarseCents: DataFrame,
                          cfg: PqConfig, pqSeedFrom: Long): DataFrame = {
-    val (assigned, probes) = assignProbes(vecs, isQuery, nprobe, coarseCents)
-    val resid = vecs.join(assigned, "vec_id")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cs = collectCents(coarseCents)
+    // ONE corpus projection carries the cell (kernel) into the residual
+    // map — the pre-r17 form shuffled the corpus through a crossJoin +
+    // max_by aggregate and joined the result back on vec_id
+    val resid = vecs.select(col("vec_id"), col("e"), cellColOf(cs).as("cell"))
       .join(broadcast(coarseCents), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("e"), col("ce"), (a, b) => a - b).as("e"))
@@ -231,8 +361,11 @@ object Pq {
     // the train scaladoc for the measured degeneracy)
     val rcb = train(resid.select(col("vec_id"), col("e")), cfg,
       seedFrom = pqSeedFrom)
-    val codes = codesWide(resid.select(col("vec_id"), col("e")), cfg, rcb)
-      .join(assigned, "vec_id")
+    val rmat = cbMat(rcb, cfg)
+    val codes = resid.select(col("vec_id"), col("cell"),
+      pqCodesCol(col("e"), rmat).as("codes"))
+    val probes = probesOf(collectQueries(vecs, isQuery), cs, nprobe)
+      .toDF("qid", "qcell")
     val dt = residDtState(vecs, probes, coarseCents, cfg, rcb)
     val cand = codes
       .join(broadcast(probes),
@@ -243,31 +376,25 @@ object Pq {
 
   /** Per-(query, probed cell) ADC lookup tables: the residual q − cell
     * centroid differs per probed cell, so the table key gains the cell —
-    * n_q·nprobe·m·k entries, the residual form's O(model) collect. */
+    * n_q·nprobe·m·k entries, computed on the driver (the residual form's
+    * O(model) collect). */
   private def residDtState(vecs: DataFrame, probes: DataFrame,
                            ivfCents: DataFrame, cfg: PqConfig,
                            cents: DataFrame): Map[(Long, Long), Array[Array[Double]]] = {
-    val qresid = vecs.join(probes, col("vec_id") === col("qid"))
-      .join(broadcast(ivfCents), col("qcell") === col("cent_id"))
-      .select(col("qid"), col("qcell").as("cell"),
-        zip_with(col("e"), col("ce"), (a, b) => a - b).as("r"))
-    val qex = qresid
-      .select(col("qid"), col("cell"), posexplode(col("r")).as(Seq("gi", "x")))
-      .select(col("qid"), col("cell"),
-        expr(s"gi div ${cfg.subDim}").cast("long").as("m"),
-        expr(s"gi % ${cfg.subDim}").cast("long").as("si"), col("x"))
-    qex.join(broadcast(cents), Seq("m", "si"))
-      .groupBy(col("qid"), col("cell"), col("m"), col("cent_id"))
-      .agg(round6(sum((col("x") - col("c")) * (col("x") - col("c"))))
-        .as("d"))
-      .collect()
-      .groupBy(r => (r.getLong(0), r.getLong(1)))
-      .map { case (key, rows) =>
-        val t = Array.fill(cfg.m)(new Array[Double](cfg.k))
-        rows.foreach(r => t(r.getLong(2).toInt)(r.getLong(3).toInt) =
-          r.getDouble(4))
-        key -> t
-      }
+    val mat = cbMat(cents, cfg)
+    val probeList = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (probeList.isEmpty) return Map.empty
+    val ceById = collectCents(ivfCents).toMap
+    val qById = collectQueries(vecs,
+      col("vec_id").isInCollection(probeList.map(_._1).distinct.toSeq)).toMap
+    probeList.map { case (qid, cell) =>
+      val q = qById(qid)
+      val ce = ceById(cell)
+      // truncate at the shorter side: zip_with's null tail contributed no
+      // term to the old aggregate, same as dtTable's length guard here
+      val r = Array.tabulate(math.min(q.length, ce.length))(i => q(i) - ce(i))
+      (qid, cell) -> dtTable(r, mat, cfg)
+    }.toMap
   }
 
   /** [[adcRank]] with a (qid, cell)-keyed table — the residual form's scan:
@@ -296,34 +423,47 @@ object Pq {
   }
 
   /** Corpus codes pivoted wide: (vec_id, codes array<long> in subspace
-    * order) — the 8-byte row the PQ index actually stores. */
+    * order) — the 8-byte row the PQ index actually stores. Since r17 a
+    * zero-shuffle kernel projection (the codes come out of
+    * [[graft.functions.VecPqCodes]] already pivoted). */
   private[operators] def codesWide(vecs: DataFrame, cfg: PqConfig,
                                    cents: DataFrame): DataFrame =
-    encode(vecs, cfg, cents)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    vecs.select(col("vec_id"),
+      pqCodesCol(col("e"), cbMat(cents, cfg)).as("codes"))
+
+  /** Collected (vec_id, e) query vectors — O(n_q·dim) driver state (queries
+    * are a SMALL set by contract; this is the same collect dtState always
+    * did, now shared by the probe/table computations). */
+  private def collectQueries(vecs: DataFrame, isQuery: Column): Array[(Long, Array[Double])] =
+    vecs.filter(isQuery).select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** One query's m×k ADC table against the codebook matrix: round-6
+    * si-ascending squared L2 per (subspace, centroid) — term-for-term the
+    * relational aggregate's order. Coordinates past the query's length
+    * contribute no term (the old inner join had no row there). */
+  private def dtTable(q: Array[Double], mat: Array[Array[Array[Double]]],
+                      cfg: PqConfig): Array[Array[Double]] =
+    Array.tabulate(cfg.m, cfg.k) { (m, c) =>
+      var s = 0.0
+      var si = 0
+      val base = m * cfg.subDim
+      while (si < cfg.subDim && base + si < q.length) {
+        val d = q(base + si) - mat(m)(c)(si); s += d * d; si += 1
+      }
+      round6d(s)
+    }
 
   /** The per-query ADC lookup tables as broadcast driver state:
     * qid → (m → cent → round-6 distance). Queries are a SMALL set by
     * contract (n_q·m·k entries — the Ann-centroid O(model) collect), which
-    * is what lets the corpus-side scan run map-side with zero shuffle. */
+    * is what lets the corpus-side scan run map-side with zero shuffle.
+    * Computed on the driver from the collected queries + codebook. */
   private[operators] def dtState(vecs: DataFrame, isQuery: Column, cfg: PqConfig,
                       cents: DataFrame): Map[Long, Array[Array[Double]]] = {
-    val qex = exploded(vecs.filter(isQuery), cfg)
-      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
-    qex.join(broadcast(cents), Seq("m", "si"))
-      .groupBy(col("qid"), col("m"), col("cent_id"))
-      .agg(round6(sum((col("qx") - col("c")) * (col("qx") - col("c"))))
-        .as("d"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (qid, rows) =>
-        val t = Array.fill(cfg.m)(new Array[Double](cfg.k))
-        rows.foreach(r => t(r.getLong(1).toInt)(r.getLong(2).toInt) =
-          r.getDouble(3))
-        qid -> t
-      }
+    val mat = cbMat(cents, cfg)
+    collectQueries(vecs, isQuery)
+      .map { case (qid, q) => qid -> dtTable(q, mat, cfg) }.toMap
   }
 
   /** Map-side ADC scan + bounded top-k: `scored` = (qid, vec_id, codes)
@@ -380,17 +520,16 @@ object Pq {
     * `shortlist` raw vectors per query.
     *
     * Engine shape: the shortlist (n_q·shortlist (qid, vec_id) rows —
-    * O(model)) is BROADCAST against the exploded corpus, so the raw-vector
+    * O(model)) is BROADCAST against the corpus scan, so the raw-vector
     * fetch is one map-side semi-join on the full scan, never a shuffle of
     * the corpus; at 100 TB the same step is an id-keyed point lookup into
-    * the vector store. Exact distances re-aggregate the fetched coords
-    * (n_q·shortlist·dim rows), and the final window ranks ≤ `shortlist`
+    * the vector store. Exact distances come from the [[graft.functions.VecL2]]
+    * kernel (n_q·shortlist rows), and the final window ranks ≤ `shortlist`
     * rows per query — all post-shortlist cost is O(n_q·shortlist·dim),
-    * independent of corpus size. Per-coordinate squared differences summed
-    * then round-6'd, mirroring the oracle's replay term-for-term (the
-    * q_embed_kmeans float discipline). Returns (qid, rank, vec_id, d2)
-    * with d2 the EXACT round-6 squared L2, self-match included (the
-    * adcTopK convention). */
+    * independent of corpus size. Round-6'd squared L2 mirroring the
+    * oracle's replay term-for-term (the q_embed_kmeans float discipline).
+    * Returns (qid, rank, vec_id, d2) with d2 the EXACT round-6 squared L2,
+    * self-match included (the adcTopK convention). */
   def adcRerankTopK(vecs: DataFrame, isQuery: Column, k: Int, shortlist: Int,
                     cfg: PqConfig, cents: DataFrame): DataFrame = {
     require(k <= shortlist, s"k ($k) must be <= shortlist ($shortlist)")
@@ -448,22 +587,21 @@ object Pq {
     * layout the store appends.
     *
     * This is the production vector-store write loop: train once (or
-    * per-epoch), then absorb arrivals with two broadcast joins — cell
-    * assignment (delta ⋈ broadcast coarse) and code assignment (delta
-    * coords ⋈ broadcast codebook) — each map-side against the delta scan,
-    * ZERO passes over the existing index. Because encoding is stateless
-    * given frozen models, delta-encode ≡ full-encode restricted to the
-    * delta, and existing rows are untouched by construction (PqSpec pins
-    * both). The cost of freezing is drift, not correctness: codes stay
+    * per-epoch), then absorb arrivals with ONE kernel projection over the
+    * delta scan (cell assignment + code assignment both ride as codegen
+    * reference objects since r17 — the pre-r17 form paid two broadcast
+    * joins), ZERO passes over the existing index. Because encoding is
+    * stateless given frozen models, delta-encode ≡ full-encode restricted
+    * to the delta, and existing rows are untouched by construction (PqSpec
+    * pins both). The cost of freezing is drift, not correctness: codes stay
     * exact w.r.t. the frozen codebook while the data distribution moves —
     * the B74/B86 drift monitors are the signal to retrain, exactly the
     * FAISS operational posture. */
   def encodeInto(delta: DataFrame, cfg: PqConfig, cents: DataFrame,
-                 coarseCents: DataFrame): DataFrame = {
-    val (assigned, _) = assignProbes(delta, lit(false), 1, coarseCents)
-    codesWide(delta, cfg, cents).join(assigned, "vec_id")
-      .select(col("vec_id"), col("cell"), col("codes"))
-  }
+                 coarseCents: DataFrame): DataFrame =
+    delta.select(col("vec_id"),
+      cellColOf(collectCents(coarseCents)).as("cell"),
+      pqCodesCol(col("e"), cbMat(cents, cfg)).as("codes"))
 
   /** DELETE maintenance on the codes index (the lifecycle's other write):
     * drop the deleted vectors' rows. Unlike the graph index — where
@@ -562,19 +700,22 @@ object Pq {
 
   /** The shared exact re-rank stage: fetch the raw coordinates of the
     * (qid, vec_id) shortlist via ONE broadcast semi-join against the
-    * corpus scan, re-aggregate exact per-coordinate squared L2 (round-6,
-    * mirroring the oracle term-for-term), window-rank ≤ shortlist rows
-    * per query. All post-shortlist cost is O(n_q·shortlist·dim). */
+    * corpus scan, compute exact squared L2 through the
+    * [[graft.functions.VecL2]] kernel (round-6, term-for-term the order
+    * the oracle replays), window-rank ≤ shortlist rows per query. All
+    * post-shortlist cost is O(n_q·shortlist·dim). The pre-r17 form
+    * exploded the WHOLE corpus to coordinate rows before the shortlist
+    * join; the kernel form probes the broadcast shortlist with intact
+    * vector rows. */
   private def rerankExact(vecs: DataFrame, isQuery: Column, k: Int,
                           sl: DataFrame, cfg: PqConfig): DataFrame = {
-    val ex = exploded(vecs, cfg)
-    val cand = ex.join(broadcast(sl), Seq("vec_id"))
-    val qex = exploded(vecs.filter(isQuery), cfg)
-      .select(col("vec_id").as("qid"), col("m"), col("si"), col("x").as("qx"))
-    val d = cand.join(broadcast(qex), Seq("qid", "m", "si"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round6(sum((col("qx") - col("x")) * (col("qx") - col("x"))))
-        .as("d2"))
+    val cand = vecs.join(broadcast(sl), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("e"))
+    val q = vecs.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val d = cand.join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round6(call_function("vec_l2", col("qe"), col("e"))).as("d2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
     d.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -296,16 +296,19 @@ class PlanSpec extends SparkSpecBase {
       s"q_embed_adc_rerank: a shuffled join crept in:\n$full")
     assert(full.contains("WindowGroupLimit"),
       s"q_embed_adc_rerank: the rank<=k filter no longer prunes the window:\n$full")
-    // IVF-bounded variant: exactly ONE shuffled join — the DECLARED
-    // corpus-sized codes ⋈ cell-assignment join inside the shortlist
-    // stage (the q_embed_ivfpq shuffleJoinOk row); the re-rank stage
-    // itself must stay broadcast
+    // IVF-bounded variant: since the r17 kernel restructure the shortlist
+    // stage carries cell + codes in ONE VecBestCell/VecPqCodes projection
+    // (the codes ⋈ cell-assignment shuffled join this test used to declare
+    // is gone outright — guide §2.4), so here too NO shuffled join may
+    // survive anywhere and the re-rank stays broadcast
     val ivf = plan("q_embed_ivfpq_rerank")
     assert(ivf.contains("BroadcastHashJoin"),
       s"q_embed_ivfpq_rerank: shortlist fetch lost its broadcast:\n$ivf")
-    assert(shuffledJoins(ivf) === 1,
-      s"q_embed_ivfpq_rerank: expected exactly the declared codes-assignment " +
-        s"shuffled join, found ${shuffledJoins(ivf)}:\n$ivf")
+    assert(shuffledJoins(ivf) === 0,
+      s"q_embed_ivfpq_rerank: a shuffled join crept back in " +
+        s"(${shuffledJoins(ivf)}):\n$ivf")
+    assert(ivf.contains("vec_pq_codes"),
+      s"q_embed_ivfpq_rerank: the codes must come from the kernel projection:\n$ivf")
     assert(ivf.contains("WindowGroupLimit"),
       s"q_embed_ivfpq_rerank: the rank<=k filter no longer prunes the window:\n$ivf")
   }

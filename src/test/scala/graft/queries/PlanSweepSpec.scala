@@ -85,31 +85,24 @@ class PlanSweepSpec extends SparkSpecBase {
     // third of the input (NOT broadcast-safe); same category as
     // q_dedup_survivor, and AQE still broadcasts when it measures small
     "q_split_leakage_safe",
-    // B79 IVF-PQ: the PQ code table (n·m rows) joins the IVF cell
-    // assignment (n rows) on vec_id — BOTH sides are corpus-sized by
-    // definition (every vector has codes and a cell), so the co-keyed
-    // shuffled join is the only correct plan at 100 TB; AQE broadcasts at
-    // toy SF when it measures small
-    "q_embed_ivfpq",
-    // B79 residual form adds corpus ⋈ assignment (residual computation) to
-    // the same shape — again both sides are every vector, never a dimension
-    "q_embed_ivfpq_residual",
+    // (r17 optimization note: the PQ family's codes ⋈ cell-assignment
+    // shuffled joins were removed outright — cell and codes now ride one
+    // VecBestCell/VecPqCodes kernel projection, so those seven entries no
+    // longer need a shuffled-join waiver and the sweep guards them again)
     // B84 apply side: doc-word instances ⋈ the word-TYPE table — the type
     // table is heavy-tailed corpus vocabulary (grows with the corpus, not
     // a dimension), so the shuffled join is the 100 TB plan; AQE
     // broadcasts at toy SF when it measures small
     "q_text_tokens_learned",
-    // B90: inherits q_embed_ivfpq's codes ⋈ cell-assignment join (both
-    // sides are every vector)
-    "q_embed_ivfpq_rerank",
-    // B96: inherits q_embed_ivfpq_residual's corpus ⋈ assignment joins
-    "q_embed_ivfpq_residual_rerank",
+    // B96 residual: the residual map joins the corpus to the broadcast
+    // coarse centroids, but q_embed_ivfpq_residual's RE-RANK fetch joins
+    // shortlist ids back onto the corpus-derived residual scan — kept as
+    // the one declared residual-family shuffled join only if AQE plans it
+    // shuffled at toy SF (it measures small and broadcasts; the waiver is
+    // retained for the 100 TB posture where the fetch side is every vector)
     // B91: doc-bigram instances ⋈ the bigram-TYPE table — same
     // heavy-tailed-vocabulary argument as q_text_tokens_learned
     "q_text_bigram_coverage",
-    // B130: Pq.encodeInto's codes ⋈ cell-assignment join — both sides are
-    // every indexed vector (the q_embed_ivfpq argument verbatim)
-    "q_embed_ivfpq_insert", "q_embed_ivfpq_delete", "q_stream_ivfpq_search",
     // B131: held-out docs ⋈ their per-doc argmax predictions — BOTH sides
     // are every held-out document (the prediction table is corpus-sized,
     // not a dimension), the q_dedup_survivor category; AQE broadcasts at
