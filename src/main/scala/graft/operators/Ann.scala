@@ -359,31 +359,53 @@ object Ann {
       emb.filter(col("vec_id") < cfg.numCentroids)
         .select(col("vec_id").as("cent_id"), col("e").as("ce")))
 
+  /** Collected (cent_id, ce) centroids sorted by id — the O(k·d) driver
+    * model the round-9 assignment kernel bakes in. */
+  private def collectCellCents(cents: DataFrame): Array[(Long, Array[Double])] =
+    cents.select(col("cent_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Round-9 argmax-cosine cell assignment as a zero-shuffle column
+    * ([[graft.functions.VecBestCell]] at scale 9 — BigDecimal HALF_UP, the
+    * exact `round(cos, 9)` + min-id-tiebreak `max_by` semantics); the
+    * kernel index maps back to cent_id when ids aren't dense 0-based. */
+  private def cellCol9(cs: Array[(Long, Array[Double])]): Column = {
+    require(cs.nonEmpty, "cell assignment: empty centroid set")
+    val ids = cs.map(_._1)
+    val idx = call_function("vec_best_cell", col("e"),
+      typedLit(cs.map(_._2.toSeq).toSeq), lit(9))
+    if (ids.zipWithIndex.forall { case (id, i) => id == i.toLong }) idx
+    else element_at(typedLit(ids.toSeq), (idx + 1).cast("int"))
+  }
+
   /** IVF against an explicit centroid table (cent_id, ce) — e.g. one
     * trained by [[kmeansFit]]. The deterministic-init overload above is the
-    * no-training quick path; same plan shape either way. */
+    * no-training quick path; same plan shape either way.
+    *
+    * r17 shape: corpus cell assignment is ONE projection through the
+    * round-9 [[graft.functions.VecBestCell]] kernel (the centroid matrix
+    * is O(k·d) driver model state — it always was; the pre-r17 form
+    * reached it through a crossJoin and then shuffled every vector WITH
+    * its embedding array through a max_by aggregate — guide §2.3/§2.4).
+    * Only the query side still crossJoins the broadcast centroids (the
+    * nprobe ranking needs every (query, cell) score — n_q·k rows). */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
               cfg: IvfConfig, centroids: DataFrame): DataFrame = {
+    val cs = collectCellCents(centroids)
     val n = withNorm(emb)
     val cents = centroids.select(col("cent_id"), col("ce"),
       sqrt(vdot(col("ce"), col("ce"))).as("cnrm"))
-    val scored = n.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
-    // max on (cos, -id) == rank-1 of (cos DESC, id ASC): min-id tiebreak
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(first(col("e")).as("e"), first(col("nrm")).as("nrm"),
-        max_by(col("cent_id"),
-          struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("cell"))
     val probeW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val probes = scored.filter(isQuery)
+    val probes = withNorm(emb.filter(isQuery)).crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
       .withColumn("arn", row_number().over(probeW))
       .filter(col("arn") <= cfg.nprobe)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("qcell"))
-    val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
-      col("nrm").as("cn"), col("cell").as("ccell"))
+    val c = n.select(col("vec_id").as("cid"), col("e").as("ce2"),
+      col("nrm").as("cn"), cellCol9(cs).as("ccell"))
     // cells are disjoint per candidate (one cell each), so the probe join
     // yields each (query, candidate) at most once — no dedup step needed
     val out = broadcast(probes)
@@ -536,17 +558,20 @@ object Ann {
   def prototypesPrune(emb: DataFrame, centroids: DataFrame,
                       keepDen: Int = 2): DataFrame = {
     require(keepDen >= 1, s"keepDen ($keepDen) must be >= 1")
+    val cs = collectCellCents(centroids)
     val n = withNorm(emb)
     val cents = centroids.select(col("cent_id"), col("ce"),
       sqrt(vdot(col("ce"), col("ce"))).as("cnrm"))
-    val scored = n.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9))
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id").as("cell"), col("cent_cos")),
-        struct(col("cent_cos"), (-col("cent_id")).as("neg"))).as("b"))
-      .select(col("vec_id"), col("b.cell").as("cell"),
-        col("b.cent_cos").as("proto_cos"))
+    // r17: cell = the round-9 VecBestCell kernel (zero shuffle); the
+    // prototype cosine is then recomputed for the ONE assigned centroid
+    // via a broadcast join — same formula, same operands, bit-identical
+    // to the pre-r17 crossJoin + max_by's winning score, without shuffling
+    // every vector×centroid score through an aggregate (guide §2.4)
+    val assigned = n.withColumn("cell", cellCol9(cs))
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        round(vdot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 9)
+          .as("proto_cos"))
     val w = Window.partitionBy(col("cell"))
       .orderBy(col("proto_cos").asc, col("vec_id"))
     assigned

@@ -105,8 +105,25 @@ object Compact {
     require(leaves.forall(_.nonEmpty),
       s"$srcDir holds top-level data files — not a partitioned layout; " +
         "use compact() for flat tables")
-    leaves.iterator.map { part =>
-      part -> compact(spark, s"$srcDir/$part", s"$dstDir/$part", targetBytes)
-    }.toMap
+    // Per-partition rewrites are independent jobs over disjoint dirs —
+    // submit them from a small thread pool so the next partition's tasks
+    // back-fill executors freed by the current one's tail (the guide-§2.6
+    // overlap pattern; 4 in flight is enough to fill the tail without
+    // starving any one job). Spark's scheduler is thread-safe; the result
+    // map is rebuilt deterministically from the sorted leaf list.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, leaves.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = leaves.toSeq.map { part =>
+        part -> scala.concurrent.Future(
+          compact(spark, s"$srcDir/$part", s"$dstDir/$part", targetBytes))
+      }
+      futs.map { case (part, f) =>
+        part -> scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
+      }.toMap
+    } finally pool.shutdown()
   }
 }

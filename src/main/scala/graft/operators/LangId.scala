@@ -26,22 +26,46 @@ import org.apache.spark.sql.functions._
   * partial+final `min(struct(-score, lang))` — no window, no sort. */
 object LangId {
 
-  /** All char n-grams of `text` (1-based substring, character semantics).
-    * Callers must pre-filter length(text) >= n: Spark's
-    * `sequence(1, length-n+1)` DESCENDS on shorter strings instead of
-    * returning empty (the [[Bpe.symbolTable]] caveat). */
-  private def grams(n: Int): Column =
-    expr(s"transform(sequence(1, length(text) - ${n - 1}), " +
-      s"i -> substring(text, i, $n))")
+  /** All char n-grams of one text (code-point semantics — exactly Spark's
+    * `substring(text, i, n)` over `sequence(1, length(text)-n+1)`, which
+    * counts CHARACTERS, not UTF-16 units; the zh fixture exercises
+    * multibyte). r17: a typed flatMap in the scan stage — the HOF
+    * transform-under-explode form this replaces is CodegenFallback and
+    * profiled as the entry's dominant stage (the shingleRows lesson,
+    * verify-skill gotcha); emissions are value-identical, and a text
+    * shorter than n code points emits nothing, which is exactly the old
+    * `length(text) >= n` pre-filter. */
+  private def gramsOf(text: String, n: Int): Iterator[String] = {
+    val cp = text.codePointCount(0, text.length)
+    if (cp < n) Iterator.empty
+    else new Iterator[String] {
+      private var start = 0
+      private var i = 0
+      def hasNext: Boolean = i <= cp - n
+      def next(): String = {
+        val end = text.offsetByCodePoints(start, n)
+        val out = text.substring(start, end)
+        start = text.offsetByCodePoints(start, 1)
+        i += 1
+        out
+      }
+    }
+  }
 
   /** Train the (lang, gram, w_ppm) model: per-language n-gram ppm
     * frequencies over grams with count >= minCount in that language. */
   def model(docs: DataFrame, n: Int, minCount: Long): DataFrame = {
     require(n >= 1, s"n ($n) must be >= 1")
     require(minCount >= 1, s"minCount ($minCount) must be >= 1")
-    val g = docs.filter(length(col("text")) >= n)
-      .select(col("lang"), explode(grams(n)).as("gram"))
-    val cnt = g.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs.select(col("lang"), col("text")).as[(String, String)]
+      .flatMap { case (lang, text) => gramsOf(text, n).map((lang, _)) }
+      .toDF("lang", "gram")
+    // r17: cnt feeds its own total AND the join below — cut it once
+    // instead of re-running the gram fan-out per consumer (profiled 2x)
+    val cnt = Materialize.cutFinal(
+      g.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c")))
     val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     cnt.join(tot, "lang").filter(col("c") >= minCount)
       .select(col("lang"), col("gram"), expr("c * 1000000 DIV t").as("w_ppm"))
@@ -52,8 +76,11 @@ object LangId {
     * with no in-vocabulary grams are ABSENT — callers left-join and map
     * the miss to 'und' (the oracle does the same). */
   def predict(docs: DataFrame, modelTable: DataFrame, n: Int): DataFrame = {
-    val g = docs.filter(length(col("text")) >= n)
-      .select(col("doc_id"), explode(grams(n)).as("gram"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => gramsOf(text, n).map((id, _)) }
+      .toDF("doc_id", "gram")
     g.join(broadcast(modelTable), Seq("gram"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("w_ppm")).as("score"))

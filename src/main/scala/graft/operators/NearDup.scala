@@ -173,8 +173,15 @@ object NearDup {
     * `numHashes` longs per doc, append-only. */
   def minhashSignatures(docs: DataFrame,
                         cfg: MinHashConfig = MinHashConfig()): DataFrame =
-    shingles(docs, cfg.shingleWidth)
-      .withColumn("h", h28(col("sh")))
+    minhashSignaturesFrom(shingles(docs, cfg.shingleWidth), cfg)
+
+  /** [[minhashSignatures]] over an ALREADY-EXPLODED (doc_id, sh) shingle
+    * frame — lets one shingle pass feed both the signature aggregate and
+    * the Jaccard-confirm set aggregate (r17: the pairs operators cut the
+    * shared explode once instead of re-running it per consumer). */
+  private[operators] def minhashSignaturesFrom(ex: DataFrame,
+                                               cfg: MinHashConfig): DataFrame =
+    ex.withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))
       .agg(min((lit(aCoef(0)) * col("h") + lit(bCoef(0))) % P28).as("mh0"),
         (1 until cfg.numHashes).map(i =>
@@ -190,7 +197,8 @@ object NearDup {
     * pairs of the soak corpus. */
   def minhashEstimate(docs: DataFrame, pairs: DataFrame,
                       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val mh = minhashSignatures(docs, cfg)
+    // r17: both pair sides join the signature table — cut it once
+    val mh = Materialize.cutFinal(minhashSignatures(docs, cfg))
     val hs = 0 until cfg.numHashes
     val ma = mh.select(col("doc_id").as("doc_a") +:
       hs.map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -209,8 +217,13 @@ object NearDup {
     * statistics) measure the EXACT geometry the operator pairs on — a
     * re-implementation would silently drift. */
   private[operators] def minhashBands(docs: DataFrame,
-                                      cfg: MinHashConfig): DataFrame = {
-    val mh = minhashSignatures(docs, cfg)
+                                      cfg: MinHashConfig): DataFrame =
+    minhashBandsFrom(shingles(docs, cfg.shingleWidth), cfg)
+
+  /** The signature→bands stage over an already-exploded shingle frame. */
+  private[operators] def minhashBandsFrom(ex: DataFrame,
+                                          cfg: MinHashConfig): DataFrame = {
+    val mh = minhashSignaturesFrom(ex, cfg)
     val r = cfg.rowsPerBand
     mh.select(col("doc_id"), posexplode(array((0 until cfg.bands).map(b =>
         array((0 until r).map(j => col(s"mh${r * b + j}")): _*)): _*)))
@@ -248,7 +261,9 @@ object NearDup {
     * 3.75 M pairs, and measures that the cap refuses it). */
   def boundaryPairs(docs: DataFrame, k: Int = 4,
                     maxBucket: Int = 1000): DataFrame = {
-    val hp = boundaryHashes(docs, k)
+    // r17: the hash projection feeds four consumers (two caps + two join
+    // sides) — cut it once instead of re-scanning the corpus per consumer
+    val hp = Materialize.cutFinal(boundaryHashes(docs, k))
     val okTail = hp.groupBy(col("tail_h")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBucket).select(col("tail_h"))
     val okHead = hp.groupBy(col("head_h")).agg(count(lit(1)).as("c"))
@@ -263,9 +278,13 @@ object NearDup {
   }
 
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sh = shingles(docs, cfg.shingleWidth)
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
-    val bands = minhashBands(docs, cfg)
+    // r17: ONE shingle explode pass feeds the signature chain and both
+    // Jaccard-confirm set joins (left lazy, the explode re-ran once per
+    // consumer — 3x per call); values unchanged, shingling is deterministic
+    val ex = Materialize.cutFinal(shingles(docs, cfg.shingleWidth))
+    val sh = Materialize.cutFinal(
+      ex.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
+    val bands = minhashBandsFrom(ex, cfg)
     val cand = bucketPairs(
       bands.groupBy(col("band"), col("sig"))
         .agg(collect_set(col("doc_id")).as("ids")),
@@ -325,10 +344,12 @@ object NearDup {
   def containmentPairs(docs: DataFrame, shingleWidth: Int = 3,
                        maxDf: Int = 1000,
                        minPpm: Long = 900000L): DataFrame = {
-    val ex = shingles(docs, shingleWidth)
+    // r17: the explode feeds the df filter AND (through exR) three more
+    // consumers — cut each level once instead of re-exploding per consumer
+    val ex = Materialize.cutFinal(shingles(docs, shingleWidth))
     val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
-    val exR = ex.join(rare, Seq("sh"))
+    val exR = Materialize.cutFinal(ex.join(rare, Seq("sh")))
     val sz = exR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = exR.select(col("sh"), col("doc_id").as("doc_a"))
       .join(exR.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
@@ -344,9 +365,19 @@ object NearDup {
 
   def minhashPairsIncremental(history: DataFrame, delta: DataFrame,
                               cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val rows = shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
-      .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1)))
-    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    // r17: the shingle fan-out feeds THREE consumers (the 32-hash minhash
+    // aggregate and both sides of the Jaccard-confirm shingle-set join);
+    // left lazy, each consumer re-ran the full history∪delta explode —
+    // profiled as 2-4 duplicate explode passes per streaming micro-batch.
+    // One lineage cut per level makes each pass happen exactly once (the
+    // iterative-operator Materialize convention); values are unchanged —
+    // shingling is deterministic and the set aggregate was already
+    // order-insensitive downstream (Jaccard over sets).
+    val rows = Materialize.cutFinal(
+      shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
+        .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1))))
+    val sh = Materialize.cutFinal(
+      rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
     val mh = rows
       .withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))

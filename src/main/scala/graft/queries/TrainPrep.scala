@@ -284,11 +284,19 @@ object TrainPrep {
     // the oracle HAVING); pair/item counts are partial+final aggregates;
     // the rank is a window over each item's ≤ basket-bounded pair list.
     "q_item_cooccur" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // r17: the distinct (order, item) projection and its basket-capped
+      // form feed FIVE downstream consumers (okO, n, nd, both pair-join
+      // sides) — left lazy, each consumer re-ran the distinct's shuffle
+      // (profiled: the 6 MB distinct output re-read 4x per run). Two
+      // lineage cuts make each pass happen exactly once — the
+      // iterative-operator Materialize convention, same data flow.
+      val li = graft.operators.Materialize.cutFinal(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
       val okO = li.groupBy(col("o")).agg(count(lit(1)).as("bs"))
         .filter(col("bs") <= 20).select(col("o"))
-      val lig = li.join(okO, Seq("o"), "left_semi")
+      val lig = graft.operators.Materialize.cutFinal(
+        li.join(okO, Seq("o"), "left_semi"))
       val n = lig.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
       val nd = lig.agg(countDistinct(col("o")).as("n_orders"))
       val pairs = lig.select(col("o"), col("p").as("item"))

@@ -71,12 +71,13 @@ class PlanSpec extends SparkSpecBase {
 
   test("IVF cell assignment is a partial+final aggregate, not a full-data window") {
     // assigning each vector to its best of 16 centroid cells through a
-    // row_number window would shuffle 16x the corpus; the max_by aggregate
-    // reduces the 16 candidate rows map-side, so the exchange carries ~n
-    // rows. The window must survive ONLY on the filtered query side.
+    // row_number window would shuffle 16x the corpus. Since the r17 kernel
+    // restructure the assignment is a zero-shuffle VecBestCell projection
+    // (stronger still than the pre-r17 map-side max_by aggregate this test
+    // used to pin). The window must survive ONLY on the filtered query side.
     val p = plan("q_embed_ann_ivf")
-    assert(p.contains("partial_max_by") || p.contains("partial_first"),
-      s"IVF assignment lost its map-side partial aggregate:\n$p")
+    assert(p.contains("vec_best_cell"),
+      s"IVF assignment lost its kernel projection:\n$p")
     // "Window [" is the exact operator print form ("WindowGroupLimit [" has
     // no space before its bracket, so rank-pushdown nodes don't count)
     val windowCount = "Window \\[".r.findAllIn(p).size
