@@ -278,13 +278,16 @@ object NearDup {
   }
 
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // r17: ONE shingle explode pass feeds the signature chain and both
-    // Jaccard-confirm set joins (left lazy, the explode re-ran once per
-    // consumer — 3x per call); values unchanged, shingling is deterministic
-    val ex = Materialize.cutFinal(shingles(docs, cfg.shingleWidth))
+    // r17: the per-doc shingle-SET table feeds BOTH Jaccard-confirm joins —
+    // cut it once (compact: one row per doc) so the explode behind it runs
+    // once instead of once per join side. The exploded rows themselves are
+    // NOT cut: materializing a fan-out costs more than re-running it inside
+    // codegen (measured — a first cut of the explode regressed the LSH
+    // entries ~1.5x at sf0.1), so bands re-derive their own explode.
     val sh = Materialize.cutFinal(
-      ex.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
-    val bands = minhashBandsFrom(ex, cfg)
+      shingles(docs, cfg.shingleWidth)
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
+    val bands = minhashBands(docs, cfg)
     val cand = bucketPairs(
       bands.groupBy(col("band"), col("sig"))
         .agg(collect_set(col("doc_id")).as("ids")),
@@ -365,17 +368,16 @@ object NearDup {
 
   def minhashPairsIncremental(history: DataFrame, delta: DataFrame,
                               cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // r17: the shingle fan-out feeds THREE consumers (the 32-hash minhash
-    // aggregate and both sides of the Jaccard-confirm shingle-set join);
-    // left lazy, each consumer re-ran the full history∪delta explode —
-    // profiled as 2-4 duplicate explode passes per streaming micro-batch.
-    // One lineage cut per level makes each pass happen exactly once (the
-    // iterative-operator Materialize convention); values are unchanged —
-    // shingling is deterministic and the set aggregate was already
-    // order-insensitive downstream (Jaccard over sets).
-    val rows = Materialize.cutFinal(
-      shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
-        .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1))))
+    // r17: the history∪delta shingle fan-out feeds the minhash aggregate
+    // and both sides of the Jaccard-confirm shingle-set join; left lazy,
+    // each consumer re-ran the full explode — profiled as 2-4 duplicate
+    // explode passes per streaming micro-batch. The compact AGGREGATES are
+    // cut once (per-doc set table, one row per doc); the exploded rows are
+    // deliberately NOT cut — materializing the fan-out measured slower
+    // than re-running it inside codegen (the minhashPairs lesson), so the
+    // signature chain re-derives its own explode (2 passes total vs 3-4).
+    val rows = shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
+      .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1)))
     val sh = Materialize.cutFinal(
       rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
     val mh = rows
