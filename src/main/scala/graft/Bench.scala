@@ -411,9 +411,20 @@ object Bench {
       } ++ floorDriftRow).mkString("{", ",", "}")
     val unbJson = unbaselined.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson = loadPerRun.map(sec).mkString("[", ",", "]")
+    // r17 verdict #1: `ncpus` is the HOST's processor count and cannot
+    // prove $SPARK_GRAFT_CPUS took effect (an 8-cpu driver run still
+    // printed ncpus=32, defeating the scaling check). The EFFECTIVE core
+    // count is the session's master / defaultParallelism — emitted
+    // alongside the env value so the artifact itself shows the contract
+    // held. ncpus stays for continuity (it is the box context the load
+    // averages read against).
     val ncpus = Runtime.getRuntime.availableProcessors
+    val master = spark.sparkContext.master
+    val coresEff = spark.sparkContext.defaultParallelism
+    val cpusEnv = sys.env.get("SPARK_GRAFT_CPUS")
+      .map("\"" + _ + "\"").getOrElse("null")
     val driftFields =
-      s""""drifted":$driftJson,"drift_unbaselined":$unbJson,"drift_baseline_found":${baselineOpt.nonEmpty},"drift_ratio":1.5,"drift_min_delta_s":0.5,"load_avg_per_run":$loadJson,"load_avg_end":${sec(loadEnd)},"ncpus":$ncpus"""
+      s""""drifted":$driftJson,"drift_unbaselined":$unbJson,"drift_baseline_found":${baselineOpt.nonEmpty},"drift_ratio":1.5,"drift_min_delta_s":0.5,"load_avg_per_run":$loadJson,"load_avg_end":${sec(loadEnd)},"ncpus":$ncpus,"master":"$master","cores_effective":$coresEff,"cpus_env":$cpusEnv"""
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"partial_failures":$partial,"runs":$runsN,"run_totals":$totalsArr,"stream_harness_floor_s":${sec(floorS)},"stream_harness_floor_failed_runs":$floorFailed,"stream_join_floor_s":${sec(joinFloorS)},"stream_join_floor_failed_runs":$joinFloorFailed,"stream_join_data_bound_s":$dataBound,$driftFields,"sf":"$sfDir"}"""
     // The full line is ~25 bytes/query (~3 KB at 115 queries) — longer than a

@@ -17,8 +17,18 @@ import org.apache.spark.sql.SparkSession
   *    other encodings fixtures arrive in — at the loader boundary.
   */
 object Sessions {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+  /** Effective local core count — `$SPARK_GRAFT_CPUS`, default 32. */
+  private def envCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(32)
+
+  /** Default shuffle partitions SCALE WITH the effective core count
+    * (r17 verdict #1's wart: a pinned 32 was tuned to the 32-thread
+    * harness and made an 8-cpu run shuffle into 4x more partitions than
+    * cores) — one partition per core locally; on a real cluster this is
+    * set per-job to ~2-3x total cores and AQE coalesces from there. */
+  def builder(master: String = s"local[$envCpus]",
+              shufflePartitions: Int = envCpus): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(graft.functions.VectorExprs.register)
       .master(master)

@@ -134,7 +134,16 @@ case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
   *
   * Coordinates past the vector's length contribute no term (the relational
   * inner join simply had no row there); element type is nullable to match
-  * the old `transform(array_sort(collect_list(...)))` pivot's schema. */
+  * the old `transform(array_sort(collect_list(...)))` pivot's schema.
+  *
+  * INPUT CONTRACT (r17 ADVICE): vectors must carry at least m·subDim
+  * coordinates — every [[graft.operators.Pq]] call site encodes the
+  * training corpus's own fixed-dim embeddings, and PqConfig.dim ≡
+  * m·subDim by construction. For a vector SHORTER than that, a subspace
+  * entirely past its length scores distance 0 for every centroid and
+  * emits code 0, where the relational pivot emitted NO entry (a shorter
+  * codes array) — a documented, asserted-at-the-operator divergence, not
+  * a silent one. */
 case class VecPqCodes(vec: Expression, codebook: Expression)
     extends BinaryExpression {
   require(codebook.foldable, "vec_pq_codes: codebook matrix must be foldable")
@@ -373,10 +382,16 @@ case class VecBestCell(vec: Expression, cents: Expression, scale: Int = 6)
 
   /** Spark `round(x, scale)` semantics (RoundBase: BigDecimal HALF_UP, with
     * the same NaN/Infinity passthrough — BigDecimal.valueOf would THROW on
-    * a zero-norm vector's NaN cosine; a NaN compares false against `best`,
-    * so such rows keep cell 0, exactly like the pre-kernel round() path).
-    * `scale` defaults to 6 (the kmeans/IVF convention); the IVFADC coarse
-    * assignment passes 9 (the q_embed_ann_ivf_trained round-9 contract). */
+    * a zero-norm vector's NaN cosine). A NaN cosine (zero-norm vector OR
+    * zero-norm centroid) ranks GREATEST, first NaN winning ties — exactly
+    * Spark's `max_by(cent_id, struct(round(cos,6), -cent_id))` ordering
+    * (NaN sorts above every double) and [[graft.operators.Pq.probesOf]]'s
+    * driver-side ranking (r17 ADVICE: the first kernel form skipped NaN,
+    * silently diverging from the relational semantics on zero-norm input;
+    * the shipped fixtures have no zero-norm rows, so results are
+    * unchanged — VectorExprsSpec pins the edge). `scale` defaults to 6
+    * (the kmeans/IVF convention); the IVFADC coarse assignment passes 9
+    * (the q_embed_ann_ivf_trained round-9 contract). */
   private def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
@@ -398,7 +413,11 @@ case class VecBestCell(vec: Expression, cents: Expression, scale: Int = 6)
       var j = 0
       while (j < n) { s += e.getDouble(j) * p(j); j += 1 }
       val cos = round6(s / (nrm * norms(c)))
-      if (cos > best) { best = cos; bestIdx = c.toLong }
+      // NaN ranks greatest (Spark max/desc ordering); first-wins = min id
+      if (cos > best ||
+          (java.lang.Double.isNaN(cos) && !java.lang.Double.isNaN(best))) {
+        best = cos; bestIdx = c.toLong
+      }
       c += 1
     }
     bestIdx
@@ -442,7 +461,10 @@ case class VecBestCell(vec: Expression, cents: Expression, scale: Int = 6)
          |    $cos = java.math.BigDecimal.valueOf($cos)
          |      .setScale($scale, java.math.RoundingMode.HALF_UP).doubleValue();
          |  }
-         |  if ($cos > $best) { $best = $cos; $bestIdx = (long) $c; }
+         |  if ($cos > $best ||
+         |      (java.lang.Double.isNaN($cos) && !java.lang.Double.isNaN($best))) {
+         |    $best = $cos; $bestIdx = (long) $c;
+         |  }
          |}
          |${ev.value} = $bestIdx;
          |""".stripMargin)

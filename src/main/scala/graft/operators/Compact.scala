@@ -120,10 +120,17 @@ object Compact {
         part -> scala.concurrent.Future(
           compact(spark, s"$srcDir/$part", s"$dstDir/$part", targetBytes))
       }
-      futs.map { case (part, f) =>
-        part -> scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf)
-      }.toMap
+      // await EVERY future before surfacing a failure (r17 ADVICE): a
+      // fail-fast Await.result would rethrow while sibling rewrites are
+      // still writing into dstDir — the caller would observe an exception
+      // from a destination that keeps mutating. Ready-all first, then
+      // rethrow the first failure (if any) with all writes stopped.
+      val done = futs.map { case (part, f) =>
+        part -> scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf).value.get
+      }
+      done.collectFirst { case (_, scala.util.Failure(e)) => throw e }
+      done.map { case (part, t) => part -> t.get }.toMap
     } finally pool.shutdown()
   }
 }

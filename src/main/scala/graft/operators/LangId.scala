@@ -36,6 +36,10 @@ object LangId {
     * shorter than n code points emits nothing, which is exactly the old
     * `length(text) >= n` pre-filter. */
   private def gramsOf(text: String, n: Int): Iterator[String] = {
+    // null text emits nothing — the pre-r17 relational form's
+    // length(text) >= n filter silently dropped null rows; the typed
+    // flatMap must preserve that, not NPE (r17 ADVICE)
+    if (text == null) return Iterator.empty
     val cp = text.codePointCount(0, text.length)
     if (cp < n) Iterator.empty
     else new Iterator[String] {

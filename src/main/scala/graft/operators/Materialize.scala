@@ -56,6 +56,16 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Materialize {
   /** Session-conf key: "true" switches every cut to reliable checkpoints. */
   val ReliableKey = "graft.checkpoint.reliable"
+  /** Session-conf key (MEASUREMENT-ONLY): "true" turns [[cutFinal]] into
+    * the identity, so a cut's cost/benefit can be A/B-measured
+    * like-for-like on one build (r17 verdict #3 — four cut-consuming
+    * entries regressed and the adjudication needs the toggle). Never set
+    * by any query path; [[cut]] (the iteration form) is NOT covered — an
+    * uncut iteration compounds plan size and would freeze the driver.
+    * `spark.`-prefixed so `-Dspark.graft.cutFinal.disable=true` reaches
+    * the `newSession()` children the streaming entries run on (runtime
+    * `conf.set` on the root session does not). */
+  val CutFinalOffKey = "spark.graft.cutFinal.disable"
   /** Session-conf key: checkpoint directory used when [[ReliableKey]] is
     * set and the SparkContext has no checkpoint dir configured yet. */
   val DirKey = "graft.checkpoint.dir"
@@ -96,7 +106,9 @@ object Materialize {
 
   /** Eagerly materialize a final result in the session's checkpoint mode
     * (stats/partitioning preserved; storage freed by ContextCleaner GC). */
-  def cutFinal(df: DataFrame): DataFrame = checkpointed(df)
+  def cutFinal(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(CutFinalOffKey).exists(_.toBoolean)) df
+    else checkpointed(df)
 
   /** Eagerly materialize one iteration round: fresh-leaf stats + an
     * explicit storage-release handle (see object doc for the ordering

@@ -197,8 +197,13 @@ object NearDup {
     * pairs of the soak corpus. */
   def minhashEstimate(docs: DataFrame, pairs: DataFrame,
                       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // r17: both pair sides join the signature table — cut it once
-    val mh = Materialize.cutFinal(minhashSignatures(docs, cfg))
+    // r18: the r17 cut of the signature table REMOVED — the like-for-like
+    // A/B (CutToggleAb, 3 alternating rounds at sf0.1) measured the entry
+    // 2.70 s cut vs 1.76 s uncut: the eager checkpoint is a hard barrier
+    // that serializes the signature aggregate against both join sides,
+    // where the lazy form lets the two consumers' stages overlap and the
+    // recompute stays inside one codegen span per side
+    val mh = minhashSignatures(docs, cfg)
     val hs = 0 until cfg.numHashes
     val ma = mh.select(col("doc_id").as("doc_a") +:
       hs.map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -278,15 +283,20 @@ object NearDup {
   }
 
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // r17: the per-doc shingle-SET table feeds BOTH Jaccard-confirm joins —
-    // cut it once (compact: one row per doc) so the explode behind it runs
-    // once instead of once per join side. The exploded rows themselves are
-    // NOT cut: materializing a fan-out costs more than re-running it inside
-    // codegen (measured — a first cut of the explode regressed the LSH
-    // entries ~1.5x at sf0.1), so bands re-derive their own explode.
-    val sh = Materialize.cutFinal(
-      shingles(docs, cfg.shingleWidth)
-        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
+    // r18: the r17 cut of the per-doc shingle-SET table REMOVED. It was
+    // row-compact (one row per doc) but BYTE-heavy — each row carries the
+    // doc's whole shingle set, so the eager checkpoint serializes ~the
+    // exploded data anyway (the same reason the exploded fan-outs were
+    // never cut), and it barriers the pipeline. The r17 sweep showed its
+    // consumers flat-to-regressed (q_dedup_clusters +32%, source_matrix
+    // +29%); the r18 CutToggleAb A/B (3 alternating rounds, sf0.1)
+    // confirmed the cut loses on every consumer: clusters 2.61→2.34,
+    // source_matrix 2.16→1.54, minhash_lsh 1.80→1.39, survivor
+    // 3.15→2.88, pipeline 3.76→3.33, split_leakage_safe 3.60→2.58 s.
+    // Each Jaccard-confirm side re-derives the explode+set aggregate
+    // inside its own codegen span instead.
+    val sh = shingles(docs, cfg.shingleWidth)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     val bands = minhashBands(docs, cfg)
     val cand = bucketPairs(
       bands.groupBy(col("band"), col("sig"))
@@ -368,18 +378,15 @@ object NearDup {
 
   def minhashPairsIncremental(history: DataFrame, delta: DataFrame,
                               cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // r17: the history∪delta shingle fan-out feeds the minhash aggregate
-    // and both sides of the Jaccard-confirm shingle-set join; left lazy,
-    // each consumer re-ran the full explode — profiled as 2-4 duplicate
-    // explode passes per streaming micro-batch. The compact AGGREGATES are
-    // cut once (per-doc set table, one row per doc); the exploded rows are
-    // deliberately NOT cut — materializing the fan-out measured slower
-    // than re-running it inside codegen (the minhashPairs lesson), so the
-    // signature chain re-derives its own explode (2 passes total vs 3-4).
+    // r18: the r17 cut of the per-doc shingle-set table REMOVED here too —
+    // same evidence as [[minhashPairs]] (the set table is byte-heavy and
+    // the checkpoint is a barrier; the streaming consumers q_stream_curate
+    // and q_stream_asof regressed 11–15% in the r17 driver sweep, and the
+    // r18 A/B measured the uncut form faster on every batch consumer).
+    // Each Jaccard-confirm side re-derives its explode+set aggregate.
     val rows = shingles(history, cfg.shingleWidth).withColumn("is_new", lit(0))
       .unionByName(shingles(delta, cfg.shingleWidth).withColumn("is_new", lit(1)))
-    val sh = Materialize.cutFinal(
-      rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")))
+    val sh = rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     val mh = rows
       .withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))

@@ -52,7 +52,11 @@ object UnigramLm {
 
   /** All (word, f, pos, piece) substring occurrences with
     * 1 ≤ len(piece) ≤ maxPieceLen — SQL substring semantics (code
-    * points), so the DuckDB oracle segments identically. pos is 0-based. */
+    * points), so the DuckDB oracle segments identically. pos is 0-based.
+    * Kept as the RELATIONAL cross-check baseline (UnigramLmSpec pins the
+    * r18 typed pieces against it); the hot path uses [[cpPieces]] — the
+    * HOF transform-under-explode here is CodegenFallback and executed
+    * once per consumer (the LangId gramsOf lesson). */
   def occurrences(words: DataFrame, maxPieceLen: Int): DataFrame =
     words.select(col("word"), col("f"),
         explode(expr(
@@ -63,46 +67,96 @@ object UnigramLm {
       .select(col("word"), col("f"), col("o.pos").as("pos"),
         col("o.piece").as("piece"))
 
+  /** Code-point-faithful (pos, piece) substrings of one word — exactly
+    * `substring(word, p+1, l)` over code points (the zh fixture exercises
+    * multibyte), emitted pos-ascending then length-ascending like the
+    * relational [[occurrences]] explode. */
+  private[operators] def cpPieces(word: String, maxPieceLen: Int)
+      : IndexedSeq[(Int, String)] = {
+    if (word == null) return IndexedSeq.empty
+    val cp = word.codePointCount(0, word.length)
+    // offs(i) = UTF-16 index of code point i; offs(cp) = word.length
+    val offs = new Array[Int](cp + 1)
+    var i = 0
+    while (i < cp) { offs(i + 1) = word.offsetByCodePoints(offs(i), 1); i += 1 }
+    for {
+      pos <- 0 until cp
+      len <- 1 to math.min(maxPieceLen, cp - pos)
+    } yield (pos, word.substring(offs(pos), offs(pos + len)))
+  }
+
   /** Train `emRounds` rounds; returns the final weights (piece, w) over
     * the candidate vocabulary — pieces whose total occurrence mass
     * tf = Σ f is ≥ minCount, plus ALL single characters (coverage: a
     * tokenizer must be able to segment anything it saw). Initial weight =
     * tf (the paper's frequency-seeded start). */
+  /** r18 shape (the Pq.train precedent — driver-held model between
+    * rounds, ONE distributed pass per round): the piece-weight table `w`
+    * is O(model) — the candidate vocabulary (substrings with mass ≥
+    * minCount, plus single chars), the exact table SentencePiece holds in
+    * memory — so each EM round collects it to the driver and runs as ONE
+    * typed flatMap over the persisted WORD-TYPE table (per word: code-
+    * point pieces via [[cpPieces]], per position the in-vocab candidates,
+    * `share = w·1e6 DIV Σw` and `f·share` emissions — term-for-term the
+    * relational cocc ⋈ denom ⋈ share chain, all int64) + one aggregate.
+    * The r17 form executed 2 joins + 2 shuffled aggregates per round over
+    * the occurrence fan-out (ProfQ: ~50 jobs of KB-sized stages for
+    * q_text_tokens_viterbi); positions with Σw = 0 cannot occur (single
+    * chars clamp ≥ 1 and cover every position) but are skipped exactly
+    * like the relational NULL-share sum. The relational [[occurrences]]
+    * stays as UnigramLmSpec's cross-check baseline. */
   def train(docs: DataFrame, maxPieceLen: Int, minCount: Long,
             emRounds: Int, maxWordLen: Int = 30): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen ($maxPieceLen) must be >= 1")
     require(emRounds >= 1, s"emRounds ($emRounds) must be >= 1")
     require(maxWordLen >= 1, s"maxWordLen ($maxWordLen) must be >= 1")
-    val occ = occurrences(wordFreq(docs, maxWordLen), maxPieceLen)
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = wordFreq(docs, maxWordLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tf = occ.groupBy(col("piece")).agg(sum(col("f")).as("tf"))
-      var w = tf.filter(col("tf") >= minCount || length(col("piece")) === 1)
+      val typedWords = words.select(col("word"), col("f")).as[(String, Long)]
+      val tf = typedWords
+        .flatMap { case (word, f) => cpPieces(word, maxPieceLen).map(p => (p._2, f)) }
+        .toDF("piece", "f")
+        .groupBy(col("piece")).agg(sum(col("f")).as("tf"))
+      val w0 = tf.filter(col("tf") >= minCount || length(col("piece")) === 1)
         .select(col("piece"), col("tf").as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      w.count()
-      for (_ <- 1 to emRounds) {
-        val cocc = occ.join(w, Seq("piece"))
-        val denom = cocc.groupBy(col("word"), col("pos"))
-          .agg(sum(col("w")).as("dw"))
-        val next = cocc.join(denom, Seq("word", "pos"))
-          .withColumn("share", expr("w * 1000000 DIV dw"))
-          .groupBy(col("piece")).agg(sum(col("f") * col("share")).as("wr"))
+      // O(model) driver collect between rounds (the Pq codebook shape)
+      def toMap(df: DataFrame): Map[String, Long] =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var wMap = toMap(w0)
+      var out: DataFrame = null
+      for (r <- 1 to emRounds) {
+        val m = wMap
+        val next = typedWords
+          .flatMap { case (word, f) =>
+            val ps = cpPieces(word, maxPieceLen)
+            // group by position; candidate = piece present in the model
+            val byPos = ps.groupBy(_._1)
+            byPos.iterator.flatMap { case (_, cands) =>
+              val found = cands.flatMap { case (_, p) => m.get(p).map(p -> _) }
+              val dw = found.foldLeft(0L)(_ + _._2)
+              if (dw <= 0L) Iterator.empty
+              else found.iterator.map { case (p, wv) =>
+                (p, f * (wv * 1000000L / dw))
+              }
+            }
+          }
+          .toDF("piece", "fs")
+          .groupBy(col("piece")).agg(sum(col("fs")).as("wr"))
           // renormalize to mass scale (see scaladoc); single chars clamp
           // to >= 1 — coverage AND a nonzero denominator at every position
           .select(col("piece"),
             greatest(expr("wr DIV 1000000"),
               when(length(col("piece")) === 1, lit(1L)).otherwise(lit(0L)))
               .as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        w.unpersist(blocking = false)
-        w = next
+        // intermediate rounds feed the next round's driver model; the
+        // final round is returned materialized WITHOUT a second execution
+        if (r < emRounds) wMap = toMap(next) else out = Materialize.cutFinal(next)
       }
-      val out = Materialize.cutFinal(w)
-      w.unpersist(blocking = false)
       out
-    } finally occ.unpersist(blocking = false)
+    } finally words.unpersist(blocking = false)
   }
 
   /** EXACT Viterbi segmentation with the trained weights (SURVEY.md §2
@@ -133,54 +187,71 @@ object UnigramLm {
     require(costScale >= 1, s"costScale ($costScale) must be >= 1")
     require(maxWordLen < 64,
       s"maxWordLen ($maxWordLen) must stay < 64 for the combined encoding")
-    val w = train(docs, maxPieceLen, minCount, emRounds, maxWordLen)
+    val s = docs.sparkSession
+    import s.implicits._
+    // the trained weights are O(model) — collect once (the Pq dtState
+    // precedent) and run the WHOLE per-word DP locally: edge (p → p+|pc|)
+    // costs (1 + costScale DIV w)·64 + 1 for every in-vocab piece with
+    // w ≥ 1 starting at p, and the forward min over positions computes
+    // exactly the min-plus-doubling closure's dist(0, len) — shortest
+    // path with positive int64 edge costs, same integers, no float. The
+    // r17 relational DP ran ceil(log2(maxLen)) doubling rounds of
+    // self-join + union + min-aggregate (a shuffle trio per round) over
+    // persisted state; this is ONE typed projection over word types.
+    // w >= 1 only: integer share truncation can drive a low-mass
+    // multi-char piece's weight to exactly 0 and `costScale DIV 0` would
+    // throw (r14 ADVICE). Single chars are clamped >= 1 by train(), so
+    // every position keeps an edge — segmentation never fails. Mirrored
+    // in the oracle's edges CTE.
+    val wMap: Map[String, Long] =
+      train(docs, maxPieceLen, minCount, emRounds, maxWordLen)
+        .collect().iterator
+        .map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._2 >= 1L).toMap
     val words = wordFreq(docs, maxWordLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val occ = occurrences(words, maxPieceLen)
-      // w >= 1 only: integer share truncation can drive a low-mass
-      // multi-char piece's weight to exactly 0 and `costScale DIV 0`
-      // would throw (r14 ADVICE). Single chars are clamped >= 1 by
-      // train(), so every position keeps an edge — segmentation never
-      // fails. Mirrored in the oracle's edges CTE.
-      val edges = occ.join(w.filter(col("w") >= 1), Seq("piece"))
-        .select(col("word"), col("pos").as("p"),
-          (col("pos") + length(col("piece"))).as("q"),
-          ((lit(1L) + expr(s"$costScale DIV w")) * 64 + 1).as("c"))
-      var r = edges.groupBy(col("word"), col("p"), col("q"))
-        .agg(min(col("c")).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.count()
-      // rounds sized to the CORPUS's longest word, not the cap: a path has
-      // ≤ maxLen unit edges, so ceil(log2(maxLen)) doublings close it —
-      // one 1-row aggregate of already-materialized state (the Bpe argmax
-      // convention), and each saved round is a saved shuffle trio
+      // fail-loud on an empty corpus — the r17 form's maxLen probe did
       val maxLenRow = words.agg(max(length(col("word")))).collect()(0)
       require(!maxLenRow.isNullAt(0),
         "viterbiSegment on an empty corpus (no words within maxWordLen)")
-      val maxLen = math.max(1L, maxLenRow.getInt(0).toLong)
-      val rounds =
-        (math.log(maxLen.toDouble) / math.log(2.0)).ceil.toInt.max(1)
-      for (_ <- 1 to rounds) {
-        val comp = r.select(col("word"), col("p"), col("q").as("m"), col("c").as("c1"))
-          .join(r.select(col("word"), col("p").as("m"), col("q"), col("c").as("c2")),
-            Seq("word", "m"))
-          .select(col("word"), col("p"), col("q"), (col("c1") + col("c2")).as("c"))
-        val next = r.select(col("word"), col("p"), col("q"), col("c"))
-          .union(comp)
-          .groupBy(col("word"), col("p"), col("q")).agg(min(col("c")).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        r.unpersist(blocking = false)
-        r = next
-      }
-      val out = Materialize.cutFinal(words
-        .join(r.filter(col("p") === 0), Seq("word"))
-        .filter(col("q") === length(col("word")))
-        .select(col("word"), col("f"),
-          (col("c") % 64).cast("long").as("n_tokens"),
-          expr("c DIV 64").as("cost")))
-      r.unpersist(blocking = false)
+      val out = Materialize.cutFinal(
+        words.select(col("word"), col("f")).as[(String, Long)]
+          .flatMap { case (word, f) =>
+            val cp = word.codePointCount(0, word.length)
+            val offs = new Array[Int](cp + 1)
+            var i = 0
+            while (i < cp) {
+              offs(i + 1) = word.offsetByCodePoints(offs(i), 1); i += 1
+            }
+            // dist(p) = min combined cost 0 → p; Long.MaxValue = unreachable
+            val dist = Array.fill(cp + 1)(Long.MaxValue)
+            dist(0) = 0L
+            var p = 0
+            while (p < cp) {
+              if (dist(p) != Long.MaxValue) {
+                var len = 1
+                val maxL = math.min(maxPieceLen, cp - p)
+                while (len <= maxL) {
+                  wMap.get(word.substring(offs(p), offs(p + len))) match {
+                    case Some(wv) =>
+                      val c = (1L + costScale / wv) * 64L + 1L
+                      val q = p + len
+                      if (dist(p) + c < dist(q)) dist(q) = dist(p) + c
+                    case None => ()
+                  }
+                  len += 1
+                }
+              }
+              p += 1
+            }
+            val combined = dist(cp)
+            // unreachable end (cannot happen under single-char coverage,
+            // but the relational join simply emitted no row) → no row
+            if (combined == Long.MaxValue) None
+            else Some((word, f, combined % 64L, combined / 64L))
+          }
+          .toDF("word", "f", "n_tokens", "cost"))
       out
     } finally words.unpersist(blocking = false)
   }

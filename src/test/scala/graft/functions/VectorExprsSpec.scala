@@ -117,7 +117,8 @@ class VectorExprsSpec extends SparkSpecBase {
     assert(expr.eval(null) === 0L)
     // a zero-norm vector (NaN cosine everywhere) must keep cell 0, not
     // crash — BigDecimal.valueOf(NaN) throws; Spark's round() passes NaN
-    // through and NaN compares false, which the kernel mirrors
+    // through, NaN ranks GREATEST (max/desc ordering) and the FIRST NaN
+    // wins the -cent_id tie-break, so all-NaN → cell 0
     val zero = Seq((0, Seq(0.0, 0.0))).toDF("id", "e")
       .withColumn("cell", call_function("vec_best_cell", col("e"), cents))
       .head().getAs[Long]("cell")
@@ -135,5 +136,79 @@ class VectorExprsSpec extends SparkSpecBase {
         .collect()
     }
     assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
+
+  test("vec_best_cell ranks a NaN cosine GREATEST — max_by/probesOf semantics " +
+    "(r17 ADVICE: zero-norm centroid)") {
+    val s = spark
+    import s.implicits._
+    // centroid 1 is zero-norm → cos = NaN for every vector; Spark's
+    // max_by(cent_id, struct(round(cos,6), -cent_id)) sorts NaN above
+    // every double, so the ZERO-NORM centroid must win even though
+    // centroid 0 matches the vector perfectly. The pre-fix kernel skipped
+    // NaN (cos > best = false) and silently picked 0 — diverging from the
+    // relational form and from Pq.probesOf's driver-side ranking.
+    val cents = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 0.0), Seq(0.0, 1.0)))
+    val got = Seq((0, Seq(3.0, 0.0)), (1, Seq(0.0, 5.0)))
+      .toDF("id", "e")
+      .withColumn("kernel", call_function("vec_best_cell", col("e"), cents))
+      .orderBy("id").collect().map(_.getAs[Long]("kernel"))
+    // Spark's struct max ranks NaN above every double (and probesOf sorts
+    // the same way driver-side), so the zero-norm centroid 1 wins both
+    // rows — the pre-fix kernel silently picked the best FINITE cosine.
+    // (A relational max_by reference cannot run here: under Spark 4's
+    // default ANSI mode the 0/0 cosine THROWS instead of yielding NaN —
+    // the kernel's NaN passthrough mirrors the driver-side probesOf math.)
+    assert(got.toSeq === Seq(1L, 1L))
+  }
+
+  test("vec_l2 ≡ the coordinate-fold Σ(a−b)² bit-for-bit; nulls null out") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map { i =>
+      (i, Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = data.toDF("id", "a", "b")
+      .withColumn("hof",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("native", call_function("vec_l2", col("a"), col("b")))
+    assert(df.filter(col("hof") =!= col("native")).count() === 0)
+    val nulls = Seq((1, Option(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("id", "a", "b")
+      .withColumn("d", call_function("vec_l2", col("a"), col("b")))
+      .head()
+    assert(nulls.isNullAt(3))
+  }
+
+  test("vec_pq_codes: argmin round-6 L2 per subspace, smallest centroid id " +
+    "winning ties; interpreted and codegen paths agree") {
+    val s = spark
+    import s.implicits._
+    // m=2 subspaces of subDim=2; subspace 0's two centroids are equidistant
+    // from (1,1) → tie → code 0; subspace 1 clearly picks centroid 1
+    val cb = Seq(
+      Seq(Seq(2.0, 0.0), Seq(0.0, 2.0)),   // m=0
+      Seq(Seq(9.0, 9.0), Seq(1.0, 1.0)))   // m=1
+    val codes = Seq((0, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("id", "e")
+      .withColumn("codes", call_function("vec_pq_codes", col("e"),
+        typedLit(cb)))
+      .head().getSeq[Long](2)
+    assert(codes.toSeq === Seq(0L, 1L))
+    // interpreted path (direct eval, no codegen) agrees
+    val expr = graft.functions.VecPqCodes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 1.0, 1.0, 1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cb, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+    val got = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(got.toSeq === Seq(0L, 1L))
   }
 }

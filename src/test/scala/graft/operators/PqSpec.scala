@@ -56,6 +56,19 @@ class PqSpec extends SparkSpecBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("VecPqCodes kernel codes ≡ the relational Pq.assign on the fixture corpus") {
+    // the r17 ADVICE gap: the scaladoc claimed this equivalence but no
+    // test pinned it. Kernel path = Pq.encode (vec_pq_codes projection);
+    // relational reference = assign(exploded(...)) — the pre-r17
+    // explode ⋈ broadcast-codebook ⋈ two-aggregate pipeline. Exact row
+    // equality, both directions.
+    val kernel = Pq.encode(vecs, cfg, cb)
+    val relational = Pq.assign(Pq.exploded(vecs, cfg), cb)
+    assert(kernel.except(relational).isEmpty &&
+      relational.except(kernel).isEmpty,
+      "vec_pq_codes diverged from the relational assign")
+  }
+
   test("ADC shortlist recall vs exact L2 is measured and bounded") {
     // PQ's production role is the SHORTLIST stage of shortlist→exact-rerank
     // (8 bytes per vector is deliberately lossy). The operative metric:
