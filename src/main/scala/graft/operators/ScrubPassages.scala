@@ -30,13 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object ScrubPassages {
 
+  /** All (pos, w-token passage) of one text — exactly the relational
+    * `transform(sequence(0, size(t)−w), i → array_join(slice(t, i+1, w),
+    * ' '))` over `split(text, ' ')` (split keeps trailing empties: Spark's
+    * StringSplit uses limit −1), emitted pos-ascending. r18: a typed
+    * flatMap in the scan stage — the HOF transform-under-explode form it
+    * replaces is CodegenFallback and profiled as the entry's dominant
+    * single-task stage (the LangId gramsOf lesson); emissions are
+    * value-identical, and a text with fewer than w tokens (or null)
+    * emits nothing, exactly the old `size(t) >= w` pre-filter. */
+  private[operators] def passagesOf(text: String, w: Int): Iterator[(Int, String)] = {
+    if (text == null) return Iterator.empty
+    val t = text.split(" ", -1)
+    if (t.length < w) Iterator.empty
+    else (0 to t.length - w).iterator.map(i => (i, t.slice(i, i + w).mkString(" ")))
+  }
+
   def scrub(docs: DataFrame, w: Int = 8, minDf: Long = 3,
             prefilter: Boolean = false): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = base.filter(size(col("t")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(t) - $w), i -> array_join(slice(t, i + 1, $w), ' '))"))
-        .as(Seq("p", "gram")))
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, tx) => passagesOf(tx, w).map(pg => (id, pg._1, pg._2)) }
+      .toDF("doc_id", "p", "gram")
     val gramRows = grams.select(col("gram"), col("doc_id"))
     val pre =
       if (!prefilter) gramRows

@@ -32,8 +32,12 @@ class ScrubPrefilterSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString()
     val exactPlan = ScrubPassages.scrub(docs, prefilter = false)
       .queryExecution.executedPlan.toString()
-    assert(prePlan.contains("UDF"), "prefilter probe missing from the plan")
-    assert(!exactPlan.contains("UDF"),
-      "the exact (oracled) path must stay UDF-free")
+    // the scala-udf probe plans as a `Filter (UDF(...))`; a bare "UDF"
+    // grep would false-positive on Spark 4's UDFAdaptors lambda name
+    // inside the sanctioned typed-flatMap MapPartitions (r18: passagesOf)
+    assert(prePlan.contains("Filter (UDF("),
+      "prefilter probe missing from the plan")
+    assert(!exactPlan.contains("Filter (UDF("),
+      "the exact (oracled) path must stay scala-udf-free")
   }
 }
